@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Test-data table access. Tables documented in /root/repo/TESTDATA.md. */
 object Tables {
@@ -9,5 +10,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
+    * and truncate to microseconds with integer division — exactly what
+    * DuckDB does when it casts TIMESTAMP_NS to its microsecond TIMESTAMP,
+    * so both engines see identical values. (Double division would be wrong
+    * here: epoch-nanos ≈ 1.7e18 exceeds the 2^53 double mantissa.) */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks shared by the catalog layer and queries.
+  *
+  * These mirror the reference's catalog-matching patterns (SURVEY.md §2.3):
+  * precedence-ranked fallback matching (mopdb_utils.py get_cmorname /
+  * parse_vars) and relational division (potential_vars — "mapping rows whose
+  * every input is available").
+  */
+object Relational {
+
+  /** Keep the single best row per group: rank by `order` within
+    * `partition`, take rank 1. The reference uses this shape for
+    * frequency-nearest variant selection (mop_setup.py find_nearest) and
+    * mapping precedence (exact → no-version → no-frequency). */
+  def topOnePerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Relational division: groups of `df` (keyed by `key`) whose distinct
+    * `attr` set covers the whole distinct `attr` universe of `universe`.
+    * Mirrors mopdb_utils.py potential_vars ("every input_vars token is
+    * present"). The universe count is broadcast, so the only shuffle is the
+    * distinct + group on the fact side. */
+  def divide(df: DataFrame, key: Column, attr: Column, universe: DataFrame, universeAttr: Column): DataFrame = {
+    val total = universe.agg(countDistinct(universeAttr).as("__total"))
+    df.select(key.as("__key"), attr.as("__attr")).distinct()
+      .groupBy(col("__key")).agg(count(lit(1)).as("__n"))
+      .join(broadcast(total))
+      .filter(col("__n") === col("__total"))
+      .select(col("__key"), col("__n"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Ordered / window operators (SURVEY.md §2.5).
+  *
+  * Reference semantics sources (cited file:line into /root/reference):
+  *  - running sum over an ordered axis: app_functions.py:191-201 (MSF
+  *    cumulative sum over depth) and mop_utils.py:791-812 (time integral)
+  *  - cumulative-minus-column-total: app_functions.py:199-201
+  *  - last valid level per column ("ocean_floor"): calculations.py:683-698
+  *  - midpoint bounds with end extrapolation: mop_utils.py:679-755
+  *
+  * All are expressed as Spark window functions so they stay inside
+  * whole-stage codegen and shuffle only on the partition keys — at 100 TB
+  * each group (a water column, a time series) is small; the partition count
+  * scales with the key cardinality, not with array size.
+  */
+object WindowOps {
+  private val Dec = DecimalType(18, Exact.Scale)
+
+  /** Exact running sum of `value` ordered by `order` within `partition`.
+    * Decimal accumulation keeps it reproducible across engines. */
+  def runningSum(value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(value.cast(Dec)).over(w).cast(DoubleType)
+  }
+
+  /** Running sum minus the full-partition total — the meridional
+    * overturning shape (cumsum over depth minus column total,
+    * app_functions.py:191-201). */
+  def runningSumMinusTotal(value: Column, partition: Seq[Column], order: Seq[Column]): Column = {
+    val wRun = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(partition: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    (sum(value.cast(Dec)).over(wRun) - sum(value.cast(Dec)).over(wAll))
+      .cast(DoubleType)
+  }
+
+  /** Last non-null `value` along `order` per group — "ocean_floor"
+    * (deepest valid cell, calculations.py:683-698). Returns one row per
+    * group with the picked value and its order position. */
+  def lastNonNull(df: DataFrame, group: Seq[Column], order: Column, value: Column): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(group: _*)
+      .agg(
+        max_by(value, order).as("last_value"),
+        max(order).as("last_pos"),
+        count(value).as("n_valid"))
+
+  /** Midpoint cell bounds over an ordered 1-D coordinate with extrapolated
+    * ends (mop_utils.py:714-724: bounds are neighbor midpoints; first/last
+    * extend by half the adjacent spacing), optionally clamped (the
+    * reference clamps latitude to ±90 and heights to >= 0,
+    * mop_utils.py:729-741).
+    *
+    * Input: df with a numeric coordinate column `coordCol` (rows assumed
+    * distinct on it). Output: coord, bnd_lo, bnd_hi.
+    */
+  def midpointBounds(df: DataFrame, coordCol: String, clampLo: Option[Double] = None,
+      clampHi: Option[Double] = None): DataFrame = {
+    val w = Window.orderBy(col(coordCol))
+    val x = col(coordCol)
+    val prev = lag(x, 1).over(w)
+    val next = lead(x, 1).over(w)
+    val lo0 = when(prev.isNull, x - (next - x) / 2.0).otherwise((prev + x) / 2.0)
+    val hi0 = when(next.isNull, x + (x - prev) / 2.0).otherwise((x + next) / 2.0)
+    val lo = clampLo.map(v => greatest(lo0, lit(v))).getOrElse(lo0)
+    val hi1 = clampLo.map(v => greatest(hi0, lit(v))).getOrElse(hi0)
+    val hi = clampHi.map(v => least(hi1, lit(v))).getOrElse(hi1)
+    val lo1 = clampHi.map(v => least(lo, lit(v))).getOrElse(lo)
+    df.select(x, lo1.as("bnd_lo"), hi.as("bnd_hi"))
+  }
+}
