@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Piecewise-linear interpolation of grouped 1-D profiles onto requested
+  * coordinates — the Spark formulation of the reference's flagship custom
+  * operator `plevinterp` (calculations.py:855-923: per (time,y,x) column,
+  * interpolate var against model pressure onto fixed target levels,
+  * np.interp semantics) and of `resample().interpolate('linear')`
+  * (calculations.py:127-129).
+  *
+  * Design for scale: instead of a per-group UDF or an N×K interval join,
+  * samples and targets are unioned and sorted once per group; the
+  * bracketing sample on each side is recovered with last/first
+  * (ignoreNulls) running windows. One shuffle on the group key, one sort,
+  * no data blowup — each 100 TB-scale group (a water column / a time
+  * series) stays together and the operator is O((N+K) log(N+K)) per group
+  * inside Tungsten sort, never materializing candidate pairs.
+  *
+  * Edge semantics follow np.interp: targets below/above the sample range
+  * clamp to the first/last sample value; a target exactly on a sample
+  * coordinate returns that sample's value.
+  */
+object Interp {
+
+  /** Interpolate `valueCol` (from `samples`) at the coordinates of
+    * `targets`. Both inputs must carry `group` columns and a double
+    * `coordCol`; extra columns of `targets` are carried through. Output:
+    * all `targets` columns plus `interp`. */
+  def interpolateToGrid(samples: DataFrame, targets: DataFrame,
+      group: Seq[String], coordCol: String, valueCol: String): DataFrame = {
+    val extraCols = targets.columns.filterNot(c => group.contains(c) || c == coordCol)
+    val sTagged = samples
+      .select((group.map(col) :+ col(coordCol) :+ col(valueCol).as("__v")): _*)
+      .withColumn("__is_sample", lit(1))
+    val tTagged = targets
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__is_sample", lit(0))
+    val unioned = tTagged.unionByName(sTagged, allowMissingColumns = true)
+
+    // Samples sort before targets at equal coordinates so an exact hit is
+    // visible to the running "previous" window.
+    val order = Seq(col(coordCol).asc, col("__is_sample").desc)
+    val wPrev = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val sampleCoord = when(col("__is_sample") === 1, col(coordCol))
+    val pv = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val pc = last(sampleCoord, ignoreNulls = true).over(wPrev)
+    val nv = first(col("__v"), ignoreNulls = true).over(wNext)
+    val nc = first(sampleCoord, ignoreNulls = true).over(wNext)
+
+    val interp = when(pc.isNull, nv)
+      .when(nc.isNull, pv)
+      .when(nc === pc, pv)
+      .otherwise(pv + (nv - pv) * (col(coordCol) - pc) / (nc - pc))
+
+    unioned
+      .withColumn("interp", interp)
+      .filter(col("__is_sample") === 0)
+      .select((group.map(col) ++ Seq(col(coordCol)) ++ extraCols.map(col)
+        :+ col("interp")): _*)
+  }
+}
