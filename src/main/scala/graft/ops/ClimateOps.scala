@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Climate-style grid operators (SURVEY.md §2.4/§2.6/§2.7) over the long
+  * grid representation `(time, lev, y, x, value)`.
+  *
+  * Reference semantics sources (file:line into /root/reference):
+  *  - weighted global mean: calculations.py:801-825 (`calc_global_ave_ocean`,
+  *    `var.weighted(w).mean(skipna=True)`)
+  *  - hemispheric sum / sea-ice extent: calculations.py:568-646
+  *  - depth integral: app_functions.py:496-512 (`ocndepthint`)
+  *  - column max: app_functions.py:742-744
+  *  - tile-weighted average / sum: calculations.py:1117-1152, app_functions.py:292-325
+  *  - land-use regroup (17 tiles → 4 classes): calculations.py:1073-1102
+  *  - basin-partitioned agg with global replication: app_functions.py:383-427
+  *  - meridional overturning (cumsum over depth − column total):
+  *    app_functions.py:101-205
+  *  - packing-division fix: app_functions.py:735-738
+  *  - surface-flux insertion: app_functions.py:457-466
+  *  - strait/line transports: calculations.py:227-321, data/transport_lines.yaml
+  *
+  * Everything is expressed through groupBy/window/join so Catalyst keeps
+  * the plans in whole-stage codegen: per-cell work is map-side,
+  * aggregations partial-aggregate before the single shuffle on the output
+  * key, and small config tables (tile fractions, strait boxes, basin maps)
+  * are broadcast. At 100 TB the shuffle width is the output cardinality
+  * (e.g. #years × #cells), never the input row count.
+  */
+object ClimateOps {
+
+  /** Area/volume-weighted mean: Σ(v·w)/Σ(w), NULL-skipping like the
+    * reference's skipna=True. Decimal-exact accumulation (see Exact). */
+  def weightedMean(v: Column, w: Column): Column =
+    Exact.dsum(v * w) / Exact.dsum(when(v.isNotNull, w))
+
+  /** Weighted extent: Σ(w) over cells satisfying `cond` (sea-ice extent:
+    * cells with 0.15 ≤ sic ≤ 1, calculations.py:628-646). */
+  def extent(w: Column, cond: Column): Column =
+    Exact.dsum(when(cond, w).otherwise(lit(0.0)))
+
+  /** Hemisphere tag from a latitude column (calculations.py:584-592 picks
+    * lat ≥ 0 / < 0 slices). */
+  def hemisphere(lat: Column): Column =
+    when(lat >= 0, lit("nh")).otherwise(lit("sh"))
+
+  /** Depth integral Σ_z v·dz per column (app_functions.py:496-512):
+    * groupBy the horizontal key, decimal-exact sum of v·dz. */
+  def depthIntegral(df: DataFrame, keys: Seq[Column], v: Column, dz: Column): DataFrame =
+    df.groupBy(keys: _*).agg(Exact.dsum(v * dz).as("zint"))
+
+  /** Replicate each cell to its own basin AND the global basin — the
+    * hfbasin grouping-set pattern (app_functions.py:383-413: a cell
+    * contributes to its basin and to 'global'). */
+  def basinReplicate(df: DataFrame, basin: Column): DataFrame =
+    df.withColumn("basin_out", explode(array(basin, lit("global"))))
+
+  /** Meridional-overturning shape over an already-zonally-summed frame:
+    * running sum over `lev` minus the full-column total, per partition
+    * (app_functions.py:191-201). */
+  def overturning(df: DataFrame, partition: Seq[Column], lev: Column, v: Column): DataFrame =
+    df.withColumn("msf", WindowOps.runningSumMinusTotal(v, partition, Seq(lev.asc)))
+
+  /** Two-pass packing-artifact fix (app_functions.py:735-738): after a
+    * division, exact zeros are replaced by half the smallest positive
+    * value in the column. The global min-positive is a scalar aggregate
+    * broadcast back over the data — one extra reduce, no second shuffle
+    * of the fact table. */
+  def fixPackingDivision(df: DataFrame, ratio: String): DataFrame = {
+    val eps = df.agg(min(when(col(ratio) > 0, col(ratio))).as("__minpos"))
+    df.crossJoin(broadcast(eps))
+      .withColumn(ratio,
+        when(col(ratio) === 0.0, col("__minpos") / 2.0).otherwise(col(ratio)))
+      .drop("__minpos")
+  }
+
+  /** Surface-flux insertion (app_functions.py:457-466): add a 2-D flux
+    * into the top level of a 3-D field, passthrough below. `flux` must be
+    * keyed by `keys`; it is broadcast when small. */
+  def surfaceFluxInsert(field: DataFrame, flux: DataFrame, keys: Seq[String],
+      lev: Column, surfaceLev: Int, v: Column, fluxCol: Column): DataFrame =
+    field.join(broadcast(flux), keys)
+      .withColumn("v_out",
+        when(lev === surfaceLev, v + fluxCol).otherwise(v))
+
+  /** Strait/line transports (calculations.py:240-321): a small config
+    * table of named boxes `(name, x0, x1, y0, y1)` is broadcast and
+    * range-joined against the grid; each strait is the decimal-exact sum
+    * of v over its box. At scale the non-equi join stays cheap because
+    * the box table is tiny and broadcast (nested-loop over ~15 rows). */
+  def lineTransports(grid: DataFrame, straits: DataFrame,
+      timeKey: Column, x: Column, y: Column, v: Column): DataFrame =
+    grid.join(broadcast(straits),
+        x >= col("x0") && x <= col("x1") && y >= col("y0") && y <= col("y1"))
+      .groupBy(timeKey, col("strait"))
+      .agg(Exact.dsum(v).as("transport"))
+}
