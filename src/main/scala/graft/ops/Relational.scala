@@ -24,6 +24,16 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Top-k rows per group under a deterministic total order — the
+    * windowed generalization of [[topOnePerGroup]]. `order` must be a
+    * total order (append a unique id as tie-break) or results are
+    * engine-dependent. */
+  def topKPerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Relational division: groups of `df` (keyed by `key`) whose distinct
     * `attr` set covers the whole distinct `attr` universe of `universe`.
     * Mirrors mopdb_utils.py potential_vars ("every input_vars token is

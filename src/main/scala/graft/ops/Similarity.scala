@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact cosine (brute-force top-k) and an
+  * LSH-bucketed approximate path.
+  *
+  * Representation: embeddings stay `Array[Float]` columns end-to-end.
+  * Dot products are computed per-row with `zip_with` + `aggregate` into a
+  * DECIMAL accumulator: float→double widening and double products are
+  * IEEE-exact, and decimal addition is associative, so the result is
+  * bit-identical across engines and summation orders — the same
+  * exactness contract as graft.ops.Exact, without exploding vectors to
+  * component rows. (An earlier component-row formulation shuffled
+  * #pairs × dim rows; this one shuffles #pairs rows with the arrays
+  * riding along, a 64× reduction at dim=64.)
+  *
+  * Scale design:
+  *  - squared norms are computed once per vector, not once per pair;
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    corpus: O(q·n·d) multiply-adds, evenly distributed, one window for
+  *    the top-k rank. The correctness baseline for q ≪ n.
+  *  - the scale path buckets vectors by random-hyperplane signs
+  *    (Charikar '02): b deterministic pseudo-random hyperplanes derived
+  *    from the cross-engine 60-bit hash give a 2^b-bucket code, and
+  *    candidate generation becomes an equi-join on the bucket code —
+  *    O(q·n/2^b) expected instead of O(q·n). Recall tunes via b and
+  *    multi-probe. Hot buckets (skew) should be salted or capped.
+  */
+object Similarity {
+
+  /** Exact dot product of two float-array columns via a decimal
+    * accumulator (order-free, cross-engine deterministic), as double. */
+  def dotExact(a: String, b: String): Column =
+    expr(s"""CAST(aggregate(
+      zip_with($a, $b, (p, q) ->
+        CAST(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(18,6))),
+      CAST(0 AS DECIMAL(28,6)),
+      (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS DOUBLE)""")
+
+  /** Fast double-precision dot product (codegen'd primitive math).
+    * NOT cross-engine deterministic in the low bits — use only as a
+    * prefilter with margin, never for reported values. */
+  def dotFast(a: String, b: String): Column =
+    expr(s"""aggregate(
+      zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+      0D, (acc, v) -> acc + v)""")
+
+  /** Exact squared L2 norm of a float-array column, as double. */
+  def sqNormExact(a: String): Column = dotExact(a, a)
+
+  /** (id, emb, norm2) — norms computed once per vector. */
+  def withNorms(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("id"), emb.as("emb"))
+      .withColumn("norm2", sqNormExact("emb"))
+
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot / (sqrt(na) * sqrt(nb))
+
+  /** Cosine between all (id1 < id2) pairs sharing a block — blocked
+    * near-duplicate detection. `blockOf`: (id, block). The pair join is
+    * an equi-join on the block key; arrays ride the join once.
+    *
+    * Two-phase when `prefilterAbove` is set: a codegen'd double cosine
+    * prunes the pair set with margin (ε = 1e-6 ≫ the ~1e-12 relative
+    * float error), then the exact decimal cosine is computed only for
+    * survivors — the sketch-then-verify pattern; reported values are
+    * always the exact ones. */
+  def blockedCosinePairs(vecs: DataFrame, blockOf: DataFrame,
+      prefilterAbove: Option[Double] = None): DataFrame = {
+    val v = vecs.join(blockOf, Seq("id"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    val pruned = prefilterAbove match {
+      case Some(tau) => pairs.filter(
+        cosine(dotFast("a.emb", "b.emb"), col("a.norm2"), col("b.norm2"))
+          >= tau - 1e-6)
+      case None => pairs
+    }
+    pruned.select(col("a.id").as("id1"), col("b.id").as("id2"),
+      cosine(dotExact("a.emb", "b.emb"), col("a.norm2"), col("b.norm2"))
+        .as("cosine"))
+  }
+
+  /** Brute-force cosine top-k: every query vector against the whole
+    * corpus (excluding itself), ranked by (cosine desc, id asc) for a
+    * deterministic total order. `queries` should be small — it is
+    * broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cos = broadcast(queries.as("q")).join(corpus.as("c"),
+        col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("id1"), col("c.id").as("id2"),
+        cosine(dotExact("q.emb", "c.emb"), col("q.norm2"), col("c.norm2"))
+          .as("cosine"))
+    Relational.topKPerGroup(cos, Seq(col("id1")),
+      Seq(col("cosine").desc, col("id2").asc), k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weights as an array column
+    * per plane: planes 0..b-1 over dimensions 0..d-1, integer weights in
+    * [-1000, 1000] derived from the cross-engine hash — reproducible
+    * everywhere, no RNG state. Output: (p, w: Array[Double]). */
+  def hyperplanes(spark: org.apache.spark.sql.SparkSession, b: Int, d: Int): DataFrame =
+    spark.range(b).select(col("id").cast("int").as("p"))
+      .crossJoin(spark.range(d).select(col("id").cast("int").as("i")))
+      .withColumn("w",
+        (TextOps.h64(concat(col("p").cast("string"), lit("-"), col("i").cast("string")))
+          % 2001 - 1000).cast("double"))
+
+  /** Random-hyperplane bucket code per vector: bit p = sign of the dot
+    * product with plane p; code packs the b sign bits. `planes` is the
+    * (p, i, w) table from [[hyperplanes]] — tiny, broadcast. */
+  def lshBuckets(vecs: DataFrame, planes: DataFrame): DataFrame = {
+    val comp = vecs.select(col("id"), posexplode(col("emb")).as(Seq("i", "e")))
+      .withColumn("e", col("e").cast("double"))
+    comp.join(broadcast(planes), Seq("i"))
+      .groupBy(col("id"), col("p"))
+      .agg(Exact.dsum(col("e") * col("w")).as("dot"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis and deduplication operators for large-scale document
+  * pipelines: tokenization, quality scoring, language-ID, fingerprinting,
+  * exact dedup, MinHash+LSH, SimHash.
+  *
+  * These extend the engine beyond reference parity (the reference is a
+  * climate ETL tool); the designs are the standard published ones
+  * (Broder '97 MinHash/shingling, Charikar '02 SimHash, banded LSH from
+  * Leskovec/Rajaraman/Ullman "Mining of Massive Datasets" ch. 3).
+  *
+  * Scale design:
+  *  - everything is expressed with codegen'd built-ins (split, explode,
+  *    md5, conv, bitwise ops) — no UDFs in the hot path;
+  *  - per-document work (shingling, hashing) is map-side; the only
+  *    shuffles are the groupBy(doc) signature reductions and the
+  *    candidate-pair joins, whose width is #signatures, not #tokens;
+  *  - LSH banding means the near-dup join is an equi-join on
+  *    (band, signature) — at 100 TB this is the difference between a
+  *    feasible shuffle and an O(n²) cross join. Skewed buckets (a
+  *    signature shared by millions of docs) should be salted or capped
+  *    with a count filter before the pair join.
+  */
+object TextOps {
+
+  /** Deterministic 60-bit hash of a string, identical across engines:
+    * the top 15 hex digits of md5, read as an integer. (Murmur/xxhash
+    * built-ins differ between engines; md5 is specified everywhere.) */
+  def h64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+
+  /** The oracle twin of [[h64]] (DuckDB syntax). */
+  def h64Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word w-shingles (w consecutive tokens joined by a space) —
+    * Broder-style document shingling over an array column named
+    * `tsCol`. Empty if the doc has < w tokens. */
+  def shingles(tsCol: String, w: Int): Column = {
+    // 0-based Spark array indexing; the guard keeps sequence() non-negative.
+    val idxs = (0 until w).map(k => s"$tsCol[i + $k]").mkString(", ")
+    when(size(col(tsCol)) >= w,
+      expr(s"transform(sequence(0, size($tsCol) - $w), i -> concat_ws(' ', $idxs))"))
+      .otherwise(array())
+  }
+
+  /** MinHash signatures: k independent min-hashes per document over its
+    * distinct shingle set. Input: (docCol, shingle) rows. Output:
+    * (doc, j, h) — one row per document per hash function. */
+  def minhash(shingleRows: DataFrame, doc: Column, shingle: Column, k: Int): DataFrame =
+    shingleRows
+      .select(doc.as("doc"), shingle.as("s"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("doc"), col("j"))
+      .agg(min(h64(concat(col("j").cast("string"), lit(":"), col("s")))).as("h"))
+
+  /** Banded-LSH candidate pairs from a minhash signature table
+    * (doc, j, h): group the k hashes into bands of r, reduce each band to
+    * a signature (sum of its minhashes — order-free, engine-identical),
+    * and emit distinct (d1 < d2) pairs sharing any band signature. */
+  def lshCandidates(mh: DataFrame, r: Int): DataFrame = {
+    val bands = mh
+      .groupBy(col("doc"), (col("j") / r).cast("int").as("band"))
+      .agg(sum(col("h")).as("sig"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs: fraction of the k minhashes
+    * that agree. */
+  def estJaccard(cands: DataFrame, mh: DataFrame, k: Int): DataFrame =
+    cands
+      .join(mh.as("ma"), col("d1") === col("ma.doc"))
+      .join(mh.as("mb"),
+        col("d2") === col("mb.doc") && col("ma.j") === col("mb.j") &&
+          col("ma.h") === col("mb.h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg((count(lit(1)).cast("double") / k).as("est_jaccard"))
+
+  /** 32-bit SimHash fingerprint (Charikar '02) over token rows
+    * (doc, token) with multiplicity: per bit, sum ±1 contributions of
+    * each token's hash bit; fingerprint packs the sign bits. */
+  def simhash(tokenRows: DataFrame, doc: Column, token: Column, bits: Int = 32): DataFrame =
+    tokenRows
+      .select(doc.as("doc"), h64(token).as("th"))
+      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
+      // SQL-function form: the builtin Scala shiftright/shiftleft helpers
+      // only take literal shift amounts, the SQL ones take columns.
+      .withColumn("contrib",
+        when(expr("shiftright(th, b)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy(col("doc"), col("b"))
+      .agg(sum(col("contrib")).as("bitsum"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("bitsum") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+
+  /** Exact-duplicate groups by normalized content hash: one row per
+    * distinct content, with the canonical (minimum) id and the copy
+    * count — the hash-groupBy exact dedup. */
+  def exactDupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"), md5(lower(trim(text)).cast("binary")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram (token-set) Jaccard for blocked candidate pairs:
+    * candidates are restricted by a blocking key (e.g. source + length
+    * band) so the pair join is an equi-join, never O(n²). Input rows:
+    * (block, doc, token) distinct. */
+  def blockedJaccard(tokenRows: DataFrame): DataFrame = {
+    val sizes = tokenRows.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = tokenRows.as("a").join(tokenRows.as("b"),
+        col("a.block") === col("b.block") && col("a.token") === col("b.token") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("d1") === col("sa.doc"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("sa.sz") + col("sb.sz") - col("i")))
+          .as("jaccard"))
+  }
+
+  /** Quality-score components per document from token rows with
+    * multiplicity: token count, stopword ratio, mean token length — the
+    * length/stopword heuristics of web-scale corpus filtering. */
+  def qualityScore(tokenRows: DataFrame, stopwords: Seq[String]): DataFrame =
+    tokenRows
+      .groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Exact.dsum(length(col("token")).cast("double")).as("char_sum"),
+        sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(col("doc"), col("n_tokens"),
+        (col("char_sum") / col("n_tokens")).as("mean_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+}

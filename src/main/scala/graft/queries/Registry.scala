@@ -24,7 +24,9 @@ object Registry {
     InterpQueries,
     ClimateQueries,
     DslQueries,
-    PipelineQueries)
+    PipelineQueries,
+    TextQueries,
+    SimilarityQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

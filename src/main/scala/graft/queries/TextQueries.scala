@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Relational, TextOps}
+import graft.ops.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication batch over `documents`: token stats,
+  * quality scoring, language-ID, fingerprinting, exact dedup,
+  * MinHash+LSH near-dup, SimHash, blocked n-gram Jaccard.
+  *
+  * All hashing goes through the cross-engine 60-bit md5 hash
+  * (TextOps.h64 / h64Sql) so Spark and the DuckDB oracle agree bit-wise.
+  */
+object TextQueries extends QueryGroup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** (doc_id, token) rows with multiplicity. */
+  private def tokenRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select($"doc_id".as("doc"),
+      explode(TextOps.tokens($"text")).as("token"))
+  }
+
+  private val tokenRowsSql = """
+    tok AS (
+      SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents)"""
+
+  /** Token counting: total + distinct tokens and char length per doc. */
+  private val q42 = Q(
+    "q42_token_count",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+          size(TextOps.tokens($"text")).as("n_tokens"),
+          size(array_distinct(TextOps.tokens($"text"))).as("n_distinct"),
+          length($"text").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
+          AS n_distinct,
+        CAST(length(text) AS INT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: stopword ratio, mean token length, and a composite
+    * score — the standard corpus-filtering heuristics. */
+  private val q43 = Q(
+    "q43_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.qualityScore(tokenRows(s, dir), Seq("the", "a", "of", "and"))
+        .withColumn("quality",
+          $"stop_ratio" * lit(-1.0) + $"mean_token_len" / lit(10.0))
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH $tokenRowsSql
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        ${sqlSum("CAST(length(token) AS DOUBLE)")} / COUNT(*) AS mean_token_len,
+        (CAST(SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*)) AS stop_ratio,
+        (CAST(SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*)) * -1.0e0 +
+          (${sqlSum("CAST(length(token) AS DOUBLE)")} / COUNT(*)) / 10.0e0
+          AS quality
+      FROM tok GROUP BY doc ORDER BY doc"""))
+
+  /** Language-ID by stopword-lexicon voting (n-gram heuristic): count
+    * lexicon hits per language, pick the top language with a
+    * deterministic tie-break; docs with no hits are 'und'. */
+  private val q44 = Q(
+    "q44_langid",
+    (s, dir) => {
+      import s.implicits._
+      val lexicon = s.createDataFrame(Seq(
+        ("the", "en"), ("a", "en"), ("of", "en"),
+        ("le", "fr"), ("la", "fr"), ("et", "fr"),
+        ("der", "de"), ("und", "de"), ("die", "de"),
+        ("el", "es"), ("los", "es"), ("y", "es"))).toDF("token", "lang_guess")
+      val hits = tokenRows(s, dir)
+        .join(broadcast(lexicon), Seq("token"))
+        .groupBy($"doc", $"lang_guess").agg(count(lit(1)).as("hits"))
+      val best = Relational.topOnePerGroup(hits, Seq($"doc"),
+        Seq($"hits".desc, $"lang_guess".asc))
+      docs(s, dir).join(best, $"doc_id" === $"doc", "left")
+        .select($"doc_id",
+          coalesce($"lang_guess", lit("und")).as("lang_guess"),
+          coalesce($"hits", lit(0L)).as("hits"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH $tokenRowsSql,
+      lex(token, lang_guess) AS (VALUES
+        ('the','en'), ('a','en'), ('of','en'),
+        ('le','fr'), ('la','fr'), ('et','fr'),
+        ('der','de'), ('und','de'), ('die','de'),
+        ('el','es'), ('los','es'), ('y','es')),
+      hits AS (
+        SELECT doc, lang_guess, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM tok JOIN lex USING (token) GROUP BY doc, lang_guess),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc
+                    ORDER BY hits DESC, lang_guess) AS rn
+        FROM hits)
+      SELECT d.doc_id, COALESCE(b.lang_guess, 'und') AS lang_guess,
+             COALESCE(b.hits, 0) AS hits
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc AND b.rn = 1
+      ORDER BY d.doc_id"""))
+
+  /** Document fingerprinting: full-content md5 plus the minimum shingle
+    * hash (a 1-permutation minhash — the rolling-hash fingerprint
+    * family). */
+  private val q45 = Q(
+    "q45_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      // single scan: content hash rides the shingle groupBy as a key
+      docs(s, dir)
+        .select($"doc_id",
+          md5(lower(trim($"text")).cast("binary")).as("content_md5"),
+          TextOps.tokens($"text").as("ts"))
+        .select($"doc_id", $"content_md5",
+          explode(TextOps.shingles("ts", 3)).as("s"))
+        .groupBy($"doc_id", $"content_md5")
+        .agg(min(TextOps.h64($"s")).as("min_shingle_hash"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+                        md5(lower(trim(text))) AS content_md5
+                 FROM documents),
+      sh AS (
+        SELECT doc_id, content_md5,
+          unnest(list_transform(generate_series(1, len(ts) - 2),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM t)
+      SELECT doc_id, content_md5,
+        MIN(${TextOps.h64Sql("s")}) AS min_shingle_hash
+      FROM sh GROUP BY doc_id, content_md5 ORDER BY doc_id"""))
+
+  /** Exact dedup by normalized content hash (hash-groupBy). */
+  private val q46 = Q(
+    "q46_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.exactDupGroups(docs(s, dir), $"doc_id", $"text")
+        .orderBy($"canonical_id")
+    },
+    Some("""
+      SELECT md5(lower(trim(text))) AS content_hash,
+        MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY canonical_id"""))
+
+  /** MinHash + banded LSH near-duplicate detection (Broder shingles,
+    * k=8 minhashes, 2 bands × 4 rows): candidates from the band
+    * equi-join, then the minhash-agreement Jaccard estimate, thresholded. */
+  private val q47 = Q(
+    "q47_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val sh = docs(s, dir)
+        .withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id", explode(TextOps.shingles("ts", 3)).as("s"))
+        .distinct()
+      val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 8)
+      val cands = TextOps.lshCandidates(mh, r = 4)
+      TextOps.estJaccard(cands, mh, k = 8)
+        .filter($"est_jaccard" >= 0.5)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM t),
+      mh AS (
+        SELECT doc_id AS doc, j,
+          MIN(${TextOps.h64Sql("(CAST(j AS VARCHAR) || ':' || s)")}) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) seeds
+        GROUP BY doc, j),
+      bands AS (
+        SELECT doc, CAST(j // 4 AS INT) AS band, SUM(h) AS sig
+        FROM mh GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+      est AS (
+        SELECT d1, d2, COUNT(*) * 1.0e0 / 8 AS est_jaccard
+        FROM cands
+        JOIN mh ma ON d1 = ma.doc
+        JOIN mh mb ON d2 = mb.doc AND ma.j = mb.j AND ma.h = mb.h
+        GROUP BY d1, d2)
+      SELECT d1, d2, est_jaccard FROM est
+      WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""))
+
+  /** SimHash fingerprints (32-bit) + near-pairs by Hamming distance
+    * within a source block. */
+  private val q48 = Q(
+    "q48_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val fp = TextOps.simhash(tokenRows(s, dir), $"doc", $"token", bits = 32)
+      val blocked = fp.join(
+        docs(s, dir).select($"doc_id".as("doc"), $"source"), Seq("doc"))
+      blocked.as("a").join(blocked.as("b"),
+          $"a.source" === $"b.source" && $"a.doc" < $"b.doc")
+        .select($"a.doc".as("d1"), $"b.doc".as("d2"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .filter($"hamming" <= 6)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH $tokenRowsSql,
+      th AS (SELECT doc, ${TextOps.h64Sql("token")} AS th FROM tok),
+      bitsum AS (
+        SELECT doc, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bs
+        FROM th, (SELECT unnest(generate_series(0, 31)) AS b) bits
+        GROUP BY doc, b),
+      fp AS (
+        SELECT doc, SUM(CASE WHEN bs > 0 THEN (CAST(1 AS BIGINT) << b)
+                             ELSE 0 END) AS simhash
+        FROM bitsum GROUP BY doc),
+      blocked AS (
+        SELECT f.doc, f.simhash, d.source FROM fp f
+        JOIN documents d ON f.doc = d.doc_id)
+      SELECT a.doc AS d1, b.doc AS d2,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM blocked a JOIN blocked b
+        ON a.source = b.source AND a.doc < b.doc
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+      ORDER BY d1, d2"""))
+
+  /** Blocked exact n-gram Jaccard (token sets, blocking key =
+    * source + length band) — candidate generation never goes O(n²). */
+  private val q49 = Q(
+    "q49_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val tr = docs(s, dir)
+        .select($"doc_id".as("doc"),
+          concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
+            .as("block"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.8)
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2)
+      SELECT d1, d2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      ORDER BY d1, d2"""))
+
+  def queries: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49)
+}

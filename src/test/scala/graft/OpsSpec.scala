@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{ClimateOps, Eos, Interp, Multimodal, TextOps, TimeResample}
+import graft.ops.TimeResample.{ClosedRight, Fixed, Monthly}
+import org.apache.spark.sql.functions._
+
+/** Operator unit specs over tiny analytic fixtures (SURVEY.md §5: the
+  * reference has near-zero tests; each operator here is golden-tested
+  * against hand-computed values). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Interp.interpolateToGrid matches np.interp semantics incl. clamps") {
+    val samples = Seq(("a", 0.0, 10.0), ("a", 10.0, 30.0), ("a", 20.0, 10.0))
+      .toDF("g", "coord", "v")
+    val targets = Seq(("a", -5.0), ("a", 0.0), ("a", 5.0), ("a", 15.0), ("a", 25.0))
+      .toDF("g", "coord")
+    val out = Interp.interpolateToGrid(samples, targets, Seq("g"), "coord", "v")
+      .orderBy("coord").select("interp").as[Double].collect()
+    // below range clamps to first, exact hit returns sample, linear between,
+    // above range clamps to last (calculations.py:847-851 pointwise_interp)
+    assert(out.toSeq == Seq(10.0, 10.0, 20.0, 20.0, 10.0))
+  }
+
+  test("TimeResample closed-right boundary ownership and mid label") {
+    val df = Seq(
+      ("2024-01-01 06:00:00", 1.0),  // exactly on a 6h boundary -> earlier bucket
+      ("2024-01-01 05:00:00", 3.0),
+      ("2024-01-01 06:00:01", 5.0))
+      .toDF("t", "v").withColumn("t", $"t".cast("timestamp"))
+    val out = TimeResample.resample(df, $"t", Seq(), $"v",
+        Fixed(21600), ClosedRight, Seq("mean", "count"))
+      .select(date_format($"label", "yyyy-MM-dd HH:mm:ss").as("l"), $"mean", $"count")
+      .orderBy($"l").as[(String, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01 03:00:00", 2.0, 2L),   // 05:00 and 06:00 in [00:00,06:00]
+      ("2024-01-01 09:00:00", 5.0, 1L)))  // 06:00:01 in (06:00,12:00]
+  }
+
+  test("TimeResample monthly label shift is +15 days (reference offset table)") {
+    val df = Seq(("2024-03-10 12:00:00", 4.0)).toDF("t", "v")
+      .withColumn("t", $"t".cast("timestamp"))
+    val out = TimeResample.resample(df, $"t", Seq(), $"v", Monthly, ClosedRight)
+      .select(date_format($"label", "yyyy-MM-dd").as("l")).as[String].collect()
+    assert(out.toSeq == Seq("2024-03-16"))
+  }
+
+  test("Eos.rho reproduces the MJWF03 check value") {
+    val rho = Seq((25.0, 35.0, 2000.0)).toDF("th", "s", "p")
+      .select(Eos.rho($"th", $"s", $"p").as("rho")).as[Double].head()
+    assert(math.abs(rho - 1031.654229) < 1e-4)
+  }
+
+  test("ClimateOps.weightedMean skips nulls like skipna=True") {
+    val df = Seq((Some(2.0), 1.0), (None, 100.0), (Some(4.0), 3.0))
+      .toDF("v", "w")
+    val m = df.agg(ClimateOps.weightedMean($"v", $"w").as("m")).as[Double].head()
+    assert(math.abs(m - (2.0 * 1 + 4.0 * 3) / 4.0) < 1e-12)
+  }
+
+  test("TextOps shingles + minhash are deterministic and order-free") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sh = docs.withColumn("ts", TextOps.tokens($"text"))
+      .select($"doc_id", explode(TextOps.shingles("ts", 2)).as("s"))
+    val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 4)
+    val sigs = mh.groupBy($"doc").agg(sum($"h").as("sig"))
+      .orderBy($"doc").select($"sig").as[Long].collect()
+    assert(sigs(0) == sigs(1)) // identical docs -> identical signatures
+    assert(sigs(0) != sigs(2))
+    // short doc: fewer tokens than shingle width -> no shingles, no rows
+    val short = Seq((9L, "only")).toDF("doc_id", "text")
+      .withColumn("ts", TextOps.tokens($"text"))
+      .select($"doc_id", explode(TextOps.shingles("ts", 2)).as("s"))
+    assert(short.count() == 0)
+  }
+
+  test("TextOps.simhash: identical docs agree, disjoint docs differ") {
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+      .select($"doc_id".as("doc"), explode(TextOps.tokens($"text")).as("token"))
+    val fp = TextOps.simhash(rows, $"doc", $"token")
+      .orderBy($"doc").select($"simhash").as[Long].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("Multimodal batched stub decode preserves ids and is deterministic") {
+    val df = Seq((1L, "image", "payload-bytes-one"), (2L, "audio", "pb2"))
+      .toDF("id", "kind", "txt")
+      .withColumn("payload", $"txt".cast("binary"))
+    val feats = Multimodal.extractFeatures(df, "id", "kind", "payload")
+    val rows = feats.orderBy("id")
+      .select($"id", $"kind", $"nBytes", $"width", $"height", $"nFrames")
+      .as[(Long, String, Int, Int, Int, Int)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L))
+    assert(rows(0)._3 == "payload-bytes-one".length)
+    assert(rows(1)._3 == 3)
+    assert(rows.forall(r => r._4 >= 1 && r._4 <= 640 && r._5 >= 1 && r._5 <= 480))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(df, "id", "kind", "payload")
+      .orderBy("id").select($"width").as[Int].collect().toSeq
+    assert(again == rows.map(_._4))
+  }
+
+  test("h64 is non-negative and stable") {
+    val h = Seq("abc").toDF("s").select(TextOps.h64($"s")).as[Long].head()
+    assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
+  }
+}
