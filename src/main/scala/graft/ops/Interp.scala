@@ -65,4 +65,44 @@ object Interp {
       .select((group.map(col) ++ Seq(col(coordCol)) ++ extraCols.map(col)
         :+ col("interp")): _*)
   }
+
+  /** Nearest-sample re-alignment — `reindex_like(..., method='nearest')`
+    * (calculations.py:893-901): each target takes the value of the
+    * closest sample coordinate; ties (equidistant) deterministically take
+    * the earlier sample. Same union+running-window machinery as
+    * [[interpolateToGrid]] — one shuffle, no pair blowup. */
+  def nearestToGrid(samples: DataFrame, targets: DataFrame,
+      group: Seq[String], coordCol: String, valueCol: String): DataFrame = {
+    val extraCols = targets.columns.filterNot(c => group.contains(c) || c == coordCol)
+    val sTagged = samples
+      .select((group.map(col) :+ col(coordCol) :+ col(valueCol).as("__v")): _*)
+      .withColumn("__is_sample", lit(1))
+    val tTagged = targets
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__is_sample", lit(0))
+    val unioned = tTagged.unionByName(sTagged, allowMissingColumns = true)
+
+    val order = Seq(col(coordCol).asc, col("__is_sample").desc)
+    val wPrev = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(group.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val sampleCoord = when(col("__is_sample") === 1, col(coordCol))
+    val pv = last(col("__v"), ignoreNulls = true).over(wPrev)
+    val pc = last(sampleCoord, ignoreNulls = true).over(wPrev)
+    val nv = first(col("__v"), ignoreNulls = true).over(wNext)
+    val nc = first(sampleCoord, ignoreNulls = true).over(wNext)
+
+    val nearest = when(pc.isNull, nv)
+      .when(nc.isNull, pv)
+      .when(col(coordCol) - pc <= nc - col(coordCol), pv)
+      .otherwise(nv)
+
+    unioned
+      .withColumn("nearest", nearest)
+      .filter(col("__is_sample") === 0)
+      .select((group.map(col) ++ Seq(col(coordCol)) ++ extraCols.map(col)
+        :+ col("nearest")): _*)
+  }
 }

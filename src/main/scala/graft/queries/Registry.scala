@@ -26,7 +26,8 @@ object Registry {
     DslQueries,
     PipelineQueries,
     TextQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    AlignQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
