@@ -1,0 +1,93 @@
+package graft.catalog
+
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The mapping catalog: how raw model variables become standardized
+  * output variables.
+  *
+  * Mirrors the reference's SQLite `mapping` / `cmorvar` tables
+  * (mopdb/mopdb_utils.py:90-136) and the resolution logic of
+  * `find_matches` / `find_nearest` (mopper/mop_setup.py:37-153) and
+  * `parse_vars` / `potential_vars` (mopdb_utils.py:629-741) — re-expressed
+  * as DataFrame joins so catalog resolution itself distributes (a 100 TB
+  * deployment's catalog of runs × variables is itself a big table).
+  */
+object Catalog {
+
+  final case class Mapping(
+      cmorVar: String, inputVars: String, calculation: String, units: String,
+      dimensions: String, frequency: String, realm: String,
+      cellMethods: String, positive: String, cmorTable: String, model: String)
+
+  final case class CmorVar(
+      name: String, frequency: String, realm: String, units: String,
+      cellMethods: String, longName: String, dimensions: String)
+
+  /** Frequency ladder, highest to lowest resolution — the relaxation
+    * order of find_nearest (mop_setup.py:136-140). */
+  val freqLadder: Seq[String] =
+    Seq("10min", "30min", "1hr", "3hr", "6hr", "day", "mon", "yr", "10yr")
+
+  private def freqRank = {
+    val m = freqLadder.zipWithIndex.toMap
+    udf((f: String) => m.getOrElse(f, Int.MaxValue))
+  }
+
+  def mappings(spark: SparkSession, rows: Seq[Mapping]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
+  /** Load a mapping table from the reference's CSV layout
+    * (mopdb_utils.py:598-626: header row, `;`-free comma CSV). */
+  def loadMappingsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Resolve requested (cmorVar, frequency) pairs against the mapping
+    * catalog with frequency relaxation (mop_setup.py find_matches +
+    * find_nearest): prefer an exact-frequency mapping; otherwise take the
+    * nearest higher-resolution source and record the resample step the
+    * executor must insert. Deterministic: rank by |ladder distance|, then
+    * prefer higher resolution, then model name. */
+  def resolve(requests: DataFrame, mappings: DataFrame): DataFrame = {
+    val req = requests.select(
+      col("cmorVar").as("req_var"), col("frequency").as("req_freq"))
+    val cand = req.join(mappings, col("req_var") === col("cmorVar"), "left")
+    val dist = abs(freqRank(col("frequency")) - freqRank(col("req_freq")))
+    val ranked = Relational.topOnePerGroup(
+      cand.withColumn("__dist", dist),
+      Seq(col("req_var"), col("req_freq")),
+      Seq(col("__dist").asc, freqRank(col("frequency")).asc, col("model").asc))
+    ranked
+      .withColumn("resample",
+        when(col("frequency").isNull, lit(null))
+          .when(col("frequency") === col("req_freq"), lit(""))
+          .otherwise(col("req_freq")))
+      .withColumn("status",
+        when(col("cmorVar").isNull, "unmatched")
+          .when(col("resample") === "", "exact")
+          .otherwise("resampled"))
+      .drop("__dist")
+  }
+
+  /** Derivable variables: mapping rows whose every input token is
+    * available (mopdb_utils.py potential_vars 715-741) — relational
+    * division via explode + count. */
+  def derivable(mappings: DataFrame, available: DataFrame): DataFrame = {
+    val needed = mappings
+      .select(col("cmorVar"), col("inputVars"),
+        explode(split(col("inputVars"), "\\s+")).as("tok"))
+      .distinct() // same (var, inputs) may appear at several frequencies
+    val have = available.select(col("varName").as("tok")).distinct()
+    val counts = needed
+      .join(have, Seq("tok"), "left_semi")
+      .groupBy(col("cmorVar"), col("inputVars"))
+      .agg(count(lit(1)).as("n_have"))
+    counts
+      .withColumn("n_need", size(split(col("inputVars"), "\\s+")))
+      .filter(col("n_have") === col("n_need"))
+      .select(col("cmorVar"), col("inputVars"))
+  }
+}

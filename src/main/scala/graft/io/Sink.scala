@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.nio.file.{Files, Paths}
+
+/** Output sinks: DRS-style directory layout, deterministic file naming,
+  * metadata sidecars, and the status bookkeeping table.
+  *
+  * Mirrors the reference's CMOR writer surface (mopper.py mop_process
+  * 175-351) and the DRS path/filename templating (setup_utils.py
+  * build_filename 486-542; templates CMIP6_conf.yaml:31-32), with
+  * Parquet as the columnar container instead of NetCDF; variable
+  * attributes (units, cell_methods, positive) ride in a JSON sidecar the
+  * way CMOR tables carry them.
+  *
+  * Scale: `partitionBy` on the DRS keys gives partition-pruned reads of
+  * any (variable, time-chunk) slice; per-file row caps keep file sizes
+  * near the planner's target without a global sort.
+  */
+object Sink {
+
+  final case class DrsKey(
+      activity: String, institution: String, source: String, experiment: String,
+      member: String, table: String, variable: String, grid: String, version: String)
+
+  /** DRS directory path (CMIP6 layout). */
+  def drsPath(k: DrsKey): String =
+    Seq(k.activity, k.institution, k.source, k.experiment, k.member,
+      k.table, k.variable, k.grid, k.version).mkString("/")
+
+  /** Deterministic filename with a frequency-precision date-range stamp
+    * (build_filename semantics: stamp precision follows frequency). */
+  def fileName(k: DrsKey, freq: String, start: String, end: String): String = {
+    val prec = freq match {
+      case "yr" | "10yr"          => 4
+      case "mon"                  => 6
+      case "day"                  => 8
+      case _                      => 12
+    }
+    val s = start.filter(_.isDigit).take(prec)
+    val e = end.filter(_.isDigit).take(prec)
+    s"${k.variable}_${k.table}_${k.source}_${k.experiment}_${k.member}_${k.grid}_$s-$e.parquet"
+  }
+
+  /** Write one output variable: partitioned parquet under the DRS path
+    * plus a JSON metadata sidecar with the CMOR-style attributes. */
+  def writeDrs(df: DataFrame, root: String, k: DrsKey,
+      attrs: Map[String, String], maxRecordsPerFile: Long = 5000000L): String = {
+    val dir = s"$root/${drsPath(k)}"
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+    val json = (Map("variable" -> k.variable, "table" -> k.table) ++ attrs)
+      .toSeq.sortBy(_._1)
+      .map { case (key, v) => s""""$key": "${v.replace("\"", "\\\"")}"""" }
+      .mkString("{", ", ", "}")
+    // underscore prefix hides it from scans, but NOT "_metadata"/"_common_
+    // metadata" — those names are parquet summary files Spark tries to
+    // parse as parquet.
+    Files.writeString(Paths.get(dir, "_attrs.json"), json)
+    dir
+  }
+
+  /** Status bookkeeping (the filelist.status updates of mopper.py
+    * 107-112): one appended row per processed task. */
+  def appendStatus(spark: org.apache.spark.sql.SparkSession, statusDir: String,
+      taskId: String, status: String, rows: Long): Unit = {
+    import spark.implicits._
+    Seq((taskId, status, rows, java.time.Instant.now().toString))
+      .toDF("task_id", "status", "n_rows", "at")
+      .write.mode(SaveMode.Append).parquet(statusDir)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.catalog.Catalog.Mapping
+import graft.io.Sink
+import graft.plans.Planner
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end slice (SURVEY.md §7.2): catalog resolve → plan → execute →
+  * DRS output — the "tas monthly mean" pipeline of the reference's
+  * conftest fixture, driven on synthetic events data. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val maps = Seq(
+    Mapping("tas", "fld_s03i236", "", "K", "t y x", "1hr", "atmos",
+      "area: time: mean", "", "Amon", "CM2"),
+    Mapping("tas", "fld_s03i236", "", "K", "t y x", "day", "atmos",
+      "area: time: mean", "", "Aday", "CM2"),
+    Mapping("pr", "rain snow", "var[0]+var[1]", "kg m-2 s-1", "t y x", "1hr",
+      "atmos", "area: time: mean", "", "Amon", "CM2"))
+
+  test("catalog resolve: exact frequency wins, else nearest + resample step") {
+    val mdf = Catalog.mappings(spark, maps)
+    val req = Seq(("tas", "day"), ("tas", "mon"), ("nope", "mon"))
+      .toDF("cmorVar", "frequency")
+    val out = Catalog.resolve(req, mdf)
+      .select($"req_var", $"req_freq", $"frequency", $"resample", $"status")
+      .as[(String, String, String, String, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("tas", "day")) == (("day", "", "exact")))
+    assert(out(("tas", "mon")) == (("day", "mon", "resampled"))) // nearest rung
+    assert(out(("nope", "mon"))._3 == "unmatched")
+  }
+
+  test("catalog derivable: all-inputs-present relational division") {
+    val mdf = Catalog.mappings(spark, maps)
+    val avail = Seq("fld_s03i236", "rain").toDF("varName")
+    val d = Catalog.derivable(mdf, avail).select($"cmorVar").as[String].collect()
+    assert(d.toSet == Set("tas")) // pr needs snow, which is missing
+  }
+
+  test("planner: ladder rung choice and slice coverage") {
+    val day = 86400L * 1000000L
+    // 100 days at 2 MB/day: cap 60 (slack 66) fits the 1mo rung (30d*2=60),
+    // cap 40 (slack 44) drops to 7d (7d*2=14)
+    val p = Planner.plan(0L, 100 * day, mbPerDay = 2.0, maxSizeMb = 60.0)
+    assert(p.interval == "1mo")
+    val q = Planner.plan(0L, 100 * day, mbPerDay = 2.0, maxSizeMb = 40.0)
+    assert(q.interval == "7d")
+    // slices tile the range exactly
+    assert(q.slices.head.startUs == 0L && q.slices.last.endUs == 100 * day)
+    assert(q.slices.sliding(2).forall {
+      case Seq(a, b) => a.endUs == b.startUs
+      case _         => true
+    })
+    // small enough -> single file
+    assert(Planner.plan(0L, day, 2.0, 50.0).interval == "all")
+  }
+
+  test("pipeline end-to-end: scan -> calc -> monthly resample -> DRS write") {
+    val raw = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select($"ts".as("time"), $"value".as("fld_s03i236"),
+        ($"value" * 2).as("rain"), ($"value" / 2).as("snow"))
+    val t0 = raw.agg(min(unix_micros($"time"))).as[Long].head()
+    val t1 = raw.agg(max(unix_micros($"time"))).as[Long].head() + 1
+
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val task = Pipeline.Task(
+      id = "tas_Amon_0", inputVars = Seq("fld_s03i236"),
+      calculation = "var[0]-273.15", resample = "mon", timeshot = "mean",
+      tstartUs = t0, tendUs = t1,
+      key = Sink.DrsKey("CMIP6", "ACME", "SPARK1", "histor", "r1i1p1f1",
+        "Amon", "tas", "gn", "v1"),
+      attrs = Map("units" -> "degC", "cell_methods" -> "area: time: mean"))
+
+    val res = Pipeline.run(spark, raw, task, root)
+    assert(res.isRight, res)
+    val outDir = res.toOption.get
+    assert(outDir.endsWith("CMIP6/ACME/SPARK1/histor/r1i1p1f1/Amon/tas/gn/v1"))
+    assert(new java.io.File(s"$outDir/_attrs.json").exists())
+
+    val out = spark.read.parquet(outDir)
+    // value check: monthly mean of (value - 273.15) over the raw data
+    val expected = raw
+      .groupBy(date_trunc("month", expr("time - INTERVAL 1 MICROSECOND")).as("m"))
+      .agg(graft.ops.Exact.davg($"fld_s03i236" - 273.15).as("v"))
+      .orderBy($"m").select($"v").as[Double].collect()
+    val got = out.orderBy($"time").select($"value").as[Double].collect()
+    assert(got.length == expected.length && got.sameElements(expected))
+
+    // status table recorded the success
+    val st = spark.read.parquet(s"$root/_status")
+    assert(st.filter($"status" === "processed").count() == 1)
+
+    // filename stamp precision follows frequency
+    val fn = Sink.fileName(task.key, "mon", "19960102030405", "19971112131415")
+    assert(fn == "tas_Amon_SPARK1_histor_r1i1p1f1_gn_199601-199711.parquet")
+  }
+
+  test("pipeline failure isolation records status instead of throwing") {
+    val raw = Seq(("2024-01-01 00:00:00", 1.0)).toDF("time", "v")
+      .withColumn("time", $"time".cast("timestamp"))
+    val root = Files.createTempDirectory("graft-e2e-fail").toString
+    val bad = Pipeline.Task("bad", Seq("missing_col"), "", "", "mean",
+      0L, Long.MaxValue,
+      Sink.DrsKey("a", "b", "c", "d", "e", "f", "g", "h", "i"), Map.empty)
+    val res = Pipeline.run(spark, raw, bad, root)
+    assert(res.isLeft)
+    val st = spark.read.parquet(s"$root/_status")
+    assert(st.filter($"status".startsWith("failed")).count() == 1)
+  }
+}
