@@ -39,13 +39,13 @@ object Similarity {
       CAST(0 AS DECIMAL(28,6)),
       (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS DOUBLE)""")
 
-  /** Fast double-precision dot product (codegen'd primitive math).
-    * NOT cross-engine deterministic in the low bits — use only as a
-    * prefilter with margin, never for reported values. */
+  /** Fast double-precision dot product via the native codegen'd
+    * [[graft.plans.FloatDot]] expression (requires
+    * GraftFunctions.register on the session). NOT cross-engine
+    * deterministic in the low bits — use only as a prefilter with
+    * margin, never for reported values. */
   def dotFast(a: String, b: String): Column =
-    expr(s"""aggregate(
-      zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
-      0D, (acc, v) -> acc + v)""")
+    call_function("float_dot", col(a), col(b))
 
   /** Exact squared L2 norm of a float-array column, as double. */
   def sqNormExact(a: String): Column = dotExact(a, a)

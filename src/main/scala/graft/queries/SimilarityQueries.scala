@@ -15,6 +15,7 @@ object SimilarityQueries extends QueryGroup {
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.plans.GraftFunctions.register(s)
     Similarity.withNorms(Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
   }
 
