@@ -27,7 +27,8 @@ object Registry {
     PipelineQueries,
     TextQueries,
     SimilarityQueries,
-    AlignQueries)
+    AlignQueries,
+    DiscoveryQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
