@@ -61,14 +61,31 @@ object TextOps {
       .groupBy(col("doc"), col("j"))
       .agg(min(h64(concat(col("j").cast("string"), lit(":"), col("s")))).as("h"))
 
-  /** Banded-LSH candidate pairs from a minhash signature table
-    * (doc, j, h): group the k hashes into bands of r, reduce each band to
-    * a signature (sum of its minhashes — order-free, engine-identical),
-    * and emit distinct (d1 < d2) pairs sharing any band signature. */
-  def lshCandidates(mh: DataFrame, r: Int): DataFrame = {
-    val bands = mh
-      .groupBy(col("doc"), (col("j") / r).cast("int").as("band"))
+  /** Band signatures from a minhash table (doc, j, h): group the k
+    * hashes into bands of r, reduce each band to a signature (sum of its
+    * minhashes — order-free, engine-identical). */
+  def bandSignatures(mh: DataFrame, r: Int): DataFrame =
+    mh.groupBy(col("doc"), (col("j") / r).cast("int").as("band"))
       .agg(sum(col("h")).as("sig"))
+
+  /** Drop band signatures shared by more than `maxDocs` documents before
+    * the pair join. A hot signature (boilerplate shared by millions of
+    * docs) turns the candidate join quadratic in that bucket — the
+    * classic LSH skew bomb at 100 TB — while carrying almost no
+    * similarity information. One extra windowed count, no extra
+    * shuffle beyond the (band, sig) partitioning the join needs anyway. */
+  def capHotBands(bands: DataFrame, maxDocs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
+    bands.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxDocs)
+      .drop("__n")
+  }
+
+  /** Banded-LSH candidate pairs: distinct (d1 < d2) pairs sharing any
+    * band signature, with optional hot-bucket capping. */
+  def lshCandidates(mh: DataFrame, r: Int, maxBucket: Option[Long] = None): DataFrame = {
+    val bands0 = bandSignatures(mh, r)
+    val bands = maxBucket.map(capHotBands(bands0, _)).getOrElse(bands0)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc") < col("b.doc"))

@@ -1,0 +1,49 @@
+package graft
+
+import graft.catalog.Catalog
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** LSH skew capping and catalog CSV loading. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capHotBands drops signatures shared by too many docs") {
+    // docs 1..6 share one identical text (one hot signature);
+    // docs 7,8 share a different text (a small bucket that must survive)
+    val hot = (1L to 6L).map(i => (i, "x y z w v u t s"))
+    val cold = Seq((7L, "p q r s t u v w"), (8L, "p q r s t u v w"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val sh = docs.withColumn("ts", TextOps.tokens($"text"))
+      .select($"doc_id", explode(TextOps.shingles("ts", 2)).as("s"))
+      .distinct()
+    val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 4)
+
+    val uncapped = TextOps.lshCandidates(mh, r = 2).count()
+    assert(uncapped == 15 + 1) // C(6,2) hot pairs + 1 cold pair
+
+    val capped = TextOps.lshCandidates(mh, r = 2, maxBucket = Some(3))
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((7L, 8L))) // hot bucket gone, cold pair kept
+  }
+
+  test("catalog CSV loader round-trips the mapping layout") {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    val csv =
+      """cmorVar,inputVars,calculation,units,dimensions,frequency,realm,cellMethods,positive,cmorTable,model
+        |tas,fld_s03i236,,K,t y x,1hr,atmos,area: time: mean,,Amon,CM2
+        |pr,rain snow,var[0]+var[1],kg m-2 s-1,t y x,day,atmos,area: time: mean,,Aday,CM2
+        |""".stripMargin
+    Files.writeString(Paths.get(dir, "map.csv"), csv)
+    val m = Catalog.loadMappingsCsv(spark, s"$dir/map.csv")
+    assert(m.count() == 2)
+    val pr = m.filter($"cmorVar" === "pr").head()
+    assert(pr.getAs[String]("calculation") == "var[0]+var[1]")
+    assert(pr.getAs[String]("inputVars") == "rain snow")
+    // resolve works over the loaded frame
+    val res = Catalog.resolve(
+      Seq(("pr", "day")).toDF("cmorVar", "frequency"), m)
+    assert(res.head().getAs[String]("status") == "exact")
+  }
+}
