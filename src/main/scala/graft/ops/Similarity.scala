@@ -97,6 +97,21 @@ object Similarity {
       Seq(col("cosine").desc, col("id2").asc), k)
   }
 
+  /** IVF coarse quantization: assign every vector to its nearest
+    * centroid by exact cosine (deterministic tie-break on centroid id).
+    * `centroids` is small (the IVF codebook) and broadcast; assignment
+    * is O(n·K·d) map-side work with one top-1 window per vector. ANN
+    * search then probes only the query's cell — the inverted-file scale
+    * path (nprobe=1 here; multi-probe = relax the rank filter). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cos = vecs.as("v").crossJoin(broadcast(centroids.as("c")))
+      .select(col("v.id").as("id"), col("c.cid").as("cid"),
+        (dotExact("v.emb", "c.cemb") /
+          (sqrt(col("v.norm2")) * sqrt(col("c.cnorm2")))).as("ccos"))
+    Relational.topOnePerGroup(cos, Seq(col("id")),
+      Seq(col("ccos").desc, col("cid").asc))
+  }
+
   /** Deterministic pseudo-random hyperplane weights as an array column
     * per plane: planes 0..b-1 over dimensions 0..d-1, integer weights in
     * [-1000, 1000] derived from the cross-engine hash — reproducible

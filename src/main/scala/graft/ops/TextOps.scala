@@ -148,6 +148,47 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate edge list — the cluster
+    * stage of a dedup pipeline (keep one canonical doc per component).
+    * Iterative min-label propagation: label(v) ← min(label(v),
+    * min(label(neighbors))) until fixpoint; the driver loop runs
+    * O(diameter) rounds, each one join + one groupBy. Deterministic
+    * (min is order-free). Near-dup components are tiny (diameter ≪ 10);
+    * for adversarial billion-edge graphs switch to the large-star/
+    * small-star formulation — the per-round plan is the same shape.
+    * Inputs: edges (d1, d2) undirected, nodes (node). Output:
+    * (node, cluster) where cluster = min node id in the component. */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct().cache()
+    // localCheckpoint truncates lineage each round — without it, the plan
+    // (and Catalyst planning/codegen time) grows with the iteration
+    // count, the classic iterative-Spark trap.
+    var labels = nodes.select(col("node"), col("node").as("cluster"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so Σ(cluster) is strictly monotone until
+    // the fixpoint — one cheap scalar per round instead of a change join.
+    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val s = next.agg(sum(col("cluster"))).head().getLong(0)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Quality-score components per document from token rows with
     * multiplicity: token count, stopword ratio, mean token length — the
     * length/stopword heuristics of web-scale corpus filtering. */

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Relational, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-depth batch: IVF approximate-nearest-neighbor search and
+  * near-duplicate clustering (connected components) — the two stages
+  * that turn pairwise similarity into an actual dedup/retrieval
+  * pipeline.
+  */
+object ClusterQueries extends QueryGroup {
+
+  private val compSql = """
+    comp AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS e
+      FROM embeddings)"""
+
+  private val cosSql =
+    "CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / " +
+      "(sqrt(CAST(SUM(CAST(a2 AS DECIMAL(18,6))) AS DOUBLE)) * " +
+      "sqrt(CAST(SUM(CAST(b2 AS DECIMAL(18,6))) AS DOUBLE)))"
+
+  /** IVF ANN: coarse-quantize every vector to its nearest of 16 fixed
+    * centroids (the codebook = vectors 0..15), then answer each query by
+    * scanning only its cell — the inverted-file scale path beside the
+    * LSH one (q52). */
+  private val q61 = Q(
+    "q61_ann_ivf",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
+      val qcells = assign.filter($"id" < 10).select($"id".as("qid"), $"cid")
+      val cands = qcells
+        .join(assign.select($"id".as("nid"), $"cid"), Seq("cid"))
+        .filter($"nid" =!= $"qid")
+      val withVecs = cands
+        .join(all.select($"id".as("qid"), $"emb".as("qemb"), $"norm2".as("qn")), Seq("qid"))
+        .join(all.select($"id".as("nid"), $"emb".as("nemb"), $"norm2".as("nn")), Seq("nid"))
+        .select($"qid", $"cid", $"nid",
+          (Similarity.dotExact("qemb", "nemb") / (sqrt($"qn") * sqrt($"nn")))
+            .as("cosine"))
+      Relational.topKPerGroup(withVecs, Seq($"qid"),
+          Seq($"cosine".desc, $"nid".asc), 3)
+        .select($"qid", $"cid", $"nid", $"cosine", $"rank")
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      cands AS (
+        SELECT q.id AS qid, q.cid, n.id AS nid
+        FROM assign q JOIN assign n ON q.cid = n.cid AND n.id <> q.id
+        WHERE q.id < 10),
+      nparts AS (
+        SELECT cd.qid, cd.cid, cd.nid, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM cands cd
+        JOIN comp a ON a.id = cd.qid
+        JOIN comp b ON b.id = cd.nid AND a.i = b.i),
+      cos AS (SELECT qid, cid, nid, $cosSql AS cosine
+              FROM nparts GROUP BY qid, cid, nid),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, nid) AS INT) AS rank
+        FROM cos)
+      SELECT qid, cid, nid, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** Near-duplicate clustering: token-Jaccard ≥ 0.9 edges within blocks,
+    * connected components by min-label propagation (Spark driver loop)
+    * vs a recursive-CTE oracle — each document labeled with its
+    * component's minimum id (the canonical representative). */
+  private val q62 = Q(
+    "q62_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val tr = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
+          .as("block"),
+        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val edges = TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.9)
+        .select($"d1", $"d2")
+      val nodes = docs.select($"doc_id".as("node"))
+      TextOps.connectedComponents(edges, nodes)
+        .select($"node".as("doc_id"), $"cluster")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      e AS (
+        SELECT d1, d2
+        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      sym AS (SELECT d1 AS s, d2 AS t FROM e
+              UNION SELECT d2, d1 FROM e),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.s, r.label FROM reach r JOIN sym s ON r.node = s.t)
+      SELECT node AS doc_id, MIN(label) AS cluster
+      FROM reach GROUP BY node ORDER BY doc_id"""))
+
+  def queries: Seq[Q] = Seq(q61, q62)
+}

@@ -28,7 +28,8 @@ object Registry {
     TextQueries,
     SimilarityQueries,
     AlignQueries,
-    DiscoveryQueries)
+    DiscoveryQueries,
+    ClusterQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
