@@ -392,6 +392,63 @@ object ClimateQueries extends QueryGroup {
           ::DOUBLE AS zostoga
       FROM cols GROUP BY yr ORDER BY yr"""))
 
+  /** 2-D curvilinear grid bounds (define_grid, mop_utils.py:541-579 +
+    * vertex midpoints app_functions.py:564-598): a tilted (curvilinear)
+    * lat field keyed by (j, i) index space; cell bounds along each axis
+    * are neighbor midpoints with extrapolated, clamped edges — the
+    * midpointBounds kernel applied per-axis with the other index as the
+    * window partition. The geo coordinates stay a separate table from
+    * the values, exactly the (j,i)-key design ARCHITECTURE.md calls out
+    * for tripolar ocean grids. */
+  private val q35b = Q(
+    "q64_curvilinear_bounds",
+    (s, dir) => {
+      import s.implicits._
+      val cells = s.range(0, 20).select($"id".cast("int").as("j"))
+        .crossJoin(s.range(0, 20).select($"id".cast("int").as("i")))
+        .withColumn("lat2d", lit(-85.5) + $"j" * lit(9.0) + $"i" * lit(0.1))
+        .withColumn("lon2d", $"i" * lit(18.0) + $"j" * lit(0.2))
+      val wJ = org.apache.spark.sql.expressions.Window.partitionBy($"i").orderBy($"j")
+      val wI = org.apache.spark.sql.expressions.Window.partitionBy($"j").orderBy($"i")
+      def bounds(c: org.apache.spark.sql.Column,
+          w: org.apache.spark.sql.expressions.WindowSpec) = {
+        val prev = lag(c, 1).over(w); val next = lead(c, 1).over(w)
+        (when(prev.isNull, c - (next - c) / 2.0).otherwise((prev + c) / 2.0),
+         when(next.isNull, c + (c - prev) / 2.0).otherwise((c + next) / 2.0))
+      }
+      val (latS0, latN0) = bounds($"lat2d", wJ)
+      val (lonW, lonE) = bounds($"lon2d", wI)
+      cells.select($"j", $"i",
+          greatest(least(latS0, lit(90.0)), lit(-90.0)).as("lat_s"),
+          greatest(least(latN0, lit(90.0)), lit(-90.0)).as("lat_n"),
+          lonW.as("lon_w"), lonE.as("lon_e"))
+        .orderBy($"j", $"i")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT j, i,
+          -85.5e0 + j * 9.0e0 + i * 0.1e0 AS lat2d,
+          i * 18.0e0 + j * 0.2e0 AS lon2d
+        FROM (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS j),
+             (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS i)),
+      b AS (
+        SELECT j, i, lat2d, lon2d,
+          LAG(lat2d) OVER (PARTITION BY i ORDER BY j) AS lat_p,
+          LEAD(lat2d) OVER (PARTITION BY i ORDER BY j) AS lat_x,
+          LAG(lon2d) OVER (PARTITION BY j ORDER BY i) AS lon_p,
+          LEAD(lon2d) OVER (PARTITION BY j ORDER BY i) AS lon_x
+        FROM cells)
+      SELECT j, i,
+        GREATEST(LEAST(CASE WHEN lat_p IS NULL THEN lat2d - (lat_x - lat2d) / 2.0e0
+                            ELSE (lat_p + lat2d) / 2.0e0 END, 90.0e0), -90.0e0) AS lat_s,
+        GREATEST(LEAST(CASE WHEN lat_x IS NULL THEN lat2d + (lat2d - lat_p) / 2.0e0
+                            ELSE (lat2d + lat_x) / 2.0e0 END, 90.0e0), -90.0e0) AS lat_n,
+        CASE WHEN lon_p IS NULL THEN lon2d - (lon_x - lon2d) / 2.0e0
+             ELSE (lon_p + lon2d) / 2.0e0 END AS lon_w,
+        CASE WHEN lon_x IS NULL THEN lon2d + (lon2d - lon_p) / 2.0e0
+             ELSE (lon2d + lon_x) / 2.0e0 END AS lon_e
+      FROM b ORDER BY j, i"""))
+
   def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34)
+    q28, q29, q30, q31, q32, q33, q34, q35b)
 }

@@ -103,6 +103,17 @@ class OpsSpec extends SparkSpec {
     assert(again == rows.map(_._4))
   }
 
+  test("typed WeightedMeanAgg matches the Column weightedMean bit-for-bit") {
+    val rows = (1 to 1000).map(i => (i * 0.37, 1.0 / (1 + (i % 7))))
+    val typed = rows.toDS().select(graft.ops.WeightedMeanAgg.toColumn).head()
+    val untyped = rows.toDF("v", "w")
+      .agg(ClimateOps.weightedMean($"v", $"w")).as[Double].head()
+    assert(typed == untyped)
+    // empty input -> NaN, mirroring 0/0
+    assert(Seq.empty[(Double, Double)].toDS()
+      .select(graft.ops.WeightedMeanAgg.toColumn).head().isNaN)
+  }
+
   test("h64 is non-negative and stable") {
     val h = Seq("abc").toDF("s").select(TextOps.h64($"s")).as[Long].head()
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
