@@ -84,4 +84,24 @@ object Multimodal {
     * table (payloads dropped before any downstream shuffle). */
   def extractFeatures(df: DataFrame, idCol: String, kindCol: String, payloadCol: String): DataFrame =
     decodeBatched(asMedia(df, idCol, kindCol, payloadCol)).toDF()
+
+  /** Frame sampling: one row per kept frame, every `everyN`-th frame of
+    * each item — pure sequence/explode, no payload touched (frame decode
+    * happens later, batched, only for kept frames). */
+  def sampleFrames(features: DataFrame, everyN: Int): DataFrame =
+    features.withColumn("frame_idx",
+      explode(expr(s"sequence(0, nFrames - 1, $everyN)")))
+
+  /** Resize plan: clamp decoded dimensions into a bounding box keeping
+    * aspect (integer math, deterministic). The actual pixel resample is
+    * part of the stubbed codec boundary. */
+  def resizePlan(features: DataFrame, maxW: Int, maxH: Int): DataFrame =
+    features
+      .withColumn("scale_num",
+        least(lit(maxW) * col("height"), lit(maxH) * col("width")))
+      .withColumn("out_w",
+        least(col("width"), expr(s"scale_num div height")).cast("int"))
+      .withColumn("out_h",
+        least(col("height"), expr(s"scale_num div width")).cast("int"))
+      .drop("scale_num")
 }
