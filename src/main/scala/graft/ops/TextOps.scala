@@ -51,15 +51,27 @@ object TextOps {
       .otherwise(array())
   }
 
-  /** MinHash signatures: k independent min-hashes per document over its
-    * distinct shingle set. Input: (docCol, shingle) rows. Output:
-    * (doc, j, h) — one row per document per hash function. */
+  /** Second independent 60-bit hash from the same md5 digest (hex chars
+    * 16..30) — one digest feeds the whole Kirsch-Mitzenmacher family. */
+  def h64b(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 16, 15), 16, 10).cast(LongType)
+
+  /** The oracle twin of [[h64b]] (DuckDB syntax). */
+  def h64bSql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 16, 15)) AS BIGINT)"
+
+  /** MinHash signatures: k min-hashes per document over its distinct
+    * shingle set, from the Kirsch-Mitzenmacher double-hash family
+    * g_j = h1 + j·(h2 mod p) — one md5 per shingle instead of k
+    * (the digest dominates shingling cost at scale). Input:
+    * (docCol, shingle) rows. Output: (doc, j, h). */
   def minhash(shingleRows: DataFrame, doc: Column, shingle: Column, k: Int): DataFrame =
     shingleRows
-      .select(doc.as("doc"), shingle.as("s"))
+      .select(doc.as("doc"), h64(shingle).as("h1"),
+        (h64b(shingle) % 1000000007L).as("h2"))
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .groupBy(col("doc"), col("j"))
-      .agg(min(h64(concat(col("j").cast("string"), lit(":"), col("s")))).as("h"))
+      .agg(min(col("h1") + col("j") * col("h2")).as("h"))
 
   /** Band signatures from a minhash table (doc, j, h): group the k
     * hashes into bands of r, reduce each band to a signature (sum of its

@@ -182,10 +182,13 @@ object TextQueries extends QueryGroup {
         SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
         FROM t),
+      hashes AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql("s")} AS h1,
+               ${TextOps.h64bSql("s")} % 1000000007 AS h2
+        FROM sh),
       mh AS (
-        SELECT doc_id AS doc, j,
-          MIN(${TextOps.h64Sql("(CAST(j AS VARCHAR) || ':' || s)")}) AS h
-        FROM sh, (SELECT unnest(generate_series(0, 7)) AS j) seeds
+        SELECT doc, j, MIN(h1 + j * h2) AS h
+        FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j) seeds
         GROUP BY doc, j),
       bands AS (
         SELECT doc, CAST(j // 4 AS INT) AS band, SUM(h) AS sig
