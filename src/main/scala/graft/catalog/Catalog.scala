@@ -72,6 +72,15 @@ object Catalog {
       .drop("__dist")
   }
 
+  /** Catalog consistency check (`mopdb check`, mopdb.py:76-112): mapping
+    * rows whose output variable has no CMOR definition — an anti-join of
+    * mapping − cmorvar on (variable, table). */
+  def check(mappings: DataFrame, cmorVars: DataFrame): DataFrame =
+    mappings
+      .join(cmorVars, mappings("cmorVar") === cmorVars("name"), "left_anti")
+      .select(col("cmorVar"), col("cmorTable"), col("frequency"))
+      .distinct()
+
   /** Derivable variables: mapping rows whose every input token is
     * available (mopdb_utils.py potential_vars 715-741) — relational
     * division via explode + count. */

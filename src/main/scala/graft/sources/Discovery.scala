@@ -33,8 +33,8 @@ object Discovery {
   def varlist(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields
-    val aggs = count(lit(1)).as("__n") +:
-      fields.map(f => count(col(f.name)).as(s"__c_${f.name}"))
+    val aggs: Seq[org.apache.spark.sql.Column] = count(lit(1)).as("__n") +:
+      fields.toSeq.map(f => count(col(f.name)).as(s"__c_${f.name}"))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     val n = stats.getLong(0)
     val rows = fields.zipWithIndex.map { case (f, i) =>

@@ -41,6 +41,15 @@ class PipelineSpec extends SparkSpec {
     assert(d.toSet == Set("tas")) // pr needs snow, which is missing
   }
 
+  test("catalog check: mappings without a CMOR definition surface") {
+    val mdf = Catalog.mappings(spark, maps)
+    val cmor = Seq(Catalog.CmorVar("tas", "mon", "atmos", "K",
+      "area: time: mean", "Near-Surface Air Temperature", "t y x")).toDS().toDF()
+    val missing = Catalog.check(mdf, cmor)
+      .select($"cmorVar").as[String].collect()
+    assert(missing.toSet == Set("pr")) // tas defined, pr not
+  }
+
   test("planner: ladder rung choice and slice coverage") {
     val day = 86400L * 1000000L
     // 100 days at 2 MB/day: cap 60 (slack 66) fits the 1mo rung (30d*2=60),
