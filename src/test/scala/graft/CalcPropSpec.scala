@@ -40,7 +40,7 @@ class CalcPropSpec extends AnyFunSuite {
     case VarRef(i) => s"var[$i]"
     case Neg(x)    => s"(-${print(x)})"
     case Bin(op, l, r) => s"(${print(l)} $op ${print(r)})"
-    case Method(recv, n, args) =>
+    case Method(recv, n, args, _) =>
       val r = print(recv)
       val rp = if (r.startsWith("(") || r.startsWith("var")) r else s"($r)"
       s"$rp.$n(${args.map(print).mkString(", ")})"

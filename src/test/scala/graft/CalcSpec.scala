@@ -30,9 +30,16 @@ class CalcSpec extends AnyFunSuite {
       Call("plevinterp", List(VarRef(0), VarRef(1), Num(24)), Map.empty))
   }
 
-  test("kwargs parse") {
+  test("kwargs parse on calls and methods") {
     val e = parse("f(var[0], dim=3)")
     assert(e == Call("f", List(VarRef(0)), Map("dim" -> Num(3))))
+    // method kwargs are preserved in the AST (.isel(depth=0)); lowering
+    // rejects them with a frame-level-op message, never drops them
+    val m = parse("var[0].isel(depth=0)")
+    assert(m == Method(VarRef(0), "isel", Nil, Map("depth" -> Num(0))))
+    val err = intercept[IllegalArgumentException](
+      Calc.toColumn(m, Seq(org.apache.spark.sql.functions.lit(1.0))))
+    assert(err.getMessage.contains("isel"))
   }
 
   test("scientific literals and long constant ratios") {
