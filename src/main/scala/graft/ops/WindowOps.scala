@@ -53,6 +53,24 @@ object WindowOps {
         max(order).as("last_pos"),
         count(value).as("n_valid"))
 
+  /** Exact per-group median, deterministic by construction: rank the
+    * values with a total order, keep the middle one (odd n) or two
+    * (even n), decimal-exact average. Engine-specific percentile
+    * implementations differ in interpolation edge cases; this one is a
+    * plain window + filtered aggregate and reproduces everywhere.
+    * `tieBreak` must make the order total. Output: keys + `median`. */
+  def exactMedian(df: DataFrame, keys: Seq[Column], value: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(value.asc, tieBreak.asc)
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // integer div: Spark `/` on longs is double division
+      .filter(expr("__rn = (__n + 1) div 2 OR __rn = (__n + 2) div 2"))
+      .groupBy(keys: _*)
+      .agg((Exact.dsum(value) / count(lit(1))).as("median"))
+  }
+
   /** Midpoint cell bounds over an ordered 1-D coordinate with extrapolated
     * ends (mop_utils.py:714-724: bounds are neighbor midpoints; first/last
     * extend by half the adjacent spacing), optionally clamped (the

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.WindowOps
+import graft.ops.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General-analytics batch rounding out the relational surface:
+  * gap-based sessionization, full cube grouping, and the deterministic
+  * exact median.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  /** Gap-based sessionization: a new session starts after a >30 min gap;
+    * session id is the running count of session starts per user — the
+    * lag + cumulative-flag formulation (deterministic total order via
+    * (ts, event_id)). */
+  private val q65 = Q(
+    "q65_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wOrd))
+        .withColumn("new_session",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("t0"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+          dsum($"value").as("session_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, ts, value,
+          LAG(epoch_us(ts)) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      sess AS (
+        SELECT *, SUM(new_session) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS t0,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS t1,
+        ${sqlSum("value")} AS session_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  /** Full cube over two dimensions — the complete grouping-set lattice
+    * (q06 covers rollup; the reference's basin+global replication is the
+    * degenerate case). */
+  private val q66 = Q(
+    "q66_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .cube($"c_mktsegment", $"o_orderstatus")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n"))
+        .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          $"revenue", $"n")
+        .orderBy($"segment", $"status")
+    },
+    Some(s"""
+      SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        ${sqlSum("o_totalprice")} AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY CUBE (c_mktsegment, o_orderstatus)
+      ORDER BY segment, status"""))
+
+  /** Exact per-group median via rank + middle-element average —
+    * deterministic across engines, unlike interpolating percentile
+    * built-ins (WindowOps.exactMedian). */
+  private val q67 = Q(
+    "q67_exact_median",
+    (s, dir) => {
+      import s.implicits._
+      WindowOps.exactMedian(
+          Tables(s, dir, "lineitem"),
+          Seq($"l_returnflag", $"l_linestatus"),
+          $"l_extendedprice", $"l_orderkey" * 10 + $"l_linenumber")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+            ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        FROM lineitem)
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          AS median
+      FROM r
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67)
+}

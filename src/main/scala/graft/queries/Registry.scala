@@ -29,7 +29,8 @@ object Registry {
     SimilarityQueries,
     AlignQueries,
     DiscoveryQueries,
-    ClusterQueries)
+    ClusterQueries,
+    AnalyticsQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
