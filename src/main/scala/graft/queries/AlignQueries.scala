@@ -164,5 +164,68 @@ object AlignQueries extends QueryGroup {
       FROM field f JOIN drake d ON f.yr = d.yr
       ORDER BY f.yr, f.y"""))
 
-  def queries: Seq[Q] = Seq(q54, q55, q56, q57)
+  /** plevinterp itself (calculations.py:855-923): per (yr,y,x) column,
+    * interpolate the variable against model pressure onto fixed target
+    * pressure levels — the reference's flagship custom operator, as the
+    * union+running-window kernel with a composite group key. Model
+    * pressure is lev-derived so sample coordinates are unique per
+    * profile (np.interp precondition). */
+  private val q68 = Q(
+    "q68_plevinterp",
+    (s, dir) => {
+      import s.implicits._
+      val profiles = Tables(s, dir, "lineitem")
+        .select(year($"l_shipdate").as("yr"),
+          ($"l_suppkey" % 20).cast("int").as("y"),
+          ($"l_partkey" % 20).cast("int").as("x"),
+          $"l_linenumber".cast("int").as("lev"), $"l_quantity".as("v"))
+        .groupBy($"yr", $"y", $"x", $"lev")
+        .agg(dsum($"v").as("value"))
+        .withColumn("coord", $"lev" * lit(150.0))
+        .drop("lev")
+      val targets = profiles.select($"yr", $"y", $"x").distinct()
+        .withColumn("coord", explode(array(lit(200.0), lit(500.0), lit(900.0))))
+      Interp.interpolateToGrid(profiles, targets,
+          Seq("yr", "y", "x"), "coord", "value")
+        .select($"yr", $"y", $"x", $"coord".as("plev"), $"interp")
+        .orderBy($"yr", $"y", $"x", $"plev")
+    },
+    Some(s"""
+      WITH prof AS (
+        SELECT CAST(date_part('year', l_shipdate) AS INT) AS yr,
+               CAST(l_suppkey % 20 AS INT) AS y,
+               CAST(l_partkey % 20 AS INT) AS x,
+               CAST(l_linenumber AS INT) * 150.0e0 AS coord,
+               ${sqlSum("l_quantity")} AS v
+        FROM lineitem GROUP BY 1, 2, 3, l_linenumber),
+      samples AS (
+        SELECT yr, y, x, coord, v, 1 AS is_sample FROM prof),
+      targets AS (
+        SELECT DISTINCT yr, y, x, t.plev AS coord, CAST(NULL AS DOUBLE) AS v,
+               0 AS is_sample
+        FROM prof, (VALUES (200.0e0), (500.0e0), (900.0e0)) t(plev)),
+      un AS (SELECT * FROM samples UNION ALL SELECT * FROM targets),
+      w AS (
+        SELECT yr, y, x, coord, is_sample,
+          last_value(v IGNORE NULLS) OVER win_prev AS pv,
+          last_value(CASE WHEN is_sample = 1 THEN coord END IGNORE NULLS)
+            OVER win_prev AS pc,
+          first_value(v IGNORE NULLS) OVER win_next AS nv,
+          first_value(CASE WHEN is_sample = 1 THEN coord END IGNORE NULLS)
+            OVER win_next AS nc
+        FROM un
+        WINDOW
+          win_prev AS (PARTITION BY yr, y, x ORDER BY coord, is_sample DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          win_next AS (PARTITION BY yr, y, x ORDER BY coord, is_sample DESC
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT yr, y, x, coord AS plev,
+        CASE WHEN pc IS NULL THEN nv
+             WHEN nc IS NULL THEN pv
+             WHEN nc = pc THEN pv
+             ELSE pv + (nv - pv) * (coord - pc) / (nc - pc) END AS interp
+      FROM w WHERE is_sample = 0
+      ORDER BY yr, y, x, plev"""))
+
+  def queries: Seq[Q] = Seq(q54, q55, q56, q57, q68)
 }
