@@ -41,6 +41,15 @@ class PipelineSpec extends SparkSpec {
     assert(d.toSet == Set("tas")) // pr needs snow, which is missing
   }
 
+  test("driver contract: entry returns rows, every query has an oracle or runs") {
+    assert(SparkEntry.entry(spark).count() > 0) // the driver's t1 smoke
+    // every registered query name appears exactly once and each oracle
+    // key refers to a registered query
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
   test("catalog check: mappings without a CMOR definition surface") {
     val mdf = Catalog.mappings(spark, maps)
     val cmor = Seq(Catalog.CmorVar("tas", "mon", "atmos", "K",
