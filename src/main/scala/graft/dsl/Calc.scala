@@ -34,6 +34,10 @@ object Calc {
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
   final case class Call(name: String, args: List[Expr], kwargs: Map[String, Expr]) extends Expr
+  final case class Str(s: String) extends Expr
+  final case class Ident(name: String) extends Expr      // e.g. `int`, bare `var`
+  final case class ListLit(items: List[Expr]) extends Expr
+  final case class TupleLit(items: List[Expr]) extends Expr
   final case class Method(recv: Expr, name: String, args: List[Expr],
       kwargs: Map[String, Expr] = Map.empty) extends Expr
 
@@ -123,7 +127,38 @@ object Calc {
 
     private def atom(): Expr = {
       ws()
-      if (peek == '(') { eat('('); val e = expr(); eat(')'); e }
+      if (peek == '(') {
+        // parenthesized expr, or a tuple literal `(a, b, ...)`
+        eat('(')
+        val first = expr()
+        ws()
+        if (peek == ',') {
+          val items = List.newBuilder[Expr]
+          items += first
+          while ({ ws(); peek == ',' }) { pos += 1; items += expr() }
+          eat(')')
+          TupleLit(items.result())
+        } else { eat(')'); first }
+      }
+      else if (peek == '\'') {
+        pos += 1
+        val start = pos
+        while (pos < src.length && src(pos) != '\'') pos += 1
+        if (pos >= src.length) throw ParseError("unterminated string", pos)
+        val str = src.substring(start, pos)
+        pos += 1
+        Str(str)
+      }
+      else if (peek == '[') {
+        eat('[')
+        val items = List.newBuilder[Expr]
+        if ({ ws(); peek != ']' }) {
+          items += expr()
+          while ({ ws(); peek == ',' }) { pos += 1; items += expr() }
+        }
+        eat(']')
+        ListLit(items.result())
+      }
       else if (peek.isDigit || peek == '.') number()
       else if (peek.isLetter || peek == '_') {
         val name = ident()
@@ -141,7 +176,7 @@ object Calc {
           val (as, kw) = if ({ ws(); peek == ')' }) (Nil, Map.empty[String, Expr]) else argList()
           eat(')')
           Call(name, as, kw)
-        } else throw ParseError(s"unknown identifier '$name'", pos)
+        } else Ident(name) // bare `int`, `var` (the whole input list), etc.
       } else throw ParseError(s"unexpected '$peek'", pos)
     }
 
@@ -226,6 +261,9 @@ object Calc {
         // they belong to the planner (Pipeline filters / groupBys)
         throw new IllegalArgumentException(
           s"unsupported method .$name (frame-level ops are planner territory)")
+      case Str(_) | Ident(_) | ListLit(_) | TupleLit(_) =>
+        throw new IllegalArgumentException(
+          "config-literal argument is only meaningful inside a registered operator call")
       case Call(name, args, kwargs) =>
         val fn = fns.getOrElse(name,
           throw new IllegalArgumentException(s"unknown calculation function '$name'"))
@@ -268,6 +306,9 @@ object Calc {
       case Method(_, name, _, _) =>
         throw new IllegalArgumentException(
           s"unsupported method .$name (frame-level ops are planner territory)")
+      case Str(_) | Ident(_) | ListLit(_) | TupleLit(_) =>
+        throw new IllegalArgumentException(
+          "config-literal argument is only meaningful inside a registered operator call")
       case Call(name, args, kwargs) =>
         val fn = fns.getOrElse(name,
           throw new IllegalArgumentException(s"unknown calculation function '$name'"))

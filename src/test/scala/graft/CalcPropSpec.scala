@@ -47,6 +47,8 @@ class CalcPropSpec extends AnyFunSuite {
     case Call(n, args, kw) =>
       val all = args.map(print) ++ kw.map { case (k, v) => s"$k=${print(v)}" }
       s"$n(${all.mkString(", ")})"
+    case other => // generator never emits literal/config nodes
+      throw new IllegalStateException(s"printer: unexpected $other")
   }
 
   private def samples(n: Int): Seq[Expr] = {
