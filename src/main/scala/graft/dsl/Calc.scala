@@ -236,7 +236,15 @@ object Calc {
     "exp" -> ((as, _) => exp(as.head)),
     "log" -> ((as, _) => log(as.head)),
     "abs" -> ((as, _) => abs(as.head)),
-    "rho_from_theta" -> ((as, _) => graft.ops.Eos.rho(as(0), as(1), as(2))))
+    "rho_from_theta" -> ((as, _) => graft.ops.Eos.rho(as(0), as(1), as(2))),
+    // reference scalar calculations (catalog-callable):
+    // mask where sea-ice concentration is zero (calculations.py:701-717)
+    "maskSeaIce" -> ((as, _) => when(as(1) =!= 0.0, as(0))),
+    // K -> degC surface temperature (calculations.py:968-983)
+    "tos_degC" -> ((as, _) => as(0) - 273.15),
+    // snow concentration from thickness, 1-exp(-0.2*330*h)
+    // (calculations.py:740-753)
+    "sisnconc" -> ((as, _) => lit(1.0) - exp(as(0) * -66.0)))
 
   def toColumn(e: Expr, vars: Seq[Column], fns: Map[String, Fn] = defaultFns): Column = {
     def go(e: Expr): Column = e match {

@@ -114,6 +114,16 @@ class OpsSpec extends SparkSpec {
       .select(graft.ops.WeightedMeanAgg.toColumn).head().isNaN)
   }
 
+  test("registered reference calculations execute from catalog strings") {
+    val df = Seq((271.0, 0.0), (280.0, 0.5)).toDF("v", "sic")
+    val out = df.select(
+        graft.dsl.Calc.compile("maskSeaIce(var[0],var[1])",
+          Seq($"v", $"sic")).as("masked"),
+        graft.dsl.Calc.compile("tos_degC(var[0])", Seq($"v")).as("degc"))
+      .as[(Option[Double], Double)].collect().toSeq
+    assert(out == Seq((None, 271.0 - 273.15), (Some(280.0), 280.0 - 273.15)))
+  }
+
   test("h64 is non-negative and stable") {
     val h = Seq("abc").toDF("s").select(TextOps.h64($"s")).as[Long].head()
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
