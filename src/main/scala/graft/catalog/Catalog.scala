@@ -48,18 +48,23 @@ object Catalog {
   /** Resolve requested (cmorVar, frequency) pairs against the mapping
     * catalog with frequency relaxation (mop_setup.py find_matches +
     * find_nearest): prefer an exact-frequency mapping; otherwise take the
-    * nearest higher-resolution source and record the resample step the
-    * executor must insert. Deterministic: rank by |ladder distance|, then
-    * prefer higher resolution, then model name. */
+    * nearest FINER-resolution source and record the resample step the
+    * executor must insert. Relaxation only moves toward finer frequencies
+    * (mop_setup.py:136-153) because resample can only downsample — a
+    * request whose only sources are coarser is unmatched. Deterministic:
+    * rank by ladder distance among finer-or-equal candidates, then model
+    * name. */
   def resolve(requests: DataFrame, mappings: DataFrame): DataFrame = {
     val req = requests.select(
       col("cmorVar").as("req_var"), col("frequency").as("req_freq"))
-    val cand = req.join(mappings, col("req_var") === col("cmorVar"), "left")
-    val dist = abs(freqRank(col("frequency")) - freqRank(col("req_freq")))
+    val cand = req.join(mappings,
+      col("req_var") === col("cmorVar") &&
+        freqRank(col("frequency")) <= freqRank(col("req_freq")), "left")
+    val dist = freqRank(col("req_freq")) - freqRank(col("frequency"))
     val ranked = Relational.topOnePerGroup(
       cand.withColumn("__dist", dist),
       Seq(col("req_var"), col("req_freq")),
-      Seq(col("__dist").asc, freqRank(col("frequency")).asc, col("model").asc))
+      Seq(col("__dist").asc, col("model").asc))
     ranked
       .withColumn("resample",
         when(col("frequency").isNull, lit(null))

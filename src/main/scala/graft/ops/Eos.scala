@@ -4,35 +4,41 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Seawater equation of state: in-situ density ρ(θ, s, p) as the 25-term
-  * rational polynomial of McDougall, Jackett, Wright & Feistel (2003)
-  * ("Accurate and computationally efficient algorithms for potential
-  * temperature and density of seawater", J. Atmos. Ocean. Tech. 20).
-  *
-  * The reference evaluates the same published EOS per cell
-  * (app_functions.py:683-714 `rho_from_theta`, used by the steric
-  * sea-level ops at app_functions.py:632-680). Here it is a pure column
-  * expression — +, *, / and sqrt only, all IEEE-deterministic and fully
-  * codegen'd, so the hot path stays inside WholeStageCodegen with zero
-  * UDF overhead at 100 TB.
+  * rational polynomial of Jackett, McDougall, Feistel, Wright & Griffies
+  * (2006) ("Algorithms for density, potential temperature, conservative
+  * temperature, and the freezing temperature of seawater", J. Atmos.
+  * Ocean. Tech. 23) — the exact coefficient set the reference's
+  * `rho_from_theta` evaluates per cell (original/subroutines/
+  * app_functions.py:683-714, used by the steric sea-level ops at
+  * app_functions.py:632-680; the reference's minus signs are folded into
+  * the negative constants here). Here it is a pure column expression —
+  * +, *, / and sqrt only, all IEEE-deterministic and fully codegen'd, so
+  * the hot path stays inside WholeStageCodegen with zero UDF overhead at
+  * 100 TB.
   *
   * The Scala `Column` builder and the ANSI-SQL string builder are
   * generated from the same coefficient set with structurally identical
   * expression trees, so Spark and an oracle engine produce bit-identical
   * doubles.
   *
-  * Check value: ρ(θ=25 °C, s=35 psu, p=2000 db) ≈ 1031.654229 kg m⁻³.
+  * Check value: ρ(θ=25 °C, s=35 psu, p=2000 db) = 1031.65056056576
+  * kg m⁻³ (JMFWG06 Table, reproduced by the reference code).
   */
 object Eos {
-  // Numerator coefficients (P1..P12 of MJWF03 Table A1).
-  val a0 = 9.99843699e2;  val a1 = 7.35212840e0;   val a2 = -5.45928211e-2
-  val a3 = 3.98476704e-4; val a4 = 2.96938239e0;   val a5 = -7.23268813e-3
-  val a6 = 2.12382341e-3; val a7 = 1.04004591e-2;  val a8 = 1.03970529e-7
-  val a9 = 5.18761880e-6; val a10 = -3.24041825e-8; val a11 = -1.23869360e-11
-  // Denominator coefficients (P13..P25).
-  val b1 = 7.28606739e-3;  val b2 = -4.60835542e-5; val b3 = 3.68390573e-7
-  val b4 = 1.80809186e-10; val b5 = 2.14691708e-3;  val b6 = -9.27062484e-6
-  val b7 = -1.78343643e-10; val b8 = 4.76534122e-6; val b9 = 1.63410736e-9
-  val b10 = 5.30848875e-6; val b11 = -3.03175128e-16; val b12 = -1.27934137e-17
+  // Numerator coefficients (JMFWG06 eq. for ρ, numerator terms).
+  val a0 = 9.9984085444849347e2; val a1 = 7.3471625860981584e0
+  val a2 = -5.3211231792841769e-2; val a3 = 3.6492439109814549e-4
+  val a4 = 2.5880571023991390e0;  val a5 = -6.7168282786692355e-3
+  val a6 = 1.9203202055760151e-3; val a7 = 1.1798263740430364e-2
+  val a8 = 9.8920219266399117e-8; val a9 = 4.6996642771754730e-6
+  val a10 = -2.5862187075154352e-8; val a11 = -3.2921414007960662e-12
+  // Denominator coefficients.
+  val b1 = 7.2815210113327091e-3;  val b2 = -4.4787265461983921e-5
+  val b3 = 3.3851002965802430e-7;  val b4 = 1.3651202389758572e-10
+  val b5 = 1.7632126669040377e-3;  val b6 = -8.8066583251206474e-6
+  val b7 = -1.8832689434804897e-10; val b8 = 5.7463776745432097e-6
+  val b9 = 1.4716275472242334e-9;  val b10 = 6.7103246285651894e-6
+  val b11 = -2.4461698007024582e-17; val b12 = -9.1534417604289062e-18
 
   /** ρ(θ, s, p) as a Spark column expression. */
   def rho(th: Column, s: Column, p: Column): Column = {

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Floating-point sums are order-dependent: Spark's partial aggregation and
   * DuckDB's vectorized aggregation fold doubles in different orders, so raw
   * `sum(double)` results differ in the low bits and fail a hash compare.
-  * The fix: round the per-row double to a decimal (no ties possible — a
-  * binary double can never sit exactly halfway between two multiples of
-  * 10^-s because such midpoints are non-dyadic rationals), sum exactly in
-  * decimal, and cast the final result back to double. Both engines then
-  * produce bit-identical values.
+  * The fix: round the per-row double to a decimal, sum exactly in decimal,
+  * and cast the final result back to double. Both engines then produce
+  * bit-identical values. Rounding ties DO occur (dyadic doubles such as
+  * 0.0078125 = 2^-7 sit exactly halfway between adjacent multiples of
+  * 10^-6); the invariant that keeps the engines in agreement is that both
+  * Spark (HALF_UP decimal cast) and DuckDB round half away from zero —
+  * covered by the midpoint unit test in OpsSpec.
   *
   * DuckDB oracle equivalent of `dsum(c)`:
   *   CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE)

@@ -37,11 +37,15 @@ object Relational {
   /** Relational division: groups of `df` (keyed by `key`) whose distinct
     * `attr` set covers the whole distinct `attr` universe of `universe`.
     * Mirrors mopdb_utils.py potential_vars ("every input_vars token is
-    * present"). The universe count is broadcast, so the only shuffle is the
-    * distinct + group on the fact side. */
+    * present"). Fact attrs are first semi-joined against the universe so
+    * attrs outside it cannot inflate a group's count into a false
+    * positive; the universe (a dimension) is broadcast on both uses, so
+    * the only shuffle is the distinct + group on the fact side. */
   def divide(df: DataFrame, key: Column, attr: Column, universe: DataFrame, universeAttr: Column): DataFrame = {
-    val total = universe.agg(countDistinct(universeAttr).as("__total"))
+    val uattrs = universe.select(universeAttr.as("__attr")).distinct()
+    val total = uattrs.agg(count(lit(1)).as("__total"))
     df.select(key.as("__key"), attr.as("__attr")).distinct()
+      .join(broadcast(uattrs), Seq("__attr"), "left_semi")
       .groupBy(col("__key")).agg(count(lit(1)).as("__n"))
       .join(broadcast(total))
       .filter(col("__n") === col("__total"))

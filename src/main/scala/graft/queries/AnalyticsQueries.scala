@@ -48,9 +48,9 @@ object AnalyticsQueries extends QueryGroup {
                        THEN 1 ELSE 0 END AS new_session
         FROM ev),
       sess AS (
-        SELECT *, SUM(new_session) OVER
+        SELECT *, CAST(SUM(new_session) OVER
           (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS t0,

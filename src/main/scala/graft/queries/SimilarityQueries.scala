@@ -112,8 +112,8 @@ object SimilarityQueries extends QueryGroup {
         FROM comp c JOIN planes pl ON c.i = pl.i
         GROUP BY c.id, pl.p),
       buckets AS (
-        SELECT id, SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
-                            ELSE 0 END) AS bucket
+        SELECT id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                            ELSE 0 END) AS BIGINT) AS bucket
         FROM dots GROUP BY id)
       SELECT id, bucket,
         CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size

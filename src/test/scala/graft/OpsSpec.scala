@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{ClimateOps, Eos, Interp, Multimodal, TextOps, TimeResample}
+import graft.ops.{ClimateOps, Eos, Exact, Interp, Multimodal, TextOps, TimeResample}
 import graft.ops.TimeResample.{ClosedRight, Fixed, Monthly}
 import org.apache.spark.sql.functions._
 
@@ -45,10 +45,21 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-03-16"))
   }
 
-  test("Eos.rho reproduces the MJWF03 check value") {
+  test("Exact.dsum rounds decimal midpoints half away from zero") {
+    // 0.0078125 = 2^-7 is exactly representable and sits exactly halfway
+    // between 0.007812 and 0.007813: a genuine double->DECIMAL(18,6) tie.
+    // DuckDB rounds the same way, which is the invariant dsum relies on.
+    val got = Seq(0.0078125, -0.0078125).toDF("x")
+      .groupBy($"x").agg(Exact.dsum($"x").as("s"))
+      .as[(Double, Double)].collect().toMap
+    assert(got(0.0078125) == 0.007813)
+    assert(got(-0.0078125) == -0.007813)
+  }
+
+  test("Eos.rho reproduces the JMFWG06 check value") {
     val rho = Seq((25.0, 35.0, 2000.0)).toDF("th", "s", "p")
       .select(Eos.rho($"th", $"s", $"p").as("rho")).as[Double].head()
-    assert(math.abs(rho - 1031.654229) < 1e-4)
+    assert(math.abs(rho - 1031.65056056576) < 1e-8)
   }
 
   test("ClimateOps.weightedMean skips nulls like skipna=True") {

@@ -34,6 +34,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(("nope", "mon"))._3 == "unmatched")
   }
 
+  test("catalog resolve: relaxes only toward finer frequencies") {
+    val mdf = Catalog.mappings(spark, maps ++ Seq(
+      Mapping("siconc", "fld_s00i031", "", "1", "t y x", "mon", "seaIce",
+        "area: time: mean", "", "SImon", "CM2")))
+    val req = Seq(("tas", "3hr"), ("siconc", "day"))
+      .toDF("cmorVar", "frequency")
+    val out = Catalog.resolve(req, mdf)
+      .select($"req_var", $"frequency", $"status")
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // day source is nearer to 3hr on the ladder but coarser: must pick 1hr
+    assert(out("tas") == (("1hr", "resampled")))
+    // a mon-only source cannot serve a day request (upsampling is not resample)
+    assert(out("siconc") == ((null, "unmatched")))
+  }
+
   test("catalog derivable: all-inputs-present relational division") {
     val mdf = Catalog.mappings(spark, maps)
     val avail = Seq("fld_s03i236", "rain").toDF("varName")
