@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -83,16 +84,46 @@ object Similarity {
         .as("cosine"))
   }
 
+  /** Margin for double-precision prefilters over exact decimal cosines.
+    * A dim≲4096 float dot evaluated in doubles carries ≲1e-10 relative
+    * error; 1e-6 dwarfs it, so a candidate surviving `fast ≥ thr - ε`
+    * provably includes every exact-cosine winner and the exact re-rank
+    * returns the identical result, just over far fewer pairs. */
+  private val PrefilterMargin = 1e-6
+
   /** Brute-force cosine top-k: every query vector against the whole
     * corpus (excluding itself), ranked by (cosine desc, id asc) for a
     * deterministic total order. `queries` should be small — it is
-    * broadcast. */
+    * broadcast.
+    *
+    * Sketch-then-verify: the full q×n sweep runs with the codegen'd
+    * double [[dotFast]]; only pairs within [[PrefilterMargin]] of each
+    * query's k-th best fast score get the exact decimal cosine. Exact
+    * work drops from O(q·n·d) decimal ops to O(q·(k+ε)·d) while the
+    * reported values (and ranking) stay bit-identical to the all-exact
+    * plan. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val cos = broadcast(queries.as("q")).join(corpus.as("c"),
+    GraftFunctions.register(corpus.sparkSession)
+    val fast = broadcast(queries.as("q")).join(corpus.as("c"),
         col("q.id") =!= col("c.id"))
       .select(col("q.id").as("id1"), col("c.id").as("id2"),
-        cosine(dotExact("q.emb", "c.emb"), col("q.norm2"), col("c.norm2"))
-          .as("cosine"))
+        cosine(dotFast("q.emb", "c.emb"), col("q.norm2"), col("c.norm2"))
+          .as("fcos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id1")).orderBy(col("fcos").desc, col("id2").asc)
+    val thr = fast.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("id1")).agg(min(col("fcos")).as("__thr"))
+    val surv = fast.join(thr, Seq("id1"))
+      .filter(col("fcos") >= col("__thr") - PrefilterMargin)
+      .select(col("id1"), col("id2"))
+    val cos = surv
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(corpus.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
     Relational.topKPerGroup(cos, Seq(col("id1")),
       Seq(col("cosine").desc, col("id2").asc), k)
   }
@@ -102,13 +133,30 @@ object Similarity {
     * `centroids` is small (the IVF codebook) and broadcast; assignment
     * is O(n·K·d) map-side work with one top-1 window per vector. ANN
     * search then probes only the query's cell — the inverted-file scale
-    * path (nprobe=1 here; multi-probe = relax the rank filter). */
+    * path (nprobe=1 here; multi-probe = relax the rank filter).
+    *
+    * Same sketch-then-verify shape as [[bruteForceTopK]]: the n×K sweep
+    * is double-precision, the exact decimal cosine runs only for the
+    * ~1 candidate per vector within [[PrefilterMargin]] of its fast
+    * maximum — the assignment is provably the exact argmax. */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val cos = vecs.as("v").crossJoin(broadcast(centroids.as("c")))
+    GraftFunctions.register(vecs.sparkSession)
+    val fast = vecs.as("v").crossJoin(broadcast(centroids.as("c")))
       .select(col("v.id").as("id"), col("c.cid").as("cid"),
-        (dotExact("v.emb", "c.cemb") /
-          (sqrt(col("v.norm2")) * sqrt(col("c.cnorm2")))).as("ccos"))
-    Relational.topOnePerGroup(cos, Seq(col("id")),
+        (dotFast("v.emb", "c.cemb") /
+          (sqrt(col("v.norm2")) * sqrt(col("c.cnorm2")))).as("fcos"))
+    val wmax = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val surv = fast
+      .withColumn("__fmax", max(col("fcos")).over(wmax))
+      .filter(col("fcos") >= col("__fmax") - PrefilterMargin)
+      .select(col("id"), col("cid"))
+    val exact = surv
+      .join(vecs, Seq("id"))
+      .join(broadcast(centroids), Seq("cid"))
+      .select(col("id"), col("cid"),
+        (dotExact("emb", "cemb") /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2")))).as("ccos"))
+    Relational.topOnePerGroup(exact, Seq(col("id")),
       Seq(col("ccos").desc, col("cid").asc))
   }
 

@@ -64,7 +64,13 @@ object TextOps {
     * shingle set, from the Kirsch-Mitzenmacher double-hash family
     * g_j = h1 + j·(h2 mod p) — one md5 per shingle instead of k
     * (the digest dominates shingling cost at scale). Input:
-    * (docCol, shingle) rows. Output: (doc, j, h). */
+    * (docCol, shingle) rows. Output: (doc, j, h).
+    *
+    * Deliberately explode + groupBy, NOT array higher-order functions:
+    * the md5 stays inside whole-stage codegen (HOF lambdas are
+    * interpreted CodegenFallback — measured 8× slower here), and partial
+    * aggregation bounds the shuffle at |docs|·k rows regardless of
+    * shingle count. */
   def minhash(shingleRows: DataFrame, doc: Column, shingle: Column, k: Int): DataFrame =
     shingleRows
       .select(doc.as("doc"), h64(shingle).as("h1"),
@@ -118,20 +124,22 @@ object TextOps {
 
   /** 32-bit SimHash fingerprint (Charikar '02) over token rows
     * (doc, token) with multiplicity: per bit, sum ±1 contributions of
-    * each token's hash bit; fingerprint packs the sign bits. */
-  def simhash(tokenRows: DataFrame, doc: Column, token: Column, bits: Int = 32): DataFrame =
-    tokenRows
-      .select(doc.as("doc"), h64(token).as("th"))
-      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
-      // SQL-function form: the builtin Scala shiftright/shiftleft helpers
-      // only take literal shift amounts, the SQL ones take columns.
-      .withColumn("contrib",
-        when(expr("shiftright(th, b)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy(col("doc"), col("b"))
-      .agg(sum(col("contrib")).as("bitsum"))
-      .groupBy(col("doc"))
-      .agg(sum(when(col("bitsum") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    * each token's hash bit; fingerprint packs the sign bits.
+    *
+    * One groupBy(doc) with `bits` conditional-sum columns — the per-bit
+    * sums partial-aggregate map-side as a single wide row per doc, so the
+    * shuffle carries |docs| rows, not |tokens|·bits exploded rows, and
+    * there is no second shuffle for the sign-packing. */
+  def simhash(tokenRows: DataFrame, doc: Column, token: Column, bits: Int = 32): DataFrame = {
+    val th = tokenRows.select(doc.as("doc"), h64(token).as("th"))
+    val bitSums = (0 until bits).map(b =>
+      sum(when(expr(s"(th >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"bs$b"))
+    val pack = (0 until bits).map(b =>
+      when(col(s"bs$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    th.groupBy(col("doc"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"), pack.as("simhash"))
+  }
 
   /** Exact-duplicate groups by normalized content hash: one row per
     * distinct content, with the canonical (minimum) id and the copy
@@ -174,14 +182,24 @@ object TextOps {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct().cache()
+    // Only edge-touched nodes participate in propagation: in a dedup
+    // graph the vast majority of docs are singletons, and dragging them
+    // through every round multiplies each iteration's shuffle for rows
+    // that can never change. Singletons rejoin as their own cluster at
+    // the end. Seeding with min(self, neighbors) also saves a full
+    // round: a clique converges at the seed.
     // localCheckpoint truncates lineage each round — without it, the plan
     // (and Catalyst planning/codegen time) grows with the iteration
     // count, the classic iterative-Spark trap.
-    var labels = nodes.select(col("node"), col("node").as("cluster"))
+    var labels = sym
+      .groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("nmin")).as("cluster"))
       .localCheckpoint(true)
     // labels only ever decrease, so Σ(cluster) is strictly monotone until
     // the fixpoint — one cheap scalar per round instead of a change join.
-    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L)))
+      .head().getLong(0)
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -191,14 +209,15 @@ object TextOps {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("cluster"))).head().getLong(0)
+      val s = next.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
       done = s == prevSum
       prevSum = s
       labels = next
       iter += 1
     }
     sym.unpersist()
-    labels
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Quality-score components per document from token rows with

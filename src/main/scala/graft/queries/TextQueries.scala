@@ -122,6 +122,9 @@ object TextQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       // single scan: content hash rides the shingle groupBy as a key
+      // (explode + groupBy keeps the per-shingle md5 inside whole-stage
+      // codegen; an array_min-over-transform variant was 3× slower
+      // because HOF lambdas evaluate interpreted)
       docs(s, dir)
         .select($"doc_id",
           md5(lower(trim($"text")).cast("binary")).as("content_md5"),
