@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`rand()`, `TABLESAMPLE`) is rerun- and
+  * partitioning-dependent: re-running the pipeline, or the same pipeline
+  * at a different parallelism, yields a different sample — poison for
+  * reproducible dataset builds and for cross-engine verification. Both
+  * operators here key the randomness on a content hash instead
+  * ("salted hashing" / universe sampling, the technique behind BigQuery's
+  * FARM_FINGERPRINT sampling idiom and join-consistent samplers), so the
+  * sample is a pure function of the data:
+  *
+  *  - [[hashRateSample]]: keep rows whose 60-bit hash lands in the first
+  *    `rate` fraction of hash space. A pure map-side filter — it pushes
+  *    into the scan, costs zero shuffle at any scale, and two tables
+  *    sampled on the same key stay join-consistent.
+  *  - [[hashTopKPerStratum]]: exactly k rows per stratum, the smallest k
+  *    hashes — a deterministic reservoir sample. One shuffle on the
+  *    stratum key; Spark ≥3.5 pushes the rank-≤-k limit into the sort
+  *    (WindowGroupLimit), so each partition keeps only k candidates.
+  */
+object Sampling {
+
+  /** Keep rows with h64(key) mod `den` < `num` (a num/den sampling
+    * rate). The hash is the cross-engine TextOps.h64, so an oracle
+    * engine draws the identical sample. */
+  def hashRateSample(df: DataFrame, key: Column, num: Int, den: Int): DataFrame =
+    df.filter(TextOps.h64(key) % den < num)
+
+  /** SQL twin of the [[hashRateSample]] predicate. */
+  def hashRateSampleSql(keyExpr: String, num: Int, den: Int): String =
+    s"${TextOps.h64Sql(keyExpr)} % $den < $num"
+
+  /** Exactly k rows per stratum: rank by (h64(key), tieBreak) ascending
+    * and keep rank <= k. Output keeps all input columns plus `rank`. */
+  def hashTopKPerStratum(df: DataFrame, stratum: Column, key: Column,
+      tieBreak: Column, k: Int): DataFrame =
+    Relational.topKPerGroup(
+      df.withColumn("__hkey", TextOps.h64(key)),
+      Seq(stratum), Seq(col("__hkey").asc, tieBreak.asc), k)
+      .drop("__hkey")
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization (batch): a new session starts after a gap
+  * greater than `gapSeconds`; the session id is the running count of
+  * session starts per user — the lag + cumulative-flag formulation over
+  * a deterministic total order (ts, id).
+  *
+  * This is the batch twin of
+  * [[graft.streaming.StreamSessionize]] — the two produce identical
+  * session rows for in-order input (StreamSessionizeSpec asserts the
+  * parity), so a pipeline can switch between a backfill and a live
+  * stream without changing downstream consumers.
+  *
+  * Scale: one shuffle on user_id (the window partition); the groupBy
+  * reuses the same partitioning, so sessionizing 100 TB of events is a
+  * single repartition + per-partition sort.
+  */
+object Sessionize {
+
+  /** Input columns: `user` id, `ts` event timestamp, `id` unique
+    * tie-break, `value` payload to sum. Output: one row per (user_id,
+    * session_id) with n_events, t0/t1 timestamps and the decimal-exact
+    * session_value. */
+  def sessions(df: DataFrame, user: Column, ts: Column, id: Column,
+      value: Column, gapSeconds: Long): DataFrame = {
+    val wOrd = Window.partitionBy(user).orderBy(ts, id)
+    val ev = df
+      .withColumn("__prev_us", lag(unix_micros(ts), 1).over(wOrd))
+      .withColumn("__new",
+        when(col("__prev_us").isNull ||
+          unix_micros(ts) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(user.as("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(ts).as("t0"), max(ts).as("t1"),
+        Exact.dsum(value).as("session_value"))
+  }
+}

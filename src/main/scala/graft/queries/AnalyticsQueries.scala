@@ -20,20 +20,13 @@ object AnalyticsQueries extends QueryGroup {
     "q65_sessionize",
     (s, dir) => {
       import s.implicits._
-      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val ev = Tables(s, dir, "events")
-        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wOrd))
-        .withColumn("new_session",
-          when($"prev_us".isNull ||
-            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("session_id",
-          sum($"new_session").over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      ev.groupBy($"user_id", $"session_id")
-        .agg(count(lit(1)).as("n_events"),
-          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("t0"),
-          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("t1"),
-          dsum($"value").as("session_value"))
+      graft.ops.Sessionize
+        .sessions(Tables(s, dir, "events"),
+          $"user_id", $"ts", $"event_id", $"value", gapSeconds = 1800L)
+        .select($"user_id", $"session_id", $"n_events",
+          date_format($"t0", "yyyy-MM-dd HH:mm:ss").as("t0"),
+          date_format($"t1", "yyyy-MM-dd HH:mm:ss").as("t1"),
+          $"session_value")
         .orderBy($"user_id", $"session_id")
     },
     Some(s"""

@@ -30,7 +30,8 @@ object Registry {
     AlignQueries,
     DiscoveryQueries,
     ClusterQueries,
-    AnalyticsQueries)
+    AnalyticsQueries,
+    SamplingQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Exact, Relational, Sampling, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dataset-construction batch: deterministic sampling, a k-means
+  * centroid-update step over embeddings, and corpus vocabulary top-k —
+  * the reproducible building blocks of a training-data pipeline.
+  */
+object SamplingQueries extends QueryGroup {
+
+  /** Stratified deterministic sample: ~5% of documents per source,
+    * keyed on hash(source | doc_id). Pure map-side filter — the
+    * predicate pushes to the scan, zero shuffle at any scale, and the
+    * sample is identical on every rerun and engine (the DuckDB oracle
+    * draws the exact same rows). */
+  private val q69 = Q(
+    "q69_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.hashRateSample(
+          Tables(s, dir, "documents"),
+          concat($"source", lit("|"), $"doc_id".cast("string")),
+          num = 50, den = 1000)
+        .select($"doc_id", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE ${Sampling.hashRateSampleSql(
+        "(source || '|' || CAST(doc_id AS VARCHAR))", 50, 1000)}
+      ORDER BY doc_id"""))
+
+  /** Deterministic reservoir: exactly 10 docs per source, the 10
+    * smallest content hashes — rerun-stable uniform-without-replacement
+    * per stratum. The rank-<=-k window compiles to WindowGroupLimit, so
+    * each shuffle partition retains only k candidates per stratum. */
+  private val q70 = Q(
+    "q70_reservoir_per_stratum",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.hashTopKPerStratum(
+          Tables(s, dir, "documents").select($"doc_id", $"source"),
+          $"source", $"doc_id".cast("string"), $"doc_id", k = 10)
+        .select($"source", $"doc_id", $"rank")
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, source,
+          ${TextOps.h64Sql("CAST(doc_id AS VARCHAR)")} AS hkey
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY hkey, doc_id) AS INT) AS rank
+        FROM h)
+      SELECT source, doc_id, rank FROM r
+      WHERE rank <= 10 ORDER BY source, rank"""))
+
+  private val compSql = """
+    comp AS (
+      SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS e
+      FROM embeddings)"""
+
+  private val cosSql =
+    "CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / " +
+      "(sqrt(CAST(SUM(CAST(a2 AS DECIMAL(18,6))) AS DOUBLE)) * " +
+      "sqrt(CAST(SUM(CAST(b2 AS DECIMAL(18,6))) AS DOUBLE)))"
+
+  /** One k-means (Lloyd) iteration over the embedding corpus: assign
+    * every vector to its nearest of 16 centroids (cosine, the IVF
+    * assignment of q61), then recompute each centroid component as the
+    * decimal-exact mean of its members — assignment is a broadcast
+    * sweep, the update one groupBy on (cid, dim). Looping this pair is
+    * the standard distributed k-means; one step is enough to verify the
+    * kernel bit-exactly. */
+  private val q71 = Q(
+    "q71_kmeans_step",
+    (s, dir) => {
+      import s.implicits._
+      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
+      val comp = Tables(s, dir, "embeddings")
+        .select($"vec_id".as("id"), posexplode($"embedding").as(Seq("i", "e")))
+        .withColumn("e", $"e".cast("double"))
+      assign.join(comp, Seq("id"))
+        .groupBy($"cid", $"i")
+        .agg(count(lit(1)).as("n_members"), Exact.davg($"e").as("mean_e"))
+        .orderBy($"cid", $"i")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1)
+      SELECT a.cid, m.i, CAST(COUNT(*) AS BIGINT) AS n_members,
+        ${Exact.sqlAvg("m.e")} AS mean_e
+      FROM assign a JOIN comp m ON a.id = m.id
+      GROUP BY a.cid, m.i ORDER BY a.cid, m.i"""))
+
+  /** Corpus vocabulary: top 30 tokens by document frequency
+    * (distinct-per-doc, deterministic (df desc, token) tie-break).
+    * orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    * top-k then a single k-row merge, never a global sort. */
+  private val q72 = Q(
+    "q72_vocab_topk",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("df"))
+        .orderBy($"df".desc, $"token".asc)
+        .limit(30)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents)
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM tok GROUP BY token
+      ORDER BY df DESC, token LIMIT 30"""))
+
+  def queries: Seq[Q] = Seq(q69, q70, q71, q72)
+}
