@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distinct-count sketch: KMV (k minimum values).
+  *
+  * At 100 TB, `COUNT(DISTINCT token)` per group is a full shuffle of
+  * every distinct (group, token) pair; a sketch answers the same
+  * question from k values per group. KMV keeps the k smallest hashes of
+  * the distinct values ("k-minimum-values" / bottom-k, the classic
+  * distinct-value estimator of Bar-Yossef et al. 2002): if the k-th
+  * smallest of n uniform hashes in [0, H) sits at height h, then
+  * n ≈ (k−1)·H/h.
+  *
+  * Two properties make this the right sketch here rather than HLL:
+  *
+  *  - **Deterministic & cross-engine checkable.** The hash is
+  *    [[TextOps.h64]] (md5-derived, H = 2^60) — no RNG, no
+  *    implementation-defined HLL register layout, so a DuckDB oracle
+  *    computes the bit-identical estimate ([[kmvSql]] is the twin; q74
+  *    verifies it end-to-end) and reruns at any partition count agree.
+  *  - **Mergeable.** The union of two value sets' bottom-k is the
+  *    bottom-k of the merged multiset: partial sketches combine by
+  *    "concat, sort, take k", so partition-local sketches reduce
+  *    tree-wise without ever moving raw values. The formulation below
+  *    (distinct → per-group rank ≤ k) lets Spark's WindowGroupLimit
+  *    keep only k candidates per group per partition — the map-side
+  *    combine of that merge.
+  *
+  * Exactness guard: a group with fewer than k distinct hashes reports
+  * its exact count (the sketch degrades to exact below its resolution).
+  */
+object Sketch {
+  /** Hash space of [[TextOps.h64]]: 2^60, as the double it rounds to. */
+  private val HashSpace = 1.152921504606846976e18
+
+  /** Per-`key` estimated distinct count of `value` with a bottom-`k`
+    * sketch. Output: (key, est_distinct: double). */
+  def kmvDistinct(df: DataFrame, key: Column, value: Column, k: Int): DataFrame = {
+    val hashes = df.select(key.as("key"), TextOps.h64(value).as("h")).distinct()
+    Relational.topKPerGroup(hashes, Seq(col("key")), Seq(col("h").asc), k)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+      .select(col("key"),
+        when(col("n_h") < k, col("n_h").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / col("kth").cast("double"))
+          .as("est_distinct"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]]: SQL producing (key, est_distinct)
+    * from `table`, distinct-hashing `valueExpr` per `keyExpr`. */
+  def kmvSql(fromClause: String, keyExpr: String, valueExpr: String, k: Int): String = s"""
+    WITH hv AS (
+      SELECT DISTINCT $keyExpr AS key, ${TextOps.h64Sql(valueExpr)} AS h
+      FROM $fromClause),
+    ranked AS (
+      SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) AS rn
+      FROM hv),
+    bk AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_h, MAX(h) AS kth
+      FROM ranked WHERE rn <= $k GROUP BY key)
+    SELECT key,
+      CASE WHEN n_h < $k THEN CAST(n_h AS DOUBLE)
+           ELSE ${(k - 1).toDouble}e0 * 1.152921504606846976e18 / CAST(kth AS DOUBLE)
+      END AS est_distinct
+    FROM bk"""
+}

@@ -31,7 +31,8 @@ object Registry {
     DiscoveryQueries,
     ClusterQueries,
     AnalyticsQueries,
-    SamplingQueries)
+    SamplingQueries,
+    ScaleQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
