@@ -90,9 +90,11 @@ object GraftFunctions {
 /** `spark.sql.extensions`-style installer:
   * `.config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")`. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => LowerPow)
+  }
 }
