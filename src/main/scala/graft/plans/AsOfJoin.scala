@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Backward as-of join as a first-class plan operator — the (c)-tier of
+  * the extension ladder (custom LogicalPlan + Strategy + SparkPlan),
+  * used where composing built-ins genuinely loses: the windowed
+  * formulation (ops/Interp.nearestToGrid, q54) must union both sides
+  * and run two `last(ignoreNulls)` window passes; this operator is one
+  * co-partitioned sort-merge sweep.
+  *
+  * Semantics: for every left row, the right row with the same key and
+  * the greatest right-time <= left-time; null-extended when none exists
+  * (pandas `merge_asof(direction='backward')`, DuckDB `ASOF LEFT JOIN`
+  * — q75 verifies against exactly that).
+  *
+  * Scale shape: `requiredChildDistribution` asks Catalyst for hash
+  * co-partitioning on the keys and `requiredChildOrdering` for a
+  * per-partition (key, time) sort, so EnsureRequirements plans exactly
+  * one exchange per side (the same shape as SortMergeJoin) and the
+  * merge itself is a streaming single pass per partition — no window
+  * buffering, no union, state = one held right row.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // bind against nullable right attrs: the null-extension row must
+      // go through isNullAt checks, not a non-nullable fast path
+      val resultProj = UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      // One buffered right row (the next not-yet-consumed one) and the
+      // last consumed right row of some key — both copied, because sort
+      // iterators reuse their UnsafeRow buffers.
+      var rHead: UnsafeRow = null
+      var rHeadKey: UnsafeRow = null
+      var lastMatch: UnsafeRow = null
+      var lastMatchKey: UnsafeRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyProj(lRow)
+        val lt = lTimeProj(lRow)
+        var advance = true
+        while (advance) {
+          if (rHead == null && rIter.hasNext) {
+            rHead = rIter.next().asInstanceOf[UnsafeRow].copy()
+            rHeadKey = rKeyProj(rHead).copy()
+          }
+          if (rHead == null) advance = false
+          else {
+            val c = keyOrd.compare(rHeadKey, lk)
+            if (c < 0 ||
+                (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0)) {
+              // consumed: it is the best-so-far candidate for its key
+              lastMatch = rHead; lastMatchKey = rHeadKey
+              rHead = null; rHeadKey = null
+            } else advance = false
+          }
+        }
+        val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0
+        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+      }
+    }
+  }
+}
+
+/** Public entry: `AsOf.backwardJoin(trades, quotes, Seq("sym"), "t", "t")`.
+  * Installs [[AsOfStrategy]] on the session's experimental strategies
+  * (idempotent); also installable cluster-wide via
+  * `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
+object AsOf {
+  def backwardJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
+      leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime)))
+  }
+}

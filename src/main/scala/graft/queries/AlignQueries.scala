@@ -227,5 +227,36 @@ object AlignQueries extends QueryGroup {
       FROM w WHERE is_sample = 0
       ORDER BY yr, y, x, plev"""))
 
-  def queries: Seq[Q] = Seq(q54, q55, q56, q57, q68)
+  /** Backward as-of join via the custom plan operator
+    * (graft.plans.AsOfJoinExec): every event picks up the most recent
+    * earlier-or-equal click aggregate of its user — one co-partitioned
+    * sort-merge sweep (two exchanges total, AsOfJoinSpec audits the
+    * plan), verified against DuckDB's native ASOF LEFT JOIN. */
+  private val q75 = Q(
+    "q75_asof_backward",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id".as("r_uid"), $"ts".as("r_ts"))
+        .agg(dsum($"value").as("click_value"))
+      graft.plans.AsOf.backwardJoin(
+          ev.select($"event_id", $"user_id", $"ts"), clicks,
+          Seq("user_id"), Seq("r_uid"), "ts", "r_ts")
+        .select($"event_id", $"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          $"click_value")
+        .orderBy($"event_id")
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT user_id AS r_uid, ts AS r_ts, ${sqlSum("value")} AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, r.click_value
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.r_uid AND e.ts >= r.r_ts
+      ORDER BY e.event_id"""))
+
+  def queries: Seq[Q] = Seq(q54, q55, q56, q57, q68, q75)
 }

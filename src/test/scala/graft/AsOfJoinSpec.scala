@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.{AsOf, AsOfJoinExec}
+import graft.ops.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** Custom as-of join operator: semantics against the naive formulation,
+  * null extension, partition invariance, and physical-plan shape. */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private lazy val trades = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 5L, 4.0), ("b", 6L, 5.0),
+    ("c", 7L, 6.0)) // key with no quotes at all
+    .toDF("sym", "t", "px")
+
+  private lazy val quotes = Seq(
+    ("a", 10L, 0.1), ("a", 25L, 0.2), ("a", 40L, 0.3),
+    ("b", 6L, 0.4),
+    ("d", 1L, 0.9)) // key with no trades
+    .toDF("qsym", "qt", "bid")
+
+  private def run(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] =
+    AsOf.backwardJoin(l, r, Seq("sym"), Seq("qsym"), "t", "qt")
+      .select($"sym", $"t", $"px", $"bid")
+      .orderBy($"sym", $"t")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+
+  // naive oracle: join all earlier-or-equal quotes, keep latest per trade
+  private def naive(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] = {
+    val cand = l.join(r, $"sym" === $"qsym" && $"qt" <= $"t", "left")
+    Relational.topOnePerGroup(cand, Seq($"sym", $"t"), Seq($"qt".desc_nulls_last))
+      .select($"sym", $"t", $"px", $"bid")
+      .orderBy($"sym", $"t")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq
+  }
+
+  test("backward as-of matches the naive latest-earlier formulation") {
+    val got = run(trades, quotes)
+    assert(got == naive(trades, quotes))
+    // spot semantics: inclusive at equal times, null before first quote
+    assert(got.contains(("a", 10L, 1.0, Some(0.1)))) // qt == t matches
+    assert(got.contains(("a", 30L, 3.0, Some(0.2)))) // 25 <= 30 < 40
+    assert(got.contains(("b", 5L, 4.0, None)))       // before first quote
+    assert(got.contains(("c", 7L, 6.0, None)))       // key absent on right
+  }
+
+  test("result is invariant to input partitioning") {
+    val base = run(trades, quotes)
+    assert(run(trades.repartition(7), quotes.repartition(3)) == base)
+    assert(run(trades.repartition(1), quotes.repartition(13)) == base)
+  }
+
+  test("plans as one AsOfJoinExec with one exchange per side") {
+    val df = AsOf.backwardJoin(trades, quotes, Seq("sym"), Seq("qsym"), "t", "qt")
+    df.collect() // finalize any adaptive planning
+    val plan = df.queryExecution.executedPlan
+    assert(collectFirst(plan) { case e: AsOfJoinExec => e }.isDefined, plan)
+    val exchanges = collect(plan) {
+      case e if e.getClass.getSimpleName.contains("ShuffleExchange") => e
+    }
+    assert(exchanges.size == 2, plan)
+  }
+}
