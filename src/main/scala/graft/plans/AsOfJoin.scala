@@ -32,7 +32,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -40,11 +41,19 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Match direction. Backward: greatest right-time <= left-time.
+  * Nearest: smallest |right-time − left-time|, equidistant ties to the
+  * earlier right row (the reference's reindex_like(method='nearest')
+  * tie rule; requires a long-valued time — timestamp or integer). */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
+
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -52,6 +61,7 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    direction: AsOfDirection,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -92,6 +102,17 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
 
+      // long-valued time access, needed only for nearest's distance math
+      def timeAsLong(row: InternalRow): Long = timeType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => row.getLong(0)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => row.getInt(0).toLong
+        case t => throw new UnsupportedOperationException(
+          s"nearest as-of needs an integer/timestamp time column, got $t")
+      }
+
       // One buffered right row (the next not-yet-consumed one) and the
       // last consumed right row of some key — both copied, because sort
       // iterators reuse their UnsafeRow buffers.
@@ -120,8 +141,24 @@ case class AsOfJoinExec(
             } else advance = false
           }
         }
-        val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0
-        resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+        // after advancing: lastMatch = last right row <= left time (some
+        // key), rHead = first right row of a >= key or a later time
+        val backMatched = lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0
+        val chosen: InternalRow = direction match {
+          case AsOfBackward => if (backMatched) lastMatch else nullRight
+          case AsOfNearest =>
+            val fwdMatched = rHead != null && keyOrd.compare(rHeadKey, lk) == 0
+            if (backMatched && fwdMatched) {
+              val ltv = timeAsLong(lt)
+              val ta = timeAsLong(rTimeProj(lastMatch))
+              val tb = timeAsLong(rTimeProj(rHead))
+              // equidistant ties take the earlier row (reference rule)
+              if (tb - ltv < ltv - ta) rHead else lastMatch
+            } else if (backMatched) lastMatch
+            else if (fwdMatched) rHead
+            else nullRight
+        }
+        resultProj(joined(lRow, chosen))
       }
     }
   }
@@ -134,7 +171,20 @@ case class AsOfJoinExec(
 object AsOf {
   def backwardJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime, AsOfBackward)
+
+  /** Nearest-in-time variant — the reference's
+    * `reindex_like(method='nearest')` (equidistant ties to the earlier
+    * sample); needs an integer/timestamp time column. */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame =
+    join(left, right, leftKeys, rightKeys, leftTime, rightTime, AsOfNearest)
+
+  private def join(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String, dir: AsOfDirection): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
@@ -146,6 +196,6 @@ object AsOf {
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
       leftKeys.map(attr(lp, _)), rightKeys.map(attr(rp, _)),
-      attr(lp, leftTime), attr(rp, rightTime)))
+      attr(lp, leftTime), attr(rp, rightTime), dir))
   }
 }

@@ -96,5 +96,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => LowerPow)
+    e.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }

@@ -48,6 +48,24 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.contains(("c", 7L, 6.0, None)))       // key absent on right
   }
 
+  test("nearest as-of picks the closer side, ties to the earlier row") {
+    val l = Seq(("a", 1L, 0.0), ("a", 30L, 0.0), ("a", 33L, 0.0),
+        ("b", 5L, 0.0), ("t", 15L, 0.0))
+      .toDF("sym", "t", "px")
+    val r = Seq(("a", 25L, 1.0), ("a", 40L, 2.0),
+        ("t", 10L, 3.0), ("t", 20L, 4.0))
+      .toDF("qsym", "qt", "bid")
+    val got = AsOf.nearestJoin(l, r, Seq("sym"), Seq("qsym"), "t", "qt")
+      .select($"sym", $"t", $"bid").orderBy($"sym", $"t")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, Some(1.0)),  // before first quote: forward match
+      ("a", 30L, Some(1.0)), // |30-25| < |40-30|
+      ("a", 33L, Some(2.0)), // |40-33| < |33-25|
+      ("b", 5L, None),       // key absent on right
+      ("t", 15L, Some(3.0)))) // equidistant 10/20: earlier wins
+  }
+
   test("result is invariant to input partitioning") {
     val base = run(trades, quotes)
     assert(run(trades.repartition(7), quotes.repartition(3)) == base)
