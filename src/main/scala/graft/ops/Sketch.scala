@@ -33,7 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
   /** Hash space of [[TextOps.h64]]: 2^60, as the double it rounds to. */
-  private val HashSpace = 1.152921504606846976e18
+  private[graft] val HashSpace = 1.152921504606846976e18
+
+  /** The KMV estimator on a materialized bottom-k: exact below k,
+    * (k−1)·H/kth at k. Shared by the batch Column path and the
+    * streaming state path so the two agree bit-for-bit. */
+  private[graft] def estimateFromBottomK(n: Int, kth: Long, k: Int): Double =
+    if (n < k) n.toDouble else (k - 1).toDouble * HashSpace / kth.toDouble
 
   /** Per-`key` estimated distinct count of `value` with a bottom-`k`
     * sketch. Output: (key, est_distinct: double). */
