@@ -23,19 +23,24 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     ("d", 1L, 0.9)) // key with no trades
     .toDF("qsym", "qt", "bid")
 
-  private def run(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] =
-    AsOf.backwardJoin(l, r, Seq("sym"), Seq("qsym"), "t", "qt")
-      .select($"sym", $"t", $"px", $"bid")
-      .orderBy($"sym", $"t")
-      .as[(String, Long, Double, Option[Double])].collect().toSeq
+  // deterministic full ordering driver-side: duplicate (sym, t) left
+  // rows make a SQL orderBy on those two columns a partial order
+  private def fullSort(xs: Seq[(String, Long, Double, Option[Double])]) =
+    xs.sortBy(x => (x._1, x._2, x._3, x._4.getOrElse(-1.0)))
 
-  // naive oracle: join all earlier-or-equal quotes, keep latest per trade
-  private def naive(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] = {
-    val cand = l.join(r, $"sym" === $"qsym" && $"qt" <= $"t", "left")
-    Relational.topOnePerGroup(cand, Seq($"sym", $"t"), Seq($"qt".desc_nulls_last))
+  private def run(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] =
+    fullSort(AsOf.backwardJoin(l, r, Seq("sym"), Seq("qsym"), "t", "qt")
       .select($"sym", $"t", $"px", $"bid")
-      .orderBy($"sym", $"t")
-      .as[(String, Long, Double, Option[Double])].collect().toSeq
+      .as[(String, Long, Double, Option[Double])].collect().toSeq)
+
+  // naive oracle: join all earlier-or-equal quotes, keep latest per left
+  // ROW (a unique id — duplicate (sym, t) left rows each produce output)
+  private def naive(l: DataFrame, r: DataFrame): Seq[(String, Long, Double, Option[Double])] = {
+    val lid = l.withColumn("__lid", monotonically_increasing_id())
+    val cand = lid.join(r, $"sym" === $"qsym" && $"qt" <= $"t", "left")
+    fullSort(Relational.topOnePerGroup(cand, Seq($"__lid"), Seq($"qt".desc_nulls_last))
+      .select($"sym", $"t", $"px", $"bid")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq)
   }
 
   test("backward as-of matches the naive latest-earlier formulation") {
@@ -70,6 +75,23 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val base = run(trades, quotes)
     assert(run(trades.repartition(7), quotes.repartition(3)) == base)
     assert(run(trades.repartition(1), quotes.repartition(13)) == base)
+  }
+
+  test("randomized parity with the naive formulation (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val keys = Seq("k1", "k2", "k3", "k4")
+      val l = Seq.fill(120)((keys(rnd.nextInt(4)), rnd.nextInt(500).toLong,
+        rnd.nextDouble())).toDF("sym", "t", "px")
+      // right side unique per (key, time): equal right times would make
+      // backward ambiguous in both formulations
+      val r = Seq.fill(200)((keys(rnd.nextInt(4)), rnd.nextInt(500).toLong))
+        .distinct.map { case (k, t) => (k, t, rnd.nextDouble()) }
+        .toDF("qsym", "qt", "bid")
+      val lp = l.repartition(1 + rnd.nextInt(8))
+      val rp = r.repartition(1 + rnd.nextInt(8))
+      assert(run(lp, rp) == naive(l, r), s"round $round")
+    }
   }
 
   test("plans as one AsOfJoinExec with one exchange per side") {
