@@ -233,4 +233,68 @@ object TextOps {
       .select(col("doc"), col("n_tokens"),
         (col("char_sum") / col("n_tokens")).as("mean_token_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"))
+
+  /** Corpus keep/drop decisions — the q63 pipeline as a reusable stage:
+    * token-count and mean-token-length quality gates, then keep-first
+    * near-duplicate suppression (blocked Jaccard >= 0.9 drops the
+    * higher id). Output: (doc_id, decision) with decision in
+    * short | low_quality | duplicate | kept. `docs` needs columns
+    * (doc_id, text, source, n_chars). */
+  def corpusDecisions(docs: DataFrame): DataFrame = {
+    val tokenRows = docs.select(col("doc_id").as("doc"),
+      explode(tokens(col("text"))).as("token"))
+    val quality = qualityScore(tokenRows, Seq("the", "a", "of", "and"))
+    val tr = docs.select(col("doc_id").as("doc"),
+      concat(col("source"), lit("#"),
+        (col("n_chars") / 100).cast("int").cast("string")).as("block"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val dupLosers = blockedJaccard(tr)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("d2").as("doc")).distinct()
+    docs.select(col("doc_id"))
+      .join(quality.withColumnRenamed("doc", "doc_id"), Seq("doc_id"))
+      .join(dupLosers.select(col("doc").as("doc_id"), lit(1).as("is_dup")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_tokens") < 20, "short")
+          .when(col("mean_token_len") < 3.5, "low_quality")
+          .when(col("is_dup").isNotNull, "duplicate")
+          .otherwise("kept").as("decision"))
+  }
+
+  /** DuckDB CTE chain ending in `decisions(doc_id, decision)` — the
+    * oracle twin of [[corpusDecisions]], shared by q63 and q76. */
+  val corpusDecisionsSql: String = """
+      tok AS (
+        SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents),
+      quality AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(CAST(length(token) AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) AS mean_token_len
+        FROM tok GROUP BY doc),
+      tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      losers AS (
+        SELECT DISTINCT d2 AS doc
+        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      decisions AS (
+        SELECT d.doc_id,
+          CASE WHEN q.n_tokens < 20 THEN 'short'
+               WHEN q.mean_token_len < 3.5e0 THEN 'low_quality'
+               WHEN l.doc IS NOT NULL THEN 'duplicate'
+               ELSE 'kept' END AS decision
+        FROM documents d
+        JOIN quality q ON d.doc_id = q.doc
+        LEFT JOIN losers l ON d.doc_id = l.doc)"""
 }

@@ -139,63 +139,12 @@ object ClusterQueries extends QueryGroup {
     "q63_corpus_filter",
     (s, dir) => {
       import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val tokenRows = docs.select($"doc_id".as("doc"),
-        explode(TextOps.tokens($"text")).as("token"))
-      val quality = TextOps.qualityScore(tokenRows, Seq("the", "a", "of", "and"))
-      val tr = docs.select($"doc_id".as("doc"),
-        concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
-          .as("block"),
-        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
-      // keep-first near-dup suppression: for each jaccard>=0.9 pair drop
-      // the higher id
-      val dupLosers = TextOps.blockedJaccard(tr)
-        .filter($"jaccard" >= 0.9)
-        .select($"d2".as("doc")).distinct()
-      docs.select($"doc_id")
-        .join(quality.withColumnRenamed("doc", "doc_id"), Seq("doc_id"))
-        .join(dupLosers.select($"doc".as("doc_id"), lit(1).as("is_dup")),
-          Seq("doc_id"), "left")
-        .select($"doc_id",
-          when($"n_tokens" < 20, "short")
-            .when($"mean_token_len" < 3.5, "low_quality")
-            .when($"is_dup".isNotNull, "duplicate")
-            .otherwise("kept").as("decision"))
+      TextOps.corpusDecisions(Tables(s, dir, "documents"))
         .orderBy($"doc_id")
     },
-    Some("""
-      WITH tok AS (
-        SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\s+')) AS token
-        FROM documents),
-      quality AS (
-        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-          CAST(SUM(CAST(CAST(length(token) AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-            / COUNT(*) AS mean_token_len
-        FROM tok GROUP BY doc),
-      tr AS (
-        SELECT doc_id AS doc,
-          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
-          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
-        FROM documents),
-      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
-      inter AS (
-        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
-        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
-          AND a.doc < b.doc
-        GROUP BY 1, 2),
-      losers AS (
-        SELECT DISTINCT d2 AS doc
-        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9)
-      SELECT d.doc_id,
-        CASE WHEN q.n_tokens < 20 THEN 'short'
-             WHEN q.mean_token_len < 3.5e0 THEN 'low_quality'
-             WHEN l.doc IS NOT NULL THEN 'duplicate'
-             ELSE 'kept' END AS decision
-      FROM documents d
-      JOIN quality q ON d.doc_id = q.doc
-      LEFT JOIN losers l ON d.doc_id = l.doc
-      ORDER BY d.doc_id"""))
+    Some(s"""
+      WITH ${TextOps.corpusDecisionsSql}
+      SELECT doc_id, decision FROM decisions ORDER BY doc_id"""))
 
   def queries: Seq[Q] = Seq(q61, q62, q63)
 }

@@ -137,5 +137,37 @@ object SamplingQueries extends QueryGroup {
       FROM tok GROUP BY token
       ORDER BY df DESC, token LIMIT 30"""))
 
-  def queries: Seq[Q] = Seq(q69, q70, q71, q72)
+  /** End-to-end corpus build: quality gates → keep-first near-dup
+    * suppression → deterministic 50% sample of the kept set → per-source
+    * stats. Every stage is an operator verified on its own elsewhere
+    * (q63, q69, q73); this query proves they compose into the full
+    * dataset-construction pipeline under one oracle, with the stage
+    * boundaries the 100 TB run would use: decisions are one pass, the
+    * sample predicate is map-side, and only the final stats shuffle. */
+  private val q76 = Q(
+    "q76_corpus_build",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val kept = TextOps.corpusDecisions(docs)
+        .filter($"decision" === "kept").select($"doc_id")
+      Sampling.hashRateSample(docs.join(kept, Seq("doc_id")),
+          $"doc_id".cast("string"), num = 500, den = 1000)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          Exact.dsum($"n_chars").as("sum_chars"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH ${TextOps.corpusDecisionsSql},
+      kept AS (SELECT doc_id FROM decisions WHERE decision = 'kept'),
+      sampled AS (
+        SELECT d.source, d.n_chars FROM documents d
+        JOIN kept k ON d.doc_id = k.doc_id
+        WHERE ${Sampling.hashRateSampleSql("CAST(d.doc_id AS VARCHAR)", 500, 1000)})
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ${Exact.sqlSum("n_chars")} AS sum_chars
+      FROM sampled GROUP BY source ORDER BY source"""))
+
+  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76)
 }
