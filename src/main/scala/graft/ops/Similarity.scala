@@ -184,4 +184,40 @@ object Similarity {
       .agg(sum(when(col("dot") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("bucket"))
   }
+
+  /** IVF search with multi-cell probing: answer each query from its
+    * `nprobe` nearest cells' inverted lists instead of one. At scale the
+    * recall/latency knob of an IVF index — the index side stays the
+    * exact top-1 assignment ([[ivfAssign]]); only the handful of query
+    * vectors rank all centroids exactly (a broadcast sweep), so raising
+    * nprobe touches nprobe/n_cells of the corpus, never all of it.
+    *
+    * `all`/`queries` carry the [[withNorms]] schema (id, emb, norm2);
+    * `centroids` carries (cid, cemb, cnorm2). Output: (qid, nid,
+    * cosine, rank) with rank <= k, deterministically tie-broken. */
+  def ivfTopK(all: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val assign = ivfAssign(all, centroids).select(col("id").as("nid"), col("cid"))
+    val qcos = queries
+      .select(col("id").as("qid"), col("emb").as("qemb"), col("norm2").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"),
+        (dotExact("qemb", "cemb") / (sqrt(col("qn")) * sqrt(col("cnorm2"))))
+          .as("qcos"))
+    val qcells = Relational.topKPerGroup(qcos, Seq(col("qid")),
+        Seq(col("qcos").desc, col("cid").asc), nprobe)
+      .select(col("qid"), col("cid"))
+    val cands = qcells.join(assign, Seq("cid")).filter(col("nid") =!= col("qid"))
+    val scored = cands
+      .join(all.select(col("id").as("qid"), col("emb").as("qemb"),
+        col("norm2").as("qn")), Seq("qid"))
+      .join(all.select(col("id").as("nid"), col("emb").as("nemb"),
+        col("norm2").as("nn")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (dotExact("qemb", "nemb") / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("cosine"))
+    Relational.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("cosine").desc, col("nid").asc), k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rank"))
+  }
 }

@@ -146,5 +146,58 @@ object ClusterQueries extends QueryGroup {
       WITH ${TextOps.corpusDecisionsSql}
       SELECT doc_id, decision FROM decisions ORDER BY doc_id"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63)
+  /** IVF with nprobe=2: each query consults its two nearest cells —
+    * the recall knob of the inverted-file index (q61 is nprobe=1). The
+    * query-side cell ranking is an exact broadcast sweep; the corpus
+    * side is still touched only through the probed inverted lists. */
+  private val q77 = Q(
+    "q77_ann_ivf_nprobe",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      Similarity.ivfTopK(all, cents, all.filter($"id" < 10), nprobe = 2, k = 3)
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS qid, cid FROM (
+          SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos WHERE id < 10) WHERE rn <= 2),
+      cands AS (
+        SELECT qc.qid, a.id AS nid
+        FROM qcells qc JOIN assign a ON a.cid = qc.cid AND a.id <> qc.qid),
+      nparts AS (
+        SELECT cd.qid, cd.nid, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM cands cd
+        JOIN comp a ON a.id = cd.qid
+        JOIN comp b ON b.id = cd.nid AND a.i = b.i),
+      cos AS (SELECT qid, nid, $cosSql AS cosine
+              FROM nparts GROUP BY qid, nid),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, nid) AS INT) AS rank
+        FROM cos)
+      SELECT qid, nid, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77)
 }
