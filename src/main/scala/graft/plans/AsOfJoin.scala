@@ -20,7 +20,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for every left row, the right row with the same key and
   * the greatest right-time <= left-time; null-extended when none exists
   * (pandas `merge_asof(direction='backward')`, DuckDB `ASOF LEFT JOIN`
-  * — q75 verifies against exactly that).
+  * — q75 verifies against exactly that). The nearest direction mirrors
+  * the reference's coordinate re-alignment
+  * `reindex_like(var, method='nearest')` (calculations.py:893-901),
+  * with equidistant ties to the earlier sample.
   *
   * Scale shape: `requiredChildDistribution` asks Catalyst for hash
   * co-partitioning on the keys and `requiredChildOrdering` for a

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{Sessionize, Sketch, Skew}
+import graft.plans.AsOf
+import org.apache.spark.sql.functions._
+
+/** Degenerate inputs through the round-2 operators: empty frames,
+  * single rows, all-one-key — the shapes that surface off-by-ones in
+  * merge loops and state machines. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noTrades = Seq.empty[(String, Long, Double)].toDF("sym", "t", "px")
+  private val noQuotes = Seq.empty[(String, Long, Double)].toDF("qsym", "qt", "bid")
+  private val oneTrade = Seq(("a", 10L, 1.0)).toDF("sym", "t", "px")
+  private val oneQuote = Seq(("a", 5L, 0.5)).toDF("qsym", "qt", "bid")
+
+  test("as-of join with empty sides") {
+    assert(AsOf.backwardJoin(noTrades, oneQuote,
+      Seq("sym"), Seq("qsym"), "t", "qt").count() == 0)
+    val nullExt = AsOf.backwardJoin(oneTrade, noQuotes,
+        Seq("sym"), Seq("qsym"), "t", "qt")
+      .select($"sym", $"bid").as[(String, Option[Double])].collect().toSeq
+    assert(nullExt == Seq(("a", None)))
+    val single = AsOf.nearestJoin(oneTrade, oneQuote,
+        Seq("sym"), Seq("qsym"), "t", "qt")
+      .select($"bid").as[Double].collect().toSeq
+    assert(single == Seq(0.5))
+  }
+
+  test("sessionize on empty and single-event input") {
+    val empty = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    assert(Sessionize.sessions(empty, $"user_id", $"ts", $"event_id",
+      $"value", 1800L).count() == 0)
+    val one = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.5))
+      .toDF("user_id", "event_id", "ts", "value")
+    val row = Sessionize.sessions(one, $"user_id", $"ts", $"event_id",
+        $"value", 1800L)
+      .select($"user_id", $"session_id", $"n_events", $"session_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(row == Seq((1L, 1L, 1L, 2.5)))
+  }
+
+  test("kmv and salted stats on empty and one-key input") {
+    val empty = Seq.empty[(String, String)].toDF("key", "v")
+    assert(Sketch.kmvDistinct(empty, $"key", $"v", 8).count() == 0)
+    val one = Seq(("k", "x"), ("k", "x"), ("k", "y")).toDF("key", "v")
+    val est = Sketch.kmvDistinct(one, $"key", $"v", 8)
+      .as[(String, Double)].collect().toMap
+    assert(est == Map("k" -> 2.0)) // below k: exact
+    val stats = Skew.saltedStats(one, $"key", lit(1.0), $"v", 4)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(stats == Seq(("k", 3L, 3.0)))
+  }
+}
