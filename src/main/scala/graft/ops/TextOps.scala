@@ -168,6 +168,48 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Connected components of a block-partitioned edge set, in ONE
+    * shuffle. Blocked candidate generation ([[blockedJaccard]]) only
+    * ever pairs documents inside a block, so components cannot span
+    * blocks — per-block union-find (mapGroups) replaces the iterative
+    * label-propagation loop entirely: no driver loop, no checkpoints,
+    * no O(diameter) rounds. At 100 TB this is the difference between
+    * one mapGroups pass and ~8 full-graph shuffles.
+    *
+    * Precondition: every doc belongs to exactly one block (true for the
+    * source#length-bucket blocking); use [[connectedComponents]] when
+    * edges can cross blocks. Labels are the component minimum (union
+    * keeps the smaller root), identical to the iterative result
+    * (TextOpsSpec asserts parity). */
+  def blockLocalComponents(edges: DataFrame, docBlocks: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withBlock = edges.select(col("d1"), col("d2"))
+      .join(docBlocks.select(col("doc").as("d1"), col("block")), Seq("d1"))
+    val labeled = withBlock.select(col("block"), col("d1"), col("d2"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (_, a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+      }.toDF("node", "cluster")
+    nodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
   /** Connected components over a near-duplicate edge list — the cluster
     * stage of a dedup pipeline (keep one canonical doc per component).
     * Iterative min-label propagation: label(v) ← min(label(v),

@@ -101,7 +101,12 @@ object ClusterQueries extends QueryGroup {
         .filter($"jaccard" >= 0.9)
         .select($"d1", $"d2")
       val nodes = docs.select($"doc_id".as("node"))
-      TextOps.connectedComponents(edges, nodes)
+      // edges are block-local by construction -> one-shuffle union-find
+      // (the iterative connectedComponents stays for cross-block graphs)
+      val docBlocks = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
+          .as("block"))
+      TextOps.blockLocalComponents(edges, docBlocks, nodes)
         .select($"node".as("doc_id"), $"cluster")
         .orderBy($"doc_id")
     },

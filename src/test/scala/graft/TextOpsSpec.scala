@@ -46,4 +46,25 @@ class TextOpsSpec extends SparkSpec {
       Seq(("pr", "day")).toDF("cmorVar", "frequency"), m)
     assert(res.head().getAs[String]("status") == "exact")
   }
+
+  test("blockLocalComponents equals the iterative CC on block-local graphs") {
+    val rnd = new scala.util.Random(7)
+    // 3 blocks, nodes 0..59 assigned round-robin; random edges strictly
+    // inside each block (chains, cliques and bridges within a block)
+    val blockOf = (0L until 60L).map(n => n -> s"b${n % 3}").toMap
+    val edges = (1 to 120).map { _ =>
+      val b = rnd.nextInt(3)
+      val a = rnd.nextInt(20) * 3 + b
+      val c = rnd.nextInt(20) * 3 + b
+      (a.toLong, c.toLong)
+    }.filter { case (a, c) => a != c }
+    val edgesDf = edges.toDF("d1", "d2")
+    val nodesDf = (0L until 60L).toDF("node")
+    val blocksDf = blockOf.toSeq.toDF("doc", "block")
+    val iterative = TextOps.connectedComponents(edgesDf, nodesDf)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    val oneShot = TextOps.blockLocalComponents(edgesDf, blocksDf, nodesDf)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(oneShot == iterative)
+  }
 }
