@@ -208,9 +208,12 @@ object Similarity {
         Seq(col("qcos").desc, col("cid").asc), nprobe)
       .select(col("qid"), col("cid"))
     val cands = qcells.join(assign, Seq("cid")).filter(col("nid") =!= col("qid"))
+    // query-side embeddings come from the passed `queries` frame (it
+    // already carries emb/norm2) — re-joining `all` would silently drop
+    // any query id not present in the corpus
     val scored = cands
-      .join(all.select(col("id").as("qid"), col("emb").as("qemb"),
-        col("norm2").as("qn")), Seq("qid"))
+      .join(broadcast(queries.select(col("id").as("qid"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("qid"))
       .join(all.select(col("id").as("nid"), col("emb").as("nemb"),
         col("norm2").as("nn")), Seq("nid"))
       .select(col("qid"), col("nid"),

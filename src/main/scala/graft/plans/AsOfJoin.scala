@@ -124,15 +124,32 @@ case class AsOfJoinExec(
       var lastMatch: UnsafeRow = null
       var lastMatchKey: UnsafeRow = null
 
+      // Null keys/times never match (SortMergeJoin's null-key skip;
+      // DuckDB ASOF `ts >= r_ts` and pandas merge_asof are both
+      // null-rejecting). Right rows carrying them sort nulls-first and
+      // would otherwise be consumed as a bogus "most recent" match.
+      def pullRight(): Unit = {
+        while (rHead == null && rIter.hasNext) {
+          val cand = rIter.next().asInstanceOf[UnsafeRow]
+          val ck = rKeyProj(cand)
+          if (!ck.anyNull && !rTimeProj(cand).isNullAt(0)) {
+            rHead = cand.copy()
+            rHeadKey = ck.copy()
+          }
+        }
+      }
+
       lIter.map { lRow =>
         val lk = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
+        if (lk.anyNull || lt.isNullAt(0)) {
+          // a null-keyed/timed left row matches nothing; don't advance
+          // the right side (nulls sort first, so nothing is skipped)
+          resultProj(joined(lRow, nullRight))
+        } else {
         var advance = true
         while (advance) {
-          if (rHead == null && rIter.hasNext) {
-            rHead = rIter.next().asInstanceOf[UnsafeRow].copy()
-            rHeadKey = rKeyProj(rHead).copy()
-          }
+          if (rHead == null) pullRight()
           if (rHead == null) advance = false
           else {
             val c = keyOrd.compare(rHeadKey, lk)
@@ -162,6 +179,7 @@ case class AsOfJoinExec(
             else nullRight
         }
         resultProj(joined(lRow, chosen))
+        }
       }
     }
   }

@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.DoubleType
   * beyond that the duplicated-subtree cost outweighs the call, and
   * codegen common-subexpression elimination stops being a given.
   *
+  * The base must be deterministic: the rewrite duplicates the `base`
+  * subtree k-1 times, and each copy of a non-deterministic expression
+  * evaluates independently (`pow(rand(), 2)` is NOT `rand()*rand()`).
+  * Same guard Catalyst's own expression-duplicating rewrites apply.
+  *
   * Installed by [[GraftSparkExtensions]] via `injectOptimizerRule`, so
   * it runs inside Catalyst's operator-optimization fixpoint (after
   * constant folding has collapsed `cast(2 as double)` into the literal
@@ -39,7 +44,8 @@ object LowerPow extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Pow(base, Literal(d: Double, DoubleType)) if isSmallInt(d) =>
+      case Pow(base, Literal(d: Double, DoubleType))
+          if isSmallInt(d) && base.deterministic =>
         chain(base, d.toInt)
     }
 }

@@ -47,12 +47,22 @@ object StreamSessionize {
     t
   }
 
+  /** Largest magnitude representable by DECIMAL(18,6). */
+  private val maxAbs6 = new JBigDecimal("999999999999.999999")
+
   /** Scale-6 micro-units with HALF_UP — mirrors Spark's double→decimal
     * cast (which goes through BigDecimal.valueOf, the shortest decimal
-    * representation, before setScale). */
+    * representation, before setScale). The batch path's
+    * `cast(x as DECIMAL(18,6))` yields NULL for NaN/Infinity and for
+    * values past the precision, and dsum skips NULLs — so those values
+    * contribute nothing here either, instead of throwing and killing
+    * the streaming query on one bad event. */
   private def micros6(x: Double): Long =
-    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
-      .unscaledValue().longValueExact()
+    if (!java.lang.Double.isFinite(x)) 0L
+    else {
+      val d = JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+      if (d.abs.compareTo(maxAbs6) > 0) 0L else d.unscaledValue().longValue()
+    }
 
   private def toDouble(sumMicros: Long): Double =
     JBigDecimal.valueOf(sumMicros, 6).doubleValue()
