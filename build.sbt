@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses machine-readable lines (one JSON line
+// from graft.Bench) out of sbt's stdout. The default LoggedOutput wraps
+// every forked-process line in "[info] ", which breaks a line-oriented
+// JSON parser — pass the child's stdio through verbatim instead, and
+// drop the trailing "[success]" banner.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

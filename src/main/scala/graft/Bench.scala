@@ -24,7 +24,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup outside the timed region: materialize every table through
     // the noop sink — a count() is answered from parquet footers and
     // never touches the row data, so the first heavy query would still
@@ -32,22 +32,35 @@ object Bench {
     Tables.all.foreach(t =>
       Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
     warmupShufflePath(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // output is keyed by the qNN prefix; a collision would silently
+    // merge two queries' timings into one JSON key
+    val prefixes = named.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct}")
+    val results = named.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output row and column; a count()
       // would let Catalyst prune the computed projections being measured
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      // a crashing query must not report a (fast) wall time: -1 marker
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // One compact line: the harness keeps only a bounded tail of stdout,
-    // so key by the qNN prefix and round to ms to stay well under it.
-    def ms(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    // so key by the qNN prefix and round to 10ms to stay well under it.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop BEFORE printing: executor/shutdown log lines must not land
+    // after the JSON line and push it out of the harness's stdout tail
     spark.stop()
+    println(line)
   }
 }

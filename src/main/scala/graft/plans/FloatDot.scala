@@ -81,10 +81,13 @@ case class FloatDot(left: Expression, right: Expression)
 object GraftFunctions {
   private val builder = (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))
 
-  /** Register into an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", builder, "built-in")
+  /** Register into an existing session (idempotent — skips when already
+    * present, so per-query re-registration doesn't spam replace WARNs). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("float_dot")))
+      reg.createOrReplaceTempFunction("float_dot", builder, "built-in")
+  }
 }
 
 /** `spark.sql.extensions`-style installer:
