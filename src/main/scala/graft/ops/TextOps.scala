@@ -262,6 +262,112 @@ object TextOps {
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
+  /** Repetition metrics per document over n-gram rows (doc, s) WITH
+    * multiplicity — the Gopher-style (Rae et al. '21, public report)
+    * repetition filters: a doc whose n-grams are mostly repeats of a few
+    * phrases is boilerplate/spam regardless of its token-level stats.
+    *
+    *  - `dup_frac`: fraction of n-gram occurrences that are repeats of
+    *    an earlier occurrence (1 − distinct/total);
+    *  - `top_frac`: fraction of occurrences claimed by the single most
+    *    frequent n-gram.
+    *
+    * Two cascaded groupBys, both with map-side partial aggregation; the
+    * shuffle carries one row per distinct (doc, n-gram), then one per
+    * doc. All reported values are ratios of exact integer counts (one
+    * IEEE division each), so they are bit-identical across engines. */
+  def repetitionStats(ngramRows: DataFrame): DataFrame =
+    ngramRows.groupBy(col("doc"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc"), col("n_ngrams"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .as("dup_frac"),
+        (col("top_c").cast("double") / col("n_ngrams")).as("top_frac"))
+
+  /** Greedy contiguous sequence packing: walk each source's documents in
+    * doc_id order and append to the current training sequence while the
+    * token budget holds, else start a new sequence — the deterministic
+    * packing step that turns a filtered corpus into fixed-budget LM
+    * training rows. A document longer than the budget gets a sequence of
+    * its own (never split). Output: (source, doc_id, n_tokens, seq_id,
+    * fill_after) with seq_id numbered per source from 0.
+    *
+    * The fold is inherently sequential per source, so it runs as one
+    * mapGroups pass (the sessionize shape): state is two longs, and the
+    * shuffle carries (source, doc_id, n_tokens) — 16 bytes of payload
+    * per doc, not the text. At 100 TB the packing key would be
+    * (source, date-shard) to bound group size; the operator is
+    * agnostic to what the grouping column contains. */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (src, it) =>
+        val sorted = it.toSeq.sortBy(_._2)
+        var fill = 0L
+        var seq = -1L
+        sorted.iterator.map { case (_, id, n) =>
+          if (seq < 0L || fill + n > budget) { seq += 1; fill = n }
+          else fill += n
+          (src, id, n, seq, fill)
+        }
+      }
+      .toDF("source", "doc_id", "n_tokens", "seq_id", "fill_after")
+  }
+
+  /** TF-IDF scores from token rows (doc, token) with multiplicity:
+    * tf·ln(N/df), rounded to 6 decimals (ln is libm-dependent in the
+    * last ulp; rounding is the same documented contract as the
+    * transcendental scalar family, and ranking happens on the rounded
+    * value so order is engine-identical too).
+    *
+    * tf and df partial-aggregate map-side; df and the document count are
+    * broadcast back, so the only full shuffle carries one row per
+    * distinct (doc, token). */
+  def tfidf(tokenRows: DataFrame): DataFrame = {
+    val tf = tokenRows.groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tokenRows.select(col("doc")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc"), col("token"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+  }
+
+  /** Train/test contamination: for every (test doc, train doc) pair,
+    * the number of distinct w-grams they share and the fraction of the
+    * test doc's w-grams that overlap. Inputs are distinct hashed n-gram
+    * rows (doc, h) per side. The pair join is an equi-join on the
+    * 60-bit n-gram hash; `maxPostings` drops n-grams present in more
+    * docs than that (across both sides) first — a boilerplate phrase
+    * shared by half the corpus would otherwise make the join quadratic
+    * while signalling nothing about targeted leakage (same skew guard
+    * as [[capHotBands]]). */
+  def contamination(testRows: DataFrame, trainRows: DataFrame,
+      maxPostings: Long): DataFrame = {
+    val postings = testRows.unionByName(trainRows)
+      .groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxPostings).select(col("h"))
+    val t = testRows.join(postings, Seq("h"))
+    val r = trainRows.join(postings, Seq("h"))
+    val testSz = testRows.groupBy(col("doc")).agg(count(lit(1)).as("test_n"))
+    t.select(col("doc").as("test_doc"), col("h"))
+      .join(r.select(col("doc").as("train_doc"), col("h")), Seq("h"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(testSz.select(col("doc").as("test_doc"), col("test_n")), Seq("test_doc"))
+      .select(col("test_doc"), col("train_doc"), col("n_shared"),
+        (col("n_shared").cast("double") / col("test_n")).as("test_frac"))
+  }
+
   /** Quality-score components per document from token rows with
     * multiplicity: token count, stopword ratio, mean token length — the
     * length/stopword heuristics of web-scale corpus filtering. */

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Relational, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators beyond q42-q53/q63/q76: repetition
+  * filters, fixed-budget sequence packing, TF-IDF term weighting, and
+  * train/test contamination detection — the remaining stages a
+  * large-scale LM training-data pipeline runs between raw documents and
+  * training rows.
+  */
+object CorpusQueries extends QueryGroup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Gopher-style repetition filters: per-doc duplicate-bigram fraction
+    * and top-bigram fraction, with the keep/flag decision. */
+  private val q78 = Q(
+    "q78_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val ngr = docs(s, dir)
+        .withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id".as("doc"), explode(TextOps.shingles("ts", 2)).as("s"))
+      TextOps.repetitionStats(ngr)
+        .select($"doc".as("doc_id"), $"n_ngrams", $"dup_frac", $"top_frac",
+          when($"dup_frac" > 0.5 || $"top_frac" > 0.18, "flagged")
+            .otherwise("kept").as("decision"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents),
+      ngr AS (
+        SELECT doc_id AS doc,
+          unnest(list_transform(generate_series(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1])) AS s
+        FROM t),
+      cnt AS (SELECT doc, s, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ngr GROUP BY doc, s),
+      rep AS (
+        SELECT doc, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+          1.0e0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+          CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+        FROM cnt GROUP BY doc)
+      SELECT doc AS doc_id, n_ngrams, dup_frac, top_frac,
+        CASE WHEN dup_frac > 0.5e0 OR top_frac > 0.18e0
+             THEN 'flagged' ELSE 'kept' END AS decision
+      FROM rep ORDER BY doc_id"""))
+
+  /** Fixed-budget sequence packing (greedy, contiguous in doc_id order
+    * per source); the DuckDB oracle replays the same fold as a recursive
+    * CTE. */
+  private val q79 = Q(
+    "q79_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.packSequences(docs(s, dir), budget = 256L)
+        .orderBy($"source", $"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT source, doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      rec AS (
+        SELECT source, doc_id, rn, n_tokens,
+          CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill_after
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.source, t.doc_id, t.rn, t.n_tokens,
+          CASE WHEN rec.fill_after + t.n_tokens <= 256
+               THEN rec.seq_id ELSE rec.seq_id + 1 END,
+          CASE WHEN rec.fill_after + t.n_tokens <= 256
+               THEN rec.fill_after + t.n_tokens ELSE t.n_tokens END
+        FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+      SELECT source, doc_id, n_tokens, seq_id, fill_after
+      FROM rec ORDER BY source, doc_id"""))
+
+  /** TF-IDF top-3 terms per document (rounded scores, rank on the
+    * rounded value — the engine-identical order). */
+  private val q80 = Q(
+    "q80_tfidf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir).select($"doc_id".as("doc"),
+        explode(TextOps.tokens($"text")).as("token"))
+      Relational.topKPerGroup(TextOps.tfidf(tok), Seq($"doc"),
+          Seq($"tfidf".desc, $"token".asc), 3)
+        .select($"doc".as("doc_id"), $"token", $"tfidf", $"rank")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id AS doc,
+          unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc, token, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM tok GROUP BY doc, token),
+      dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY token),
+      n AS (SELECT CAST(COUNT(DISTINCT doc) AS DOUBLE) AS n_docs FROM tok),
+      scored AS (
+        SELECT doc, token, ROUND(tf * LN(n_docs / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (token), n),
+      rk AS (
+        SELECT doc, token, tfidf,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc
+            ORDER BY tfidf DESC, token) AS INT) AS rank
+        FROM scored)
+      SELECT doc AS doc_id, token, tfidf, rank
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** Train/test contamination: distinct 5-grams of the held-out source
+    * (src0) against every other source; pairs sharing >= 3 distinct
+    * 5-grams surface, with the overlapped fraction of the test doc.
+    * 5-grams appearing in more than 50 docs are dropped first (the
+    * boilerplate/skew guard). */
+  private val q81 = Q(
+    "q81_contamination",
+    (s, dir) => {
+      import s.implicits._
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id".as("doc"), explode(TextOps.shingles("ts", 5)).as("s"))
+        .select($"doc", TextOps.h64($"s").as("h"))
+        .distinct()
+      val d = docs(s, dir)
+      TextOps.contamination(
+          grams(d.filter($"source" === "src0")),
+          grams(d.filter($"source" =!= "src0")), maxPostings = 50L)
+        .filter($"n_shared" >= 3)
+        .orderBy($"test_doc", $"train_doc")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+          unnest(list_transform(generate_series(1, len(ts) - 4),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                 ts[i+3] || ' ' || ts[i+4])) AS s
+        FROM t),
+      g AS (
+        SELECT DISTINCT doc_id AS doc, source, ${TextOps.h64Sql("s")} AS h
+        FROM sh),
+      test AS (SELECT doc, h FROM g WHERE source = 'src0'),
+      train AS (SELECT doc, h FROM g WHERE source <> 'src0'),
+      postings AS (
+        SELECT h FROM (SELECT h, COUNT(*) AS n FROM
+          (SELECT doc, h FROM test UNION ALL SELECT doc, h FROM train)
+          GROUP BY h) WHERE n <= 50),
+      tsz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS test_n
+              FROM test GROUP BY doc),
+      pairs AS (
+        SELECT a.doc AS test_doc, b.doc AS train_doc,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM (SELECT * FROM test JOIN postings USING (h)) a
+        JOIN (SELECT * FROM train JOIN postings USING (h)) b USING (h)
+        GROUP BY 1, 2)
+      SELECT test_doc, train_doc, n_shared,
+        CAST(n_shared AS DOUBLE) / test_n AS test_frac
+      FROM pairs JOIN tsz ON test_doc = tsz.doc
+      WHERE n_shared >= 3
+      ORDER BY test_doc, train_doc"""))
+
+  def queries: Seq[Q] = Seq(q78, q79, q80, q81)
+}

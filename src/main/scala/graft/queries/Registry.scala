@@ -32,7 +32,8 @@ object Registry {
     ClusterQueries,
     AnalyticsQueries,
     SamplingQueries,
-    ScaleQueries)
+    ScaleQueries,
+    CorpusQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

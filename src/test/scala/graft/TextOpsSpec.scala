@@ -47,6 +47,51 @@ class TextOpsSpec extends SparkSpec {
     assert(res.head().getAs[String]("status") == "exact")
   }
 
+  test("repetitionStats: distinct text scores 0, repeated phrase dominates") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // 4 distinct bigrams, no repeats
+      (2L, "x y x y x y x y x y")). // "x y"×5 + "y x"×4 of 9 bigrams
+      toDF("doc_id", "text")
+    val ngr = docs.withColumn("ts", TextOps.tokens($"text"))
+      .select($"doc_id".as("doc"), explode(TextOps.shingles("ts", 2)).as("s"))
+    val r = TextOps.repetitionStats(ngr).orderBy($"doc")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(r(0) == ((1L, 4L, 0.0, 0.25)))
+    assert(r(1) == ((2L, 9L, 1.0 - 2.0 / 9.0, 5.0 / 9.0)))
+  }
+
+  test("packSequences: greedy fill, oversize doc isolated, per-source reset") {
+    val docs = Seq(
+      // source A, budget 10: 4+5 fit, +3 overflows -> new seq; 12 > budget
+      // stands alone; 2 starts after it
+      (1L, "A", "t t t t"), (2L, "A", "t t t t t"), (3L, "A", "t t t"),
+      (4L, "A", "t t t t t t t t t t t t"), (5L, "A", "t t"),
+      // source B restarts numbering at 0
+      (6L, "B", "t t t t t t")).map { case (id, src, text) => (id, text, src) }
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.packSequences(docs, budget = 10L)
+      .orderBy($"source", $"doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 1L, 4L, 0L, 4L), ("A", 2L, 5L, 0L, 9L), ("A", 3L, 3L, 1L, 3L),
+      ("A", 4L, 12L, 2L, 12L), ("A", 5L, 2L, 3L, 2L),
+      ("B", 6L, 6L, 0L, 6L)))
+  }
+
+  test("contamination counts shared distinct n-grams and caps hot ones") {
+    // hash stand-ins: h=99 appears in every doc (boilerplate, capped out)
+    val test = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (2L, 20L), (2L, 99L))
+      .toDF("doc", "h")
+    val train = Seq((7L, 10L), (7L, 11L), (7L, 99L), (8L, 20L), (8L, 99L))
+      .toDF("doc", "h")
+    val r = TextOps.contamination(test, train, maxPostings = 3L)
+      .orderBy($"test_doc", $"train_doc")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1 shares {10,11} with doc7 (99 capped); test_n counts ALL of
+    // doc1's grams (4), so the fraction stays honest about doc size
+    assert(r == Seq((1L, 7L, 2L, 0.5), (2L, 8L, 1L, 0.5)))
+  }
+
   test("blockLocalComponents equals the iterative CC on block-local graphs") {
     val rnd = new scala.util.Random(7)
     // 3 blocks, nodes 0..59 assigned round-robin; random edges strictly
