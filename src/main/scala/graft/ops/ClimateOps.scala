@@ -50,6 +50,39 @@ object ClimateOps {
   def depthIntegral(df: DataFrame, keys: Seq[Column], v: Column, dz: Column): DataFrame =
     df.groupBy(keys: _*).agg(Exact.dsum(v * dz).as("zint"))
 
+  /** Per-group ordinary-least-squares trend of `v` against integer time
+    * `t` (e.g. year): the linear rate of change per cell — the standard
+    * post-processing "trend map" over a climatology period. Closed-form
+    * sums formulation, one shuffle:
+    *   slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)
+    *   icept = (Σv − slope·Σt) / n
+    * Σt and Σt² are exact integer sums; Σv and Σtv are decimal-exact
+    * ([[Exact.dsum]] — t·v is an IEEE-exact double product for integer
+    * t); the final arithmetic is a fixed chain of IEEE double ops, so
+    * both engines agree bit-for-bit. Groups with fewer than two distinct
+    * t values are dropped (the denominator would be 0, and Spark/DuckDB
+    * disagree on double x/0). */
+  def olsTrend(df: DataFrame, keys: Seq[Column], t: Column, v: Column): DataFrame = {
+    val n = col("__n").cast("double")
+    val st = col("__st").cast("double")
+    val stt = col("__stt").cast("double")
+    // restrict to rows where v is present BEFORE summing t, or Σt would
+    // count observations that Σv skips and the slope would tilt
+    df.filter(v.isNotNull).groupBy(keys: _*)
+      .agg(
+        count(v).as("__n"),
+        sum(t.cast("long")).as("__st"),
+        sum(t.cast("long") * t.cast("long")).as("__stt"),
+        Exact.dsum(v).as("__sv"),
+        Exact.dsum(t.cast("double") * v).as("__stv"),
+        countDistinct(t).as("__nt"))
+      .filter(col("__nt") >= 2)
+      .withColumn("slope",
+        (n * col("__stv") - st * col("__sv")) / (n * stt - st * st))
+      .withColumn("icept", (col("__sv") - col("slope") * st) / n)
+      .drop("__n", "__st", "__stt", "__sv", "__stv", "__nt")
+  }
+
   /** Replicate each cell to its own basin AND the global basin — the
     * hfbasin grouping-set pattern (app_functions.py:383-413: a cell
     * contributes to its basin and to 'global'). */

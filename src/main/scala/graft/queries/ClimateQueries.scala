@@ -449,6 +449,101 @@ object ClimateQueries extends QueryGroup {
              ELSE (lon2d + lon_x) / 2.0e0 END AS lon_e
       FROM b ORDER BY j, i"""))
 
+  /** Monthly anomaly against the monthly climatology per cell: the
+    * per-(yr,mon,y,x) mean minus the all-years (mon,y,x) climatological
+    * mean (axm_timeshot 'clim' semantics applied per cell, then the
+    * standard anomaly subtraction). Both means are decimal-exact davg's
+    * of the same rows, and subtraction of two identical doubles is
+    * IEEE-exact, so the anomaly matches bit-for-bit. The climatology
+    * side is tiny (12·|y|·|x| rows) and broadcast back. */
+  private val q82 = Q(
+    "q82_anomaly",
+    (s, dir) => {
+      import s.implicits._
+      val g = Tables(s, dir, "lineitem").select(
+        year($"l_shipdate").as("yr"), month($"l_shipdate").as("mon"),
+        ($"l_suppkey" % 20).cast("int").as("y"),
+        ($"l_partkey" % 20).cast("int").as("x"),
+        $"l_quantity".as("v"))
+      val monthly = g.groupBy($"yr", $"mon", $"y", $"x")
+        .agg(davg($"v").as("mmean"))
+      val clim = g.groupBy($"mon", $"y", $"x").agg(davg($"v").as("cmean"))
+      monthly.join(broadcast(clim), Seq("mon", "y", "x"))
+        .select($"yr", $"mon", $"y", $"x", $"mmean", $"cmean",
+          ($"mmean" - $"cmean").as("anomaly"))
+        .orderBy($"yr", $"mon", $"y", $"x")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT CAST(date_part('year', l_shipdate) AS INT) AS yr,
+               CAST(date_part('month', l_shipdate) AS INT) AS mon,
+               CAST(l_suppkey % 20 AS INT) AS y,
+               CAST(l_partkey % 20 AS INT) AS x,
+               l_quantity AS v
+        FROM lineitem),
+      m AS (SELECT yr, mon, y, x, ${sqlAvg("v")} AS mmean
+            FROM g GROUP BY yr, mon, y, x),
+      c AS (SELECT mon, y, x, ${sqlAvg("v")} AS cmean
+            FROM g GROUP BY mon, y, x)
+      SELECT yr, mon, y, x, mmean, cmean, mmean - cmean AS anomaly
+      FROM m JOIN c USING (mon, y, x)
+      ORDER BY yr, mon, y, x"""))
+
+  /** Per-cell OLS trend of the yearly mean — the trend map
+    * (ClimateOps.olsTrend; closed-form sums, one shuffle per agg). */
+  private val q83 = Q(
+    "q83_trend_map",
+    (s, dir) => {
+      import s.implicits._
+      val yearly = grid(s, dir)
+        .groupBy($"y", $"x", $"yr").agg(davg($"v").as("ymean"))
+      ClimateOps.olsTrend(yearly, Seq($"y", $"x"), $"yr", $"ymean")
+        .orderBy($"y", $"x")
+    },
+    Some(s"""
+      WITH $gridSql,
+      yearly AS (
+        SELECT y, x, yr, ${sqlAvg("v")} AS ymean
+        FROM grid GROUP BY y, x, yr),
+      sums AS (
+        SELECT y, x,
+          CAST(COUNT(ymean) AS DOUBLE) AS n,
+          CAST(SUM(CAST(yr AS BIGINT)) AS DOUBLE) AS st,
+          CAST(SUM(CAST(yr AS BIGINT) * CAST(yr AS BIGINT)) AS DOUBLE) AS stt,
+          ${sqlSum("ymean")} AS sv,
+          ${sqlSum("CAST(yr AS DOUBLE) * ymean")} AS stv,
+          COUNT(DISTINCT yr) AS nt
+        FROM yearly WHERE ymean IS NOT NULL GROUP BY y, x)
+      SELECT y, x,
+        (n * stv - st * sv) / (n * stt - st * st) AS slope,
+        (sv - ((n * stv - st * sv) / (n * stt - st * st)) * st) / n AS icept
+      FROM sums WHERE nt >= 2
+      ORDER BY y, x"""))
+
+  /** Conservative 2x coarsening regrid: area-weighted mean of each 2x2
+    * source block into the target cell — the horizontal-remap analog of
+    * the reference's ancillary regridding, kept exact by the decimal
+    * weighted mean. Pure map-side re-key + one agg shuffle. */
+  private val q84 = Q(
+    "q84_regrid_coarsen",
+    (s, dir) => {
+      import s.implicits._
+      grid(s, dir)
+        .groupBy($"yr", expr("CAST(y / 2 AS INT)").as("yy"),
+          expr("CAST(x / 2 AS INT)").as("xx"))
+        .agg(ClimateOps.weightedMean($"v", wCol).as("vmean"),
+          dsum(wCol).as("warea"))
+        .orderBy($"yr", $"yy", $"xx")
+    },
+    Some(s"""
+      WITH $gridSql
+      SELECT yr, CAST(y // 2 AS INT) AS yy, CAST(x // 2 AS INT) AS xx,
+        ${sqlSum(s"v * $wSql")} /
+          SUM(CAST(CASE WHEN v IS NOT NULL THEN $wSql END AS DECIMAL(18,6)))
+            ::DOUBLE AS vmean,
+        ${sqlSum(wSql)} AS warea
+      FROM grid GROUP BY 1, 2, 3 ORDER BY yr, yy, xx"""))
+
   def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35b)
+    q28, q29, q30, q31, q32, q33, q34, q35b, q82, q83, q84)
 }

@@ -69,6 +69,17 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m - (2.0 * 1 + 4.0 * 3) / 4.0) < 1e-12)
   }
 
+  test("ClimateOps.olsTrend recovers an exact line and drops degenerate groups") {
+    val df = Seq(
+      // cell A: v = 2t + 1 exactly -> slope 2, intercept 1
+      ("A", 2000, 4001.0), ("A", 2001, 4003.0), ("A", 2002, 4005.0),
+      // cell B: a single time value -> denominator 0, must be dropped
+      ("B", 2000, 1.0), ("B", 2000, 3.0)).toDF("cell", "t", "v")
+    val r = ClimateOps.olsTrend(df, Seq($"cell"), $"t", $"v")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(r == Seq(("A", 2.0, 1.0)))
+  }
+
   test("TextOps shingles + minhash are deterministic and order-free") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
       .toDF("doc_id", "text")
