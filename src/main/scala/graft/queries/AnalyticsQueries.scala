@@ -105,5 +105,84 @@ object AnalyticsQueries extends QueryGroup {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67)
+  /** Ordered funnel: users reaching signup -> view-after-signup ->
+    * purchase-after-view, each stage the earliest qualifying event at or
+    * after the previous stage's time. Composed as three filtered
+    * min-aggregations chained by equi-joins on user — each stage's
+    * frame is |users| rows, so the joins stay broadcast-size even when
+    * the event log is the 100 TB side (one scan per stage, no window
+    * over the full log). Timestamps compare at microseconds on both
+    * engines (Tables truncates the nanos parquet; the oracle casts
+    * TIMESTAMP_NS to DuckDB's microsecond TIMESTAMP). */
+  private val q85 = Q(
+    "q85_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "view")
+        .join(s1, Seq("user_id")).filter($"ts" >= $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(s2, Seq("user_id")).filter($"ts" >= $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      def stageCount(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(label).as("stage"), $"n_users")
+      stageCount(s1, "1_signup")
+        .unionByName(stageCount(s2, "2_view"))
+        .unionByName(stageCount(s3, "3_purchase"))
+        .orderBy($"stage")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS t1 FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.ts >= t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts >= t2 GROUP BY e.user_id)
+      SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+      ORDER BY stage"""))
+
+  /** Cohort retention: users bucketed by first-active day (integer
+    * epoch-day key — no calendar arithmetic to disagree on), and for
+    * each (cohort, day offset) the count of cohort users active that
+    * day. The distinct (user, day) activity set is the only big
+    * shuffle; the per-user cohort frame joins back on user. */
+  private val q86 = Q(
+    "q86_cohort_retention",
+    (s, dir) => {
+      import s.implicits._
+      val act = Tables(s, dir, "events")
+        .select($"user_id",
+          datediff($"ts".cast("date"), lit("1970-01-01").cast("date"))
+            .cast("int").as("dk"))
+        .distinct()
+      val cohort = act.groupBy($"user_id").agg(min($"dk").as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy($"cohort_day", ($"dk" - $"cohort_day").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS dk
+        FROM events),
+      cohort AS (SELECT user_id, MIN(dk) AS cohort_day FROM act GROUP BY user_id)
+      SELECT cohort_day, dk - cohort_day AS day_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM act JOIN cohort USING (user_id)
+      GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86)
 }

@@ -61,6 +61,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Exchange") <= 2, p)
   }
 
+  test("q78 repetition metrics partial-aggregate on both groupBy levels") {
+    val p = planOf("q78_repetition")
+    // two cascaded aggs, each split partial+final -> 4 HashAggregates,
+    // and only the (doc, ngram) and (doc) exchanges plus the sort
+    assert(nodeCount(p, "HashAggregate") == 4, p)
+    assert(nodeCount(p, "Exchange") <= 3, p)
+  }
+
+  test("q80 tf-idf pushes its top-k rank into the shuffle and broadcasts df/N") {
+    val p = planOf("q80_tfidf_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q82 broadcasts the climatology side back onto the monthly frame") {
+    val p = planOf("q82_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q85 funnel never windows the raw event log (per-stage aggs only)") {
+    val p = planOf("q85_funnel")
+    assert(!p.contains("WindowExec") && !p.contains("(\\d+) Window"), p)
+  }
+
   test("LowerPow rewrites small integer pow to a bit-identical multiply chain") {
     import spark.implicits._
     spark.experimental.extraOptimizations = Seq(LowerPow)
