@@ -184,5 +184,31 @@ object AnalyticsQueries extends QueryGroup {
       GROUP BY cohort_day, day_offset
       ORDER BY cohort_day, day_offset"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86)
+  /** Semi-structured column extraction: pull a typed field out of the
+    * JSON `props` string per event and aggregate it — the JSON-column
+    * surface (the reference keeps JSON in config only; an event
+    * pipeline has it in the data). Extraction is per-row map-side
+    * (inside codegen); integer sums stay exact. */
+  private val q87 = Q(
+    "q87_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n"), sum($"k").as("k_sum"),
+          min($"k").as("k_min"), max($"k").as("k_max"))
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events)
+      SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+        CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+      FROM p GROUP BY event_type ORDER BY event_type"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87)
 }

@@ -169,5 +169,41 @@ object CorpusQueries extends QueryGroup {
       WHERE n_shared >= 3
       ORDER BY test_doc, train_doc"""))
 
-  def queries: Seq[Q] = Seq(q78, q79, q80, q81)
+  /** Sliding-window document chunking: overlapping token windows of 32
+    * with stride 16 — the chunking stage that turns documents into
+    * model-context pieces. One generator explode per doc (map-side; no
+    * shuffle except the presentation sort), with each chunk
+    * content-addressed by the cross-engine hash so chunks dedupe
+    * downstream exactly like documents do. */
+  private val q88 = Q(
+    "q88_chunk_windows",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("ts"))
+        .withColumn("n", size($"ts"))
+        .filter($"n" >= 1)
+        .select($"doc_id", $"ts",
+          explode(expr("sequence(0, (n - 1) div 16)")).as("chunk_id"))
+        .select($"doc_id", $"chunk_id".cast("int").as("chunk_id"),
+          expr("slice(ts, CAST(chunk_id * 16 + 1 AS INT), 32)").as("chunk"))
+        .select($"doc_id", $"chunk_id",
+          size($"chunk").as("chunk_len"),
+          TextOps.h64(array_join($"chunk", " ")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      c AS (SELECT doc_id, ts,
+              unnest(generate_series(0, (len(ts) - 1) // 16)) AS chunk_id
+            FROM t WHERE len(ts) >= 1),
+      ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               list_slice(ts, chunk_id * 16 + 1, chunk_id * 16 + 32) AS chunk
+             FROM c)
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS chunk_len,
+        ${TextOps.h64Sql("array_to_string(chunk, ' ')")} AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_id"""))
+
+  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88)
 }
