@@ -78,6 +78,28 @@ class TextOpsSpec extends SparkSpec {
       ("B", 6L, 6L, 0L, 6L)))
   }
 
+  test("packSequences matches a naive driver fold on randomized input (seeded)") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 200L).map { id =>
+      val n = 1 + rnd.nextInt(40) // 1..40 tokens; budget 25 forces splits
+      (id, Seq.fill(n)("t").mkString(" "), s"s${rnd.nextInt(4)}")
+    }
+    val df = docs.toDF("doc_id", "text", "source")
+    val got = TextOps.packSequences(df, budget = 25L)
+      .orderBy($"source", $"doc_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expected = docs.map { case (id, text, src) =>
+      (src, id, text.split("\\s+").length.toLong)
+    }.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var fill = 0L; var seq = -1L
+      rows.sortBy(_._2).map { case (_, id, n) =>
+        if (seq < 0L || fill + n > 25L) { seq += 1; fill = n } else fill += n
+        (src, id, n, seq, fill)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+  }
+
   test("contamination counts shared distinct n-grams and caps hot ones") {
     // hash stand-ins: h=99 appears in every doc (boilerplate, capped out)
     val test = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 99L), (2L, 20L), (2L, 99L))
