@@ -71,6 +71,24 @@ object WindowOps {
       .agg((Exact.dsum(value) / count(lit(1))).as("median"))
   }
 
+  /** Exact per-group quantile ladder by the nearest-rank (lower) rule:
+    * the q-quantile is the element at rank ceil(q·n) under a total
+    * order — an actual data element, never an interpolation, so every
+    * engine returns the identical value (percentile built-ins differ in
+    * interpolation rules). One ranking window reused for all requested
+    * quantiles (the q list explodes against the ranked rows map-side).
+    * Output: keys + (q, qvalue), one row per group per quantile. */
+  def exactQuantiles(df: DataFrame, keys: Seq[Column], value: Column,
+      tieBreak: Column, qs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(value.asc, tieBreak.asc)
+    val wAll = Window.partitionBy(keys: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("__rn") === greatest(lit(1L), ceil(col("q") * col("__n"))))
+      .select(keys ++ Seq(col("q"), value.as("qvalue")): _*)
+  }
+
   /** Midpoint cell bounds over an ordered 1-D coordinate with extrapolated
     * ends (mop_utils.py:714-724: bounds are neighbor midpoints; first/last
     * extend by half the adjacent spacing), optionally clamped (the

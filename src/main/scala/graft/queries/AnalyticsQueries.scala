@@ -210,5 +210,54 @@ object AnalyticsQueries extends QueryGroup {
         CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
       FROM p GROUP BY event_type ORDER BY event_type"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87)
+  /** Exact quantile ladder (p25/p50/p75) per group by the nearest-rank
+    * rule — real data elements under a total order, engine-identical
+    * (WindowOps.exactQuantiles; q67 covers the averaged exact median). */
+  private val q89 = Q(
+    "q89_quantile_ladder",
+    (s, dir) => {
+      import s.implicits._
+      WindowOps.exactQuantiles(
+          Tables(s, dir, "lineitem"),
+          Seq($"l_returnflag"), $"l_extendedprice",
+          $"l_orderkey" * 10 + $"l_linenumber",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy($"l_returnflag", $"q")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      qs AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0]) AS q)
+      SELECT l_returnflag, q, l_extendedprice AS qvalue
+      FROM r, qs WHERE rn = GREATEST(1, CEIL(q * n))
+      ORDER BY l_returnflag, q"""))
+
+  /** Pivot: per-user event-type counts spread into columns (explicit
+    * value list so the output schema is static and engine-identical;
+    * absent combinations are 0, matching the CASE-sum oracle). */
+  private val q90 = Q(
+    "q90_pivot_counts",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90)
 }
