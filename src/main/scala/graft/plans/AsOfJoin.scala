@@ -31,6 +31,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * one exchange per side (the same shape as SortMergeJoin) and the
   * merge itself is a streaming single pass per partition — no window
   * buffering, no union, state = one held right row.
+  *
+  * Precondition: the right side must not carry duplicate (key, time)
+  * rows — the required ordering is (key, time) only, so which duplicate
+  * the merge consumes last is partition-order dependent (the same
+  * unspecified behavior as pandas merge_asof / DuckDB ASOF on ties).
+  * Deduplicate the right side first when ties are possible; the
+  * streaming twin (streaming/StreamAsOf) instead tie-breaks by id.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,

@@ -188,7 +188,10 @@ object AnalyticsQueries extends QueryGroup {
     * JSON `props` string per event and aggregate it — the JSON-column
     * surface (the reference keeps JSON in config only; an event
     * pipeline has it in the data). Extraction is per-row map-side
-    * (inside codegen); integer sums stay exact. */
+    * (inside codegen); integer sums stay exact. The oracle uses
+    * TRY_CAST so a non-integral field value nulls out on both engines
+    * (Spark's non-ANSI cast nulls; a plain DuckDB CAST would round or
+    * throw) — equivalence by construction, not by data luck. */
   private val q87 = Q(
     "q87_json_extract",
     (s, dir) => {
@@ -204,7 +207,7 @@ object AnalyticsQueries extends QueryGroup {
     Some("""
       WITH p AS (
         SELECT event_type,
-          CAST(json_extract_string(props, '$.k') AS INT) AS k
+          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
         FROM events)
       SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
         CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max

@@ -452,10 +452,12 @@ object ClimateQueries extends QueryGroup {
   /** Monthly anomaly against the monthly climatology per cell: the
     * per-(yr,mon,y,x) mean minus the all-years (mon,y,x) climatological
     * mean (axm_timeshot 'clim' semantics applied per cell, then the
-    * standard anomaly subtraction). Both means are decimal-exact davg's
-    * of the same rows, and subtraction of two identical doubles is
-    * IEEE-exact, so the anomaly matches bit-for-bit. The climatology
-    * side is tiny (12·|y|·|x| rows) and broadcast back. */
+    * standard anomaly subtraction). ONE scan of the fact table: the
+    * monthly partials keep their decimal sum + count, and the
+    * climatology re-aggregates those partials (decimal addition is
+    * associative, so cmean is bit-identical to a direct pass over the
+    * raw rows). The climatology side is tiny (12·|y|·|x| rows) and
+    * broadcast back. */
   private val q82 = Q(
     "q82_anomaly",
     (s, dir) => {
@@ -466,9 +468,14 @@ object ClimateQueries extends QueryGroup {
         ($"l_partkey" % 20).cast("int").as("x"),
         $"l_quantity".as("v"))
       val monthly = g.groupBy($"yr", $"mon", $"y", $"x")
-        .agg(davg($"v").as("mmean"))
-      val clim = g.groupBy($"mon", $"y", $"x").agg(davg($"v").as("cmean"))
-      monthly.join(broadcast(clim), Seq("mon", "y", "x"))
+        .agg(sum($"v".cast("decimal(18,6)")).as("__s"),
+          count($"v").as("__c"))
+      val clim = monthly.groupBy($"mon", $"y", $"x")
+        .agg((sum($"__s").cast("double") / sum($"__c")).as("cmean"))
+      monthly
+        .select($"yr", $"mon", $"y", $"x",
+          ($"__s".cast("double") / $"__c").as("mmean"))
+        .join(broadcast(clim), Seq("mon", "y", "x"))
         .select($"yr", $"mon", $"y", $"x", $"mmean", $"cmean",
           ($"mmean" - $"cmean").as("anomaly"))
         .orderBy($"yr", $"mon", $"y", $"x")
@@ -481,11 +488,14 @@ object ClimateQueries extends QueryGroup {
                CAST(l_partkey % 20 AS INT) AS x,
                l_quantity AS v
         FROM lineitem),
-      m AS (SELECT yr, mon, y, x, ${sqlAvg("v")} AS mmean
+      m AS (SELECT yr, mon, y, x,
+              SUM(CAST(v AS DECIMAL(18,6))) AS s, COUNT(v) AS c
             FROM g GROUP BY yr, mon, y, x),
-      c AS (SELECT mon, y, x, ${sqlAvg("v")} AS cmean
-            FROM g GROUP BY mon, y, x)
-      SELECT yr, mon, y, x, mmean, cmean, mmean - cmean AS anomaly
+      c AS (SELECT mon, y, x,
+              CAST(SUM(s) AS DOUBLE) / SUM(c) AS cmean
+            FROM m GROUP BY mon, y, x)
+      SELECT yr, mon, y, x, CAST(s AS DOUBLE) / c AS mmean, cmean,
+        CAST(s AS DOUBLE) / c - cmean AS anomaly
       FROM m JOIN c USING (mon, y, x)
       ORDER BY yr, mon, y, x"""))
 

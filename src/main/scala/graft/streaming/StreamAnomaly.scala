@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
 object StreamAnomaly {
 
   /** `clim` carries (key, cmean). Works on streaming and static frames
-    * alike — batch/stream parity is StreamAnomalySpec's contract. */
+    * alike — batch/stream parity is StreamAnomalySpec's contract.
+    * LEFT join: a key the climatology doesn't know yet (a new sensor
+    * before the next redeploy) still surfaces, with null cmean/anomaly
+    * — an anomaly detector must not silently swallow unknown keys. */
   def anomalies(df: DataFrame, tsCol: Column, key: Column, value: Column,
       clim: DataFrame, seconds: Long,
       watermark: String = "1 hour"): DataFrame =
     StreamResample.resample(df, tsCol, Seq(key.as("key")), value,
         seconds, watermark, stats = Seq("mean", "count"))
-      .join(broadcast(clim), Seq("key"))
+      .join(broadcast(clim), Seq("key"), "left")
       .withColumn("anomaly", col("mean") - col("cmean"))
 }

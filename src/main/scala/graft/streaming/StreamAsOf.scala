@@ -31,13 +31,18 @@ final case class LastRight(tsUs: Long, value: Double)
   * structurally: one [[LastRight]] per key (two longs), independent of
   * rate or watermark, vs a watermark-sized buffer of right rows.
   *
-  * Contract (same as the other custom-state operators here): per-key
-  * in-order delivery across micro-batches — the watermark guarantee;
-  * inside a batch events are sorted by (time, right-before-left, id),
-  * so an equal-timestamp right row is visible to the left row that
-  * carries the same time, matching the batch operator's `<=`.
-  * StreamAsOfSpec pins batch parity including state carried across
-  * micro-batches.
+  * Contract: inside a batch events are sorted by (time,
+  * right-before-left, id), so an equal-timestamp right row is visible
+  * to the left row that carries the same time, matching the batch
+  * operator's `<=`, and duplicate-(key, time) right rows resolve
+  * deterministically by id (the batch operator requires they not
+  * exist). Across micro-batches the fold guards against stragglers
+  * instead of trusting delivery order: a right row older than the one
+  * already in state never overwrites it, and a left row older than the
+  * held right row emits null-extended rather than matching an event
+  * from its own future — late data degrades to "no match", never to a
+  * wrong match. StreamAsOfSpec pins batch parity including state
+  * carried across micro-batches.
   */
 object StreamAsOf {
 
@@ -64,9 +69,18 @@ object StreamAsOf {
       val out = Seq.newBuilder[AsOfOut]
       var last = state.getOption
       sorted.foreach { e =>
-        if (e.side == "R") last = Some(LastRight(usOf(e.ts), e.value))
-        else out += AsOfOut(key, e.id, e.ts, e.value,
-          last.map(r => tsOf(r.tsUs)), last.map(_.value))
+        if (e.side == "R") {
+          // a straggling right row older than the held one must not
+          // roll state backwards
+          if (!last.exists(_.tsUs > usOf(e.ts)))
+            last = Some(LastRight(usOf(e.ts), e.value))
+        } else {
+          // a straggling left row older than the held right row would
+          // otherwise match an event from its own future — null-extend
+          val m = last.filter(_.tsUs <= usOf(e.ts))
+          out += AsOfOut(key, e.id, e.ts, e.value,
+            m.map(r => tsOf(r.tsUs)), m.map(_.value))
+        }
       }
       last.foreach(state.update)
       out.result().iterator

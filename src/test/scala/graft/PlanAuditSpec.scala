@@ -83,7 +83,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q85 funnel never windows the raw event log (per-stage aggs only)") {
     val p = planOf("q85_funnel")
-    assert(!p.contains("WindowExec") && !p.contains("(\\d+) Window"), p)
+    assert(nodeCount(p, "Window") == 0, p)
   }
 
   test("LowerPow rewrites small integer pow to a bit-identical multiply chain") {

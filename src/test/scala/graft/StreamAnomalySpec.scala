@@ -16,7 +16,8 @@ class StreamAnomalySpec extends SparkSpec {
       ("2024-01-01 05:00:00", "a", 1.0),
       ("2024-01-01 05:10:00", "a", 3.0),
       ("2024-01-01 07:00:00", "a", 9.0),
-      ("2024-01-01 05:30:00", "b", 4.0))
+      ("2024-01-01 05:30:00", "b", 4.0),
+      ("2024-01-01 05:40:00", "c", 2.0)) // key unknown to the climatology
     val static = rows.toDF("t", "k", "v").withColumn("t", $"t".cast("timestamp"))
     val clim = Seq(("a", 1.5), ("b", 5.0)).toDF("key", "cmean")
 
@@ -27,17 +28,20 @@ class StreamAnomalySpec extends SparkSpec {
       .select($"key", date_format($"label", "yyyy-MM-dd HH:mm:ss").as("l"),
         $"mean", $"cmean", $"anomaly", $"count")
       .orderBy($"key", $"l")
-      .as[(String, String, Double, Double, Double, Long)].collect().toSeq
+      .as[(String, String, Double, Option[Double], Option[Double], Long)]
+      .collect().toSeq
 
     val batchOut = shape(StreamAnomaly.anomalies(
       static, $"t", $"k", $"v", clim, seconds = 3600))
     // closed-right ownership: 05:00:00 and 07:00:00 sit on boundaries and
-    // belong to the EARLIER hourly bucket (mid labels 04:30 / 06:30)
+    // belong to the EARLIER hourly bucket (mid labels 04:30 / 06:30);
+    // the unknown key surfaces with null cmean/anomaly (left join)
     assert(batchOut == Seq(
-      ("a", "2024-01-01 04:30:00", 1.0, 1.5, -0.5, 1L),
-      ("a", "2024-01-01 05:30:00", 3.0, 1.5, 1.5, 1L),
-      ("a", "2024-01-01 06:30:00", 9.0, 1.5, 7.5, 1L),
-      ("b", "2024-01-01 05:30:00", 4.0, 5.0, -1.0, 1L)))
+      ("a", "2024-01-01 04:30:00", 1.0, Some(1.5), Some(-0.5), 1L),
+      ("a", "2024-01-01 05:30:00", 3.0, Some(1.5), Some(1.5), 1L),
+      ("a", "2024-01-01 06:30:00", 9.0, Some(1.5), Some(7.5), 1L),
+      ("b", "2024-01-01 05:30:00", 4.0, Some(5.0), Some(-1.0), 1L),
+      ("c", "2024-01-01 05:30:00", 2.0, None, None, 1L)))
 
     val stream = spark.readStream.schema(static.schema).parquet(dir)
     val q = StreamAnomaly.anomalies(stream, $"t", $"k", $"v", clim, seconds = 3600)

@@ -62,4 +62,29 @@ class StreamAsOfSpec extends SparkSpec {
     // from the previous micro-batch
     assert(streamed.exists(r => r._2 == 4L && r._6.contains(20.0)))
   }
+
+  test("cross-batch stragglers degrade to no-match, never a wrong match") {
+    val in = MemoryStream[AsOfEvent]
+    val q = StreamAsOf.backward(in.toDS())
+      .writeStream.format("memory").queryName("sao_late")
+      .outputMode("append").start()
+    try {
+      in.addData(AsOfEvent("a", ts("2024-01-01 09:00:00"), "R", 200L, 9.0))
+      q.processAllAvailable()
+      in.addData(
+        // late left: older than the held right -> must NOT match 09:00
+        AsOfEvent("a", ts("2024-01-01 08:00:00"), "L", 10L, 1.0),
+        // late right: older than state -> must NOT roll state back
+        AsOfEvent("a", ts("2024-01-01 07:00:00"), "R", 201L, 7.0))
+      q.processAllAvailable()
+      in.addData(AsOfEvent("a", ts("2024-01-01 09:30:00"), "L", 11L, 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("sao_late")
+      .orderBy($"l_id").as[Row6].collect().toSeq
+    assert(rows.map(r => (r._2, r._6)) == Seq(
+      (10L, None),        // null-extended, not matched to the future 09:00
+      (11L, Some(9.0))))  // state still holds 09:00, not the stale 07:00
+  }
 }
