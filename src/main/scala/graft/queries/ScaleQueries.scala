@@ -50,5 +50,30 @@ object ScaleQueries extends QueryGroup {
         ORDER BY key"""
     })
 
-  def queries: Seq[Q] = Seq(q73, q74)
+  /** Bloom-prefiltered semi join (ops/Bloom): the small side (orders
+    * above a price threshold) compiles to a broadcast bitset that
+    * drops non-matching lineitem rows before the shuffle; the exact
+    * semi join over survivors removes the false positives, so the
+    * oracle is the plain IN-subquery — the runtime-filter pattern with
+    * a correctness guarantee instead of a statistics threshold. */
+  private val q91 = Q(
+    "q91_bloom_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val hot = Tables(s, dir, "orders")
+        .filter($"o_totalprice" > 400000.0).select($"o_orderkey")
+      graft.ops.Bloom.semiJoin(
+          Tables(s, dir, "lineitem")
+            .select($"l_orderkey", $"l_linenumber", $"l_quantity"),
+          hot, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_totalprice > 400000.0e0)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  def queries: Seq[Q] = Seq(q73, q74, q91)
 }

@@ -61,4 +61,20 @@ class SkewSketchSpec extends SparkSpec {
       .orderBy($"key").as[(String, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("bloom semiJoin equals the plain semi join and the prefilter prunes") {
+    val big = spark.range(0, 5000).toDF("k")
+      .select($"k", ($"k" % 13).cast("double").as("v"))
+    val small = spark.range(0, 5000).toDF("s")
+      .filter($"s" % 100 === 0) // 50 of 5000 keys match
+    val exact = big.join(small.select($"s".as("k")), Seq("k"), "left_semi")
+      .orderBy($"k").as[(Long, Double)].collect().toSeq
+    val bloomed = graft.ops.Bloom.semiJoin(big, small, "k", "s",
+        expectedItems = 1000L)
+      .orderBy($"k").as[(Long, Double)].collect().toSeq
+    assert(bloomed == exact)
+    // the prefilter keeps every match and drops most non-matches
+    val pre = graft.ops.Bloom.prefilter(big, small, "k", "s", 1000L).count()
+    assert(pre >= exact.size && pre < 5000L / 2, s"prefiltered to $pre")
+  }
 }
