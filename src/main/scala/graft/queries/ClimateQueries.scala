@@ -554,6 +554,50 @@ object ClimateQueries extends QueryGroup {
         ${sqlSum(wSql)} AS warea
       FROM grid GROUP BY 1, 2, 3 ORDER BY yr, yy, xx"""))
 
+  /** Cell areas from latitude bounds — `areacella`, one of the
+    * functions the reference's catalog CALLS but never defines
+    * (master_map.csv rows like `areacella(144)`; SURVEY §0): bounds are
+    * the reference's clamped midpoints (WindowOps.midpointBounds), the
+    * spherical-zone fraction is Δλ/360 · (sin φ_hi − sin φ_lo)/2, and
+    * the absolute area scales by 4πR². sin is libm-dependent in the
+    * last ulp, so the fraction is rounded to 10 decimals (the values
+    * are O(1e-3); the documented transcendental contract) before the
+    * exact scale-up. */
+  private val q92 = Q(
+    "q92_areacella",
+    (s, dir) => {
+      import s.implicits._
+      val lats = s.range(0, 20)
+        .select((lit(-85.5) + $"id".cast("int") * lit(9.0)).as("lat"))
+      val b = WindowOps.midpointBounds(lats, "lat",
+        clampLo = Some(-90.0), clampHi = Some(90.0))
+      b.select($"lat", $"bnd_lo", $"bnd_hi",
+          round((sin($"bnd_hi" * lit(math.Pi) / 180.0) -
+                 sin($"bnd_lo" * lit(math.Pi) / 180.0)) *
+            lit(18.0 / 360.0) / 2.0, 10).as("area_frac"))
+        .withColumn("area_m2",
+          round($"area_frac" * lit(4.0 * math.Pi * 6371000.0 * 6371000.0), 0))
+        .orderBy($"lat")
+    },
+    Some("""
+      WITH lats AS (
+        SELECT -85.5e0 + CAST(unnest(generate_series(0, 19)) AS INT) * 9.0e0 AS lat),
+      w AS (SELECT lat, LAG(lat) OVER (ORDER BY lat) AS p,
+                   LEAD(lat) OVER (ORDER BY lat) AS n FROM lats),
+      b AS (SELECT lat,
+        LEAST(GREATEST(CASE WHEN p IS NULL THEN lat - (n - lat) / 2.0e0
+                            ELSE (p + lat) / 2.0e0 END, -90.0e0), 90.0e0) AS bnd_lo,
+        LEAST(GREATEST(CASE WHEN n IS NULL THEN lat + (lat - p) / 2.0e0
+                            ELSE (lat + n) / 2.0e0 END, -90.0e0), 90.0e0) AS bnd_hi
+        FROM w),
+      f AS (SELECT lat, bnd_lo, bnd_hi,
+        ROUND((SIN(bnd_hi * PI() / 180.0e0) - SIN(bnd_lo * PI() / 180.0e0)) *
+          (18.0e0 / 360.0e0) / 2.0e0, 10) AS area_frac
+        FROM b)
+      SELECT lat, bnd_lo, bnd_hi, area_frac,
+        ROUND(area_frac * (4.0e0 * PI() * 6371000.0e0 * 6371000.0e0), 0) AS area_m2
+      FROM f ORDER BY lat"""))
+
   def queries: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27,
-    q28, q29, q30, q31, q32, q33, q34, q35b, q82, q83, q84)
+    q28, q29, q30, q31, q32, q33, q34, q35b, q82, q83, q84, q92)
 }

@@ -69,6 +69,13 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(m - (2.0 * 1 + 4.0 * 3) / 4.0) < 1e-12)
   }
 
+  test("areacella fractions tile the sphere (q92 column x 20 longitudes = 1)") {
+    import graft.queries.{Registry => R}
+    val frac = R.runMap("q92_areacella")(spark, "/root/testdata/sf0.001")
+      .agg(sum($"area_frac")).as[Double].head()
+    assert(math.abs(frac * 20.0 - 1.0) < 1e-8, s"total fraction ${frac * 20}")
+  }
+
   test("ClimateOps.olsTrend recovers an exact line and drops degenerate groups") {
     val df = Seq(
       // cell A: v = 2t + 1 exactly -> slope 2, intercept 1
