@@ -88,5 +88,60 @@ object ResampleQueries extends QueryGroup {
       FROM orders
       GROUP BY 1 ORDER BY month"""))
 
-  def queries: Seq[Q] = Seq(q16, q17, q18)
+  /** Model-calendar monthly resample (ops/ModelCalendar): a synthetic
+    * model-day axis is bucketed by BOTH the 360-day and noleap month
+    * keys, with the calc_monsecs normalization (constant 30-day months
+    * under Day360). The calendar arithmetic is pure integer column
+    * math, so the DuckDB oracle mirrors it with // and % — the
+    * engine-owned calendars are oracle-checked, not just unit-spec'd. */
+  private val q93 = Q(
+    "q93_model_calendar_month",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.ModelCalendar
+      import graft.ops.ModelCalendar.{Day360, NoLeap}
+      val t = (($"l_orderkey" * 7 + $"l_linenumber") % 3600).cast("int")
+      Tables(s, dir, "lineitem")
+        .select(t.as("t"), $"l_quantity")
+        .select(
+          ModelCalendar.monthKey(
+            ModelCalendar.fromDaysSinceEpoch($"t", Day360)).as("mk360"),
+          ModelCalendar.monthKey(
+            ModelCalendar.fromDaysSinceEpoch($"t", NoLeap)).as("mk365"),
+          $"l_quantity")
+        .groupBy($"mk360", $"mk365")
+        .agg(count(lit(1)).as("n"),
+          (dsum($"l_quantity") / (30.0 * 86400.0)).as("monsec_mean"))
+        .orderBy($"mk360", $"mk365")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT CAST((l_orderkey * 7 + l_linenumber) % 3600 AS INT) AS t,
+               l_quantity
+        FROM lineitem),
+      keyed AS (
+        SELECT
+          (t // 360) * 100 + (t % 360) // 30 + 1 AS mk360,
+          (t // 365) * 100 +
+            (CASE WHEN t % 365 >= 334 THEN 12
+                  WHEN t % 365 >= 304 THEN 11
+                  WHEN t % 365 >= 273 THEN 10
+                  WHEN t % 365 >= 243 THEN 9
+                  WHEN t % 365 >= 212 THEN 8
+                  WHEN t % 365 >= 181 THEN 7
+                  WHEN t % 365 >= 151 THEN 6
+                  WHEN t % 365 >= 120 THEN 5
+                  WHEN t % 365 >= 90 THEN 4
+                  WHEN t % 365 >= 59 THEN 3
+                  WHEN t % 365 >= 31 THEN 2
+                  ELSE 1 END) AS mk365,
+          l_quantity
+        FROM m)
+      SELECT CAST(mk360 AS INT) AS mk360, CAST(mk365 AS INT) AS mk365,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ${sqlSum("l_quantity")} / (30.0e0 * 86400.0e0) AS monsec_mean
+      FROM keyed GROUP BY mk360, mk365
+      ORDER BY mk360, mk365"""))
+
+  def queries: Seq[Q] = Seq(q16, q17, q18, q93)
 }
