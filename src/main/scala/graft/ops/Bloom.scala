@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Bloom-prefiltered semi join — the runtime-filter pattern made
   * explicit: build a bloom filter over the small side's join keys
@@ -19,6 +20,12 @@ import org.apache.spark.sql.functions._
   * result is identical to the plain semi join — which is exactly what
   * the oracle checks.
   *
+  * Keys must be integral (the probe is mightContainLong; a string
+  * column would hash differently on insert and probe and silently drop
+  * matches — rejected up front instead). When `expectedItems <= 0` the
+  * small side is counted first, so the fpp holds at any scale factor
+  * instead of silently degrading past a hardcoded capacity.
+  *
   * The membership probe is a broadcast-closure UDF (the one place a
   * UDF earns its seat: Spark's might_contain expression is not
   * registered for public use, and the probe is a pure bitset lookup
@@ -26,27 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  def semiJoin(big: DataFrame, small: DataFrame,
-      bigKey: String, smallKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-    val bcast = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) =>
-      k != null && bcast.value.mightContainLong(k))
-    big.filter(might(col(bigKey)))
-      .join(small.select(col(smallKey).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
-  }
+  private def requireIntegral(df: DataFrame, c: String): Unit =
+    df.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case t => throw new IllegalArgumentException(
+        s"Bloom prefilter needs an integral key column; '$c' is $t")
+    }
 
-  /** The prefiltered frame alone (no completing join) — for measuring
-    * pruning and for pipelines that tolerate the fpp. */
+  /** The prefiltered big side alone (no completing join) — for
+    * measuring pruning and for pipelines that tolerate the fpp. */
   def prefilter(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    requireIntegral(big, bigKey)
+    requireIntegral(small, smallKey)
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(small.count(), 1L)
+    val bf = small.stat.bloomFilter(smallKey, n, fpp)
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>
       k != null && bcast.value.mightContainLong(k))
-    big.filter(might(col(bigKey)))
+    big.filter(might(col(bigKey).cast("long")))
   }
+
+  def semiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame =
+    prefilter(big, small, bigKey, smallKey, expectedItems, fpp)
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
 }

@@ -65,7 +65,7 @@ object ScaleQueries extends QueryGroup {
       graft.ops.Bloom.semiJoin(
           Tables(s, dir, "lineitem")
             .select($"l_orderkey", $"l_linenumber", $"l_quantity"),
-          hot, "l_orderkey", "o_orderkey", expectedItems = 100000L)
+          hot, "l_orderkey", "o_orderkey") // sized from the small side
         .orderBy($"l_orderkey", $"l_linenumber")
     },
     Some("""

@@ -73,7 +73,9 @@ class OpsSpec extends SparkSpec {
     import graft.queries.{Registry => R}
     val frac = R.runMap("q92_areacella")(spark, "/root/testdata/sf0.001")
       .agg(sum($"area_frac")).as[Double].head()
-    assert(math.abs(frac * 20.0 - 1.0) < 1e-8, s"total fraction ${frac * 20}")
+    // per-cell rounding at 1e-10 can accumulate to ~1e-8 over 20 cells;
+    // 1e-7 still catches any real geometry error (>= 5e-10 per cell)
+    assert(math.abs(frac * 20.0 - 1.0) < 1e-7, s"total fraction ${frac * 20}")
   }
 
   test("ClimateOps.olsTrend recovers an exact line and drops degenerate groups") {
