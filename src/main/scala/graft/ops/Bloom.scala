@@ -47,8 +47,11 @@ object Bloom {
       expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
     requireIntegral(big, bigKey)
     requireIntegral(small, smallKey)
-    val n = if (expectedItems > 0) expectedItems
-            else math.max(small.count(), 1L)
+    // count unconditionally: the small side is small by contract, and
+    // stat.bloomFilter NPEs on a fully empty frame (null aggregate)
+    val cnt = small.count()
+    if (cnt == 0L) return big.filter(lit(false))
+    val n = if (expectedItems > 0) expectedItems else cnt
     val bf = small.stat.bloomFilter(smallKey, n, fpp)
     val bcast = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>

@@ -42,6 +42,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(row == Seq((1L, 1L, 1L, 2.5)))
   }
 
+  test("bloom semi join with an empty small side and a non-integral key") {
+    val big = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String)].toDF("s", "w")
+    // empty build side -> empty result, no div-by-zero in sizing
+    assert(graft.ops.Bloom.semiJoin(big, none, "k", "s").count() == 0)
+    // string keys would silently hash-mismatch: rejected up front
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.prefilter(big, big, "v", "v")
+    }
+  }
+
+  test("exact quantiles on single-element and empty groups") {
+    import graft.ops.WindowOps
+    val one = Seq(("g", 7.0, 1L)).toDF("g", "v", "id")
+    val q = WindowOps.exactQuantiles(one, Seq($"g"), $"v", $"id",
+        Seq(0.25, 0.5, 0.75))
+      .as[(String, Double, Double)].collect().toSeq
+    // every quantile of a 1-element group is that element
+    assert(q == Seq(("g", 0.25, 7.0), ("g", 0.5, 7.0), ("g", 0.75, 7.0)))
+    val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    assert(WindowOps.exactQuantiles(empty, Seq($"g"), $"v", $"id",
+      Seq(0.5)).count() == 0)
+  }
+
   test("kmv and salted stats on empty and one-key input") {
     val empty = Seq.empty[(String, String)].toDF("key", "v")
     assert(Sketch.kmvDistinct(empty, $"key", $"v", 8).count() == 0)
