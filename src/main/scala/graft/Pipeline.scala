@@ -68,9 +68,14 @@ object Pipeline {
   def run(spark: SparkSession, raw: DataFrame, task: Task, root: String,
       keys: Seq[String] = Seq.empty): Either[String, String] =
     try {
+      // observe() rides the write job itself, so the status row's count
+      // costs nothing extra — re-reading the written files (or counting
+      // the frame up front) would scan every output row a second time
+      val obs = org.apache.spark.sql.Observation(s"sink_${task.id}")
       val out = frame(raw, task, keys)
+        .observe(obs, count(lit(1)).as("rows"))
       val dir = Sink.writeDrs(out, root, task.key, task.attrs)
-      val n = spark.read.parquet(dir).count()
+      val n = obs.get("rows").asInstanceOf[Long]
       Sink.appendStatus(spark, s"$root/_status", task.id, "processed", n)
       Right(dir)
     } catch {

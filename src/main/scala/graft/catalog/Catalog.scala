@@ -30,10 +30,12 @@ object Catalog {
   val freqLadder: Seq[String] =
     Seq("10min", "30min", "1hr", "3hr", "6hr", "day", "mon", "yr", "10yr")
 
-  private def freqRank = {
-    val m = freqLadder.zipWithIndex.toMap
-    udf((f: String) => m.getOrElse(f, Int.MaxValue))
-  }
+  /** Ladder position as a literal-map lookup, not a UDF: stays inside
+    * whole-stage codegen and keeps the resolve join's predicates
+    * optimizer-visible. Unknown frequencies rank last. */
+  private def freqRank(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(element_at(typedLit(freqLadder.zipWithIndex.toMap), c),
+      lit(Int.MaxValue))
 
   def mappings(spark: SparkSession, rows: Seq[Mapping]): DataFrame = {
     import spark.implicits._

@@ -42,14 +42,31 @@ object Sink {
     s"${k.variable}_${k.table}_${k.source}_${k.experiment}_${k.member}_${k.grid}_$s-$e.parquet"
   }
 
+  /** Vertical-direction inference (mop_utils.py:776-786): an explicit
+    * configured `up`/`down` wins; otherwise keyword-sniff the CF
+    * standard name. The Column twin is
+    * [[graft.catalog.Axes.positiveDir]]. */
+  def positiveOf(configured: Option[String],
+      standardName: Option[String]): Option[String] =
+    configured.filter(Set("up", "down")).orElse {
+      val s = standardName.getOrElse("None").toLowerCase
+      if (Seq("up", "outgoing", "out_of").exists(s.contains)) Some("up")
+      else if (Seq("down", "incoming", "into").exists(s.contains)) Some("down")
+      else None
+    }
+
   /** Write one output variable: partitioned parquet under the DRS path
-    * plus a JSON metadata sidecar with the CMOR-style attributes. */
+    * plus a JSON metadata sidecar with the CMOR-style attributes.
+    * Flux-like variables get their `positive` attribute inferred from
+    * the standard name when the catalog didn't set one. */
   def writeDrs(df: DataFrame, root: String, k: DrsKey,
-      attrs: Map[String, String], maxRecordsPerFile: Long = 5000000L): String = {
+      attrs0: Map[String, String], maxRecordsPerFile: Long = 5000000L): String = {
     val dir = s"$root/${drsPath(k)}"
     df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
+    val attrs = positiveOf(attrs0.get("positive"), attrs0.get("standard_name"))
+      .map(p => attrs0 + ("positive" -> p)).getOrElse(attrs0 - "positive")
     val json = (Map("variable" -> k.variable, "table" -> k.table) ++ attrs)
       .toSeq.sortBy(_._1)
       .map { case (key, v) => s""""$key": "${v.replace("\"", "\\\"")}"""" }

@@ -66,9 +66,10 @@ object ClimateOps {
     val n = col("__n").cast("double")
     val st = col("__st").cast("double")
     val stt = col("__stt").cast("double")
-    // restrict to rows where v is present BEFORE summing t, or Σt would
-    // count observations that Σv skips and the slope would tilt
-    df.filter(v.isNotNull).groupBy(keys: _*)
+    // restrict to rows where BOTH v and t are present BEFORE aggregating:
+    // a row missing either would increment n / one sum while the paired
+    // sums skip it, silently tilting the slope
+    df.filter(v.isNotNull && t.isNotNull).groupBy(keys: _*)
       .agg(
         count(v).as("__n"),
         sum(t.cast("long")).as("__st"),

@@ -90,13 +90,20 @@ object TextOps {
     * the pair join. A hot signature (boilerplate shared by millions of
     * docs) turns the candidate join quadratic in that bucket — the
     * classic LSH skew bomb at 100 TB — while carrying almost no
-    * similarity information. One extra windowed count, no extra
-    * shuffle beyond the (band, sig) partitioning the join needs anyway. */
+    * similarity information.
+    *
+    * Shape: groupBy → anti-join against the hot set, not a window
+    * partitioned by (band, sig). The groupBy partial-aggregates map-side
+    * and skips the per-partition sort a window needs; the hot set is
+    * ≤ |bands|/maxDocs rows (boilerplate sigs are rare by construction),
+    * so AQE converts the anti-join to broadcast at runtime — no forced
+    * hint, in case an adversarial corpus makes it large. */
   def capHotBands(bands: DataFrame, maxDocs: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))
-    bands.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") <= maxDocs)
-      .drop("__n")
+    val hot = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocs)
+      .select(col("band"), col("sig"))
+    bands.join(hot, Seq("band", "sig"), "left_anti")
   }
 
   /** Banded-LSH candidate pairs: distinct (d1 < d2) pairs sharing any

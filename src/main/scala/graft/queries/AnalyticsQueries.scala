@@ -188,10 +188,11 @@ object AnalyticsQueries extends QueryGroup {
     * JSON `props` string per event and aggregate it — the JSON-column
     * surface (the reference keeps JSON in config only; an event
     * pipeline has it in the data). Extraction is per-row map-side
-    * (inside codegen); integer sums stay exact. The oracle uses
-    * TRY_CAST so a non-integral field value nulls out on both engines
-    * (Spark's non-ANSI cast nulls; a plain DuckDB CAST would round or
-    * throw) — equivalence by construction, not by data luck. */
+    * (inside codegen); integer sums stay exact. Cast parity needs care:
+    * Spark's non-ANSI string→int cast nulls on non-integral text like
+    * '3.7', while DuckDB's TRY_CAST rounds it to 4 — so the oracle
+    * gates its cast behind an integral-format regexp to match Spark's
+    * accept set (optional sign, digits, surrounding whitespace). */
   private val q87 = Q(
     "q87_json_extract",
     (s, dir) => {
@@ -207,7 +208,10 @@ object AnalyticsQueries extends QueryGroup {
     Some("""
       WITH p AS (
         SELECT event_type,
-          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+          CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')),
+                                   '^[+-]?[0-9]+$')
+               THEN CAST(trim(json_extract_string(props, '$.k')) AS INT)
+          END AS k
         FROM events)
       SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
         CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max

@@ -33,7 +33,8 @@ object Registry {
     AnalyticsQueries,
     SamplingQueries,
     ScaleQueries,
-    CorpusQueries)
+    CorpusQueries,
+    CmorQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

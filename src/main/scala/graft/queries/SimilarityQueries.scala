@@ -91,10 +91,14 @@ object SimilarityQueries extends QueryGroup {
       import s.implicits._
       val planes = Similarity.hyperplanes(s, b = 6, d = 64)
       val buckets = Similarity.lshBuckets(vecs(s, dir), planes)
-      buckets
-        .withColumn("bucket_size",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"bucket")))
+      // Occupancy via groupBy + broadcast join back, NOT a window
+      // partitioned by bucket: with b planes there are only 2^b distinct
+      // partition keys, so the window form caps parallelism at 2^b tasks
+      // and each holds a whole bucket in one frame. The groupBy keeps
+      // partial aggregation map-side and the ≤2^b-row count broadcasts.
+      val occupancy = buckets.groupBy($"bucket")
+        .agg(count(lit(1)).as("bucket_size"))
+      buckets.join(broadcast(occupancy), "bucket")
         .select($"id", $"bucket", $"bucket_size")
         .orderBy($"id")
     },

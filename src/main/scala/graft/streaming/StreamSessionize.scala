@@ -11,16 +11,20 @@ final case class SessionEvent(
     user_id: Long, event_id: Long, ts: Timestamp, value: Double)
 
 /** One closed session — identical shape and values to the batch
-  * [[graft.ops.Sessionize]] output for in-order input. */
+  * [[graft.ops.Sessionize]] output for in-order input. `session_value`
+  * is None (NULL downstream) when no event contributed a summable value,
+  * matching the batch decimal sum over an all-NULL group. */
 final case class SessionOut(
     user_id: Long, session_id: Long, n_events: Long,
-    t0: Timestamp, t1: Timestamp, session_value: Double)
+    t0: Timestamp, t1: Timestamp, session_value: Option[Double])
 
 /** The open session carried in state: micro-second bounds, event count,
-  * and the running value sum in micro-units (scale-6 fixed point) so the
-  * emitted double is bit-identical to the batch path's decimal-exact sum. */
+  * the running value sum in micro-units (scale-6 fixed point) so the
+  * emitted double is bit-identical to the batch path's decimal-exact sum,
+  * and the count of events that actually contributed to it. */
 final case class OpenSession(
-    sessionId: Long, startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
+    sessionId: Long, startUs: Long, lastUs: Long, n: Long, sumMicros: Long,
+    nFinite: Long)
 
 /** Streaming gap-based sessionization: `flatMapGroupsWithState` keyed on
   * user, one [[OpenSession]] per user in state. A session closes (and is
@@ -55,13 +59,15 @@ object StreamSessionize {
     * representation, before setScale). The batch path's
     * `cast(x as DECIMAL(18,6))` yields NULL for NaN/Infinity and for
     * values past the precision, and dsum skips NULLs — so those values
-    * contribute nothing here either, instead of throwing and killing
-    * the streaming query on one bad event. */
-  private def micros6(x: Double): Long =
-    if (!java.lang.Double.isFinite(x)) 0L
+    * contribute None here (and are excluded from the finite count),
+    * instead of throwing and killing the streaming query on one bad
+    * event. */
+  private def micros6(x: Double): Option[Long] =
+    if (!java.lang.Double.isFinite(x)) None
     else {
       val d = JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
-      if (d.abs.compareTo(maxAbs6) > 0) 0L else d.unscaledValue().longValue()
+      if (d.abs.compareTo(maxAbs6) > 0) None
+      else Some(d.unscaledValue().longValue())
     }
 
   private def toDouble(sumMicros: Long): Double =
@@ -69,7 +75,9 @@ object StreamSessionize {
 
   private def close(user: Long, s: OpenSession): SessionOut =
     SessionOut(user, s.sessionId, s.n, tsOf(s.startUs), tsOf(s.lastUs),
-      toDouble(s.sumMicros))
+      // a session where every value was NULL-equivalent sums to NULL in
+      // the batch decimal path, not 0.0 — mirror that exactly
+      if (s.nFinite == 0) None else Some(toDouble(s.sumMicros)))
 
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
@@ -92,15 +100,18 @@ object StreamSessionize {
       var cur = state.getOption
       sorted.foreach { e =>
         val us = usOf(e.ts)
+        val m = micros6(e.value)
         cur match {
           case None =>
-            cur = Some(OpenSession(1L, us, us, 1L, micros6(e.value)))
+            cur = Some(OpenSession(1L, us, us, 1L, m.getOrElse(0L), m.size))
           case Some(s) if us - s.lastUs > gapUs =>
             closed += close(user, s)
-            cur = Some(OpenSession(s.sessionId + 1, us, us, 1L, micros6(e.value)))
+            cur = Some(OpenSession(s.sessionId + 1, us, us, 1L,
+              m.getOrElse(0L), m.size))
           case Some(s) =>
             cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1,
-              sumMicros = s.sumMicros + micros6(e.value)))
+              sumMicros = s.sumMicros + m.getOrElse(0L),
+              nFinite = s.nFinite + m.size))
         }
       }
       cur.foreach { s =>

@@ -107,13 +107,18 @@ class PipelineSpec extends SparkSpec {
       tstartUs = t0, tendUs = t1,
       key = Sink.DrsKey("CMIP6", "ACME", "SPARK1", "histor", "r1i1p1f1",
         "Amon", "tas", "gn", "v1"),
-      attrs = Map("units" -> "degC", "cell_methods" -> "area: time: mean"))
+      attrs = Map("units" -> "degC", "cell_methods" -> "area: time: mean",
+        "standard_name" -> "surface_upward_sensible_heat_flux"))
 
     val res = Pipeline.run(spark, raw, task, root)
     assert(res.isRight, res)
     val outDir = res.toOption.get
     assert(outDir.endsWith("CMIP6/ACME/SPARK1/histor/r1i1p1f1/Amon/tas/gn/v1"))
-    assert(new java.io.File(s"$outDir/_attrs.json").exists())
+    // sidecar carries the positive direction inferred from standard_name
+    // (mop_utils.py:776-786) since the catalog didn't configure one
+    val sidecar = Files.readString(
+      java.nio.file.Paths.get(s"$outDir/_attrs.json"))
+    assert(sidecar.contains(""""positive": "up""""), sidecar)
 
     val out = spark.read.parquet(outDir)
     // value check: monthly mean of (value - 273.15) over the raw data
@@ -124,9 +129,12 @@ class PipelineSpec extends SparkSpec {
     val got = out.orderBy($"time").select($"value").as[Double].collect()
     assert(got.length == expected.length && got.sameElements(expected))
 
-    // status table recorded the success
+    // status table recorded the success, with the row count observed
+    // during the write itself (no post-write rescan)
     val st = spark.read.parquet(s"$root/_status")
     assert(st.filter($"status" === "processed").count() == 1)
+    assert(st.filter($"status" === "processed")
+      .select($"n_rows").as[Long].head() == out.count())
 
     // filename stamp precision follows frequency
     val fn = Sink.fileName(task.key, "mon", "19960102030405", "19971112131415")

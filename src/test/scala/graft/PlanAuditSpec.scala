@@ -81,6 +81,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q52 bucket occupancy is groupBy + broadcast join, not a 2^b-key window") {
+    val p = planOf("q52_ann_lsh_buckets")
+    // a count(*) over (partition by bucket) would cap parallelism at 2^b
+    // tasks; the groupBy+join form must leave no Window node and must
+    // broadcast the <=2^b-row occupancy side back
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+    val mh = graft.ops.TextOps.minhash(
+      docs.select(col("doc_id"), explode(split(col("text"), "\\s+")).as("sh")),
+      col("doc_id"), col("sh"), k = 4)
+    val capped = graft.ops.TextOps.capHotBands(
+      graft.ops.TextOps.bandSignatures(mh, r = 2), maxDocs = 100)
+    val p = capped.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q85 funnel never windows the raw event log (per-stage aggs only)") {
     val p = planOf("q85_funnel")
     assert(nodeCount(p, "Window") == 0, p)

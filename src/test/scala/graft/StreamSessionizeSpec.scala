@@ -30,7 +30,7 @@ class StreamSessionizeSpec extends SparkSpec {
     val batch = Sessionize.sessions(events.toDF(),
         $"user_id", $"ts", $"event_id", $"value", gapSeconds = 1800L)
       .orderBy($"user_id", $"session_id")
-      .as[(Long, Long, Long, Timestamp, Timestamp, Double)]
+      .as[(Long, Long, Long, Timestamp, Timestamp, Option[Double])]
       .collect().toSeq
 
     val in = MemoryStream[SessionEvent]
@@ -55,12 +55,48 @@ class StreamSessionizeSpec extends SparkSpec {
     val streamed = spark.table("ss_out")
       .filter($"user_id" < 99L)
       .orderBy($"user_id", $"session_id")
-      .as[(Long, Long, Long, Timestamp, Timestamp, Double)]
+      .as[(Long, Long, Long, Timestamp, Timestamp, Option[Double])]
       .collect().toSeq
 
     assert(streamed == batch)
     // the dyadic-midpoint value sums survive the fixed-point state carry
     assert(streamed.map(_._6).toSet == batch.map(_._6).toSet)
+  }
+
+  test("all-non-finite session sums to NULL, matching the batch decimal path") {
+    // user 7: both values NaN/Inf -> batch decimal sum over all-NULL
+    // contributions is NULL; user 8: NaN + finite -> finite part only
+    val weird = Seq(
+      SessionEvent(7L, 1L, ts("2024-01-01 08:00:00"), Double.NaN),
+      SessionEvent(7L, 2L, ts("2024-01-01 08:05:00"), Double.PositiveInfinity),
+      SessionEvent(8L, 3L, ts("2024-01-01 08:00:00"), Double.NaN),
+      SessionEvent(8L, 4L, ts("2024-01-01 08:05:00"), 2.5))
+    val batch = Sessionize.sessions(weird.toDF(),
+        $"user_id", $"ts", $"event_id", $"value", gapSeconds = 1800L)
+      .orderBy($"user_id", $"session_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Option[Double])]
+      .collect().toSeq
+    assert(batch.map(t => (t._1, t._3, t._6)) ==
+      Seq((7L, 2L, None), (8L, 2L, Some(2.5))))
+
+    val in = MemoryStream[SessionEvent]
+    val q = StreamSessionize.sessionize(in.toDS(), gapSeconds = 1800L,
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("ss_nan_out")
+      .outputMode("append").start()
+    try {
+      in.addData(weird); q.processAllAvailable()
+      in.addData(SessionEvent(99L, 900L, ts("2024-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, 901L, ts("2024-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_nan_out")
+      .filter($"user_id" < 99L)
+      .orderBy($"user_id", $"session_id")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Option[Double])]
+      .collect().toSeq
+    assert(streamed == batch)
   }
 
   test("streaming dedup keeps only the first occurrence across batches") {
