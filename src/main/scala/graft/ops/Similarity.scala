@@ -223,4 +223,78 @@ object Similarity {
         Seq(col("cosine").desc, col("nid").asc), k)
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
   }
+
+  /** Symmetric int8 quantization of a float-array embedding: per-vector
+    * scale = 127 / max|x|, codes = floor(x·scale + 0.5) ∈ [-127, 127].
+    * The memory-side scale path for an embedding store — int8 codes cut
+    * a 100 TB float corpus to a quarter, and candidate scoring against
+    * codes (rescored exact on the shortlist) is the standard recipe.
+    *
+    * Deterministic across engines by construction: max|x| is an exact
+    * comparison over exact float→double widenings, the scale division
+    * and code formula are single IEEE chains, and `floor(x + 0.5)`
+    * rounds identically everywhere (unlike round(), whose half-even /
+    * half-up flavor differs per engine). Zero vectors get NULL codes
+    * rather than a division by zero.
+    *
+    * Output: id, scale, plus the code array `q8`. Map-only — no
+    * shuffle; quantizing a corpus is a single pass. */
+  def quantizeInt8(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("id"), emb.as("emb"))
+      .withColumn("maxabs",
+        expr("array_max(transform(emb, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")))
+      .withColumn("q8", when(col("scale").isNotNull, expr(
+        "transform(emb, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS INT))")))
+
+  /** Reconstruction error of int8 codes: decimal-exact sum of squared
+    * (x − q/scale) per vector, as double. */
+  def dequantError(emb: String, q8: String, scale: String): Column =
+    expr(s"""CAST(aggregate(
+      zip_with($emb, $q8, (x, c) ->
+        CAST((CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / $scale) *
+             (CAST(x AS DOUBLE) - CAST(c AS DOUBLE) / $scale)
+             AS DECIMAL(18,6))),
+      CAST(0 AS DECIMAL(28,6)),
+      (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS DOUBLE)""")
+
+  /** Exact integer dot product of two int-code arrays. Long products of
+    * int8 codes cap at 127²·dim ≈ 2^14·dim — nowhere near overflow —
+    * and integer arithmetic is bit-identical in every engine, so unlike
+    * the float path this needs no decimal detour at all. */
+  def dotInt(a: String, b: String): Column =
+    expr(s"""aggregate(
+      zip_with($a, $b, (p, q) -> CAST(p AS BIGINT) * CAST(q AS BIGINT)),
+      CAST(0 AS BIGINT), (acc, v) -> acc + v)""")
+
+  /** ANN over int8 codes with exact re-rank: the q×n candidate sweep
+    * scores integer code dots (engine-exact, so the shortlist is
+    * deterministic), keeps the top `m` per query by (iscore desc, id
+    * asc), and only that shortlist touches the original float arrays
+    * for the exact decimal cosine top `k`.
+    *
+    * The scale story of quantized retrieval: the sweep reads int8 codes
+    * (4× smaller than float32) and does integer multiply-adds; float
+    * vectors are fetched for O(q·m) rows, not O(q·n). `corpus` and
+    * `queries` carry (id, emb, norm2, q8) — [[withNorms]] joined with
+    * [[quantizeInt8]]; `queries` must be small (broadcast). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, m: Int, k: Int): DataFrame = {
+    val swept = broadcast(queries.select(col("id").as("id1"), col("q8").as("qq8")))
+      .join(corpus.select(col("id").as("id2"), col("q8")), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), dotInt("qq8", "q8").as("iscore"))
+    val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
+        Seq(col("iscore").desc, col("id2").asc), m)
+      .select(col("id1"), col("id2"), col("iscore"))
+    val exact = shortlist
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(corpus.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("iscore"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
+    Relational.topKPerGroup(exact, Seq(col("id1")),
+        Seq(col("cosine").desc, col("id2").asc), k)
+      .select(col("id1"), col("id2"), col("iscore"), col("cosine"), col("rank"))
+  }
 }

@@ -452,4 +452,53 @@ object TextOps {
         FROM documents d
         JOIN quality q ON d.doc_id = q.doc
         LEFT JOIN losers l ON d.doc_id = l.doc)"""
+
+  /** Line-level deduplication (the boilerplate scrub of web-corpus
+    * pipelines: headers, nav bars, licence blocks): drop every line
+    * whose exact text occurs in >= `maxDocFreq` distinct documents,
+    * then reassemble each document from its surviving lines in order.
+    * `lines`: (doc_id, line_no, line). Documents whose every line is
+    * boilerplate disappear from the output — by design, like a
+    * dedup-then-requalify pipeline stage.
+    *
+    * Scale: one groupBy on the line text counts document frequency;
+    * only lines crossing the threshold survive the filter, and real
+    * boilerplate is a tiny, heavy-tailed fraction of a corpus, so that
+    * set broadcasts and the doc-side anti join stays map-side. The
+    * reassembly is the one unavoidable shuffle (by doc_id). If the
+    * boilerplate set ever outgrew a broadcast, the same plan degrades
+    * gracefully to a shuffled anti join on the line key. */
+  def lineDedupe(lines: DataFrame, maxDocFreq: Int, sep: String = "\n"): DataFrame = {
+    val boiler = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+      .filter(col("line_df") >= maxDocFreq)
+      .select(col("line"))
+    lines.join(broadcast(boiler), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_lines"),
+        concat_ws(sep, expr(
+          "transform(array_sort(collect_list(struct(line_no, line))), x -> x.line)"))
+          .as("clean_text"))
+  }
+
+  /** Static corpus-mixing weights: per-bucket counts, corpus shares,
+    * and the sampling rate that flattens the mix toward a uniform
+    * target — rate = min(1, (total/n_buckets)/cnt), i.e. buckets above
+    * their uniform share are downsampled, the rest kept whole. The
+    * bucket table is tiny, so the totals ride a broadcast cross join
+    * instead of a single-partition global window. The FP chain is
+    * pinned ((total/n)/cnt, all doubles) so any engine reproduces the
+    * rates bit-for-bit. */
+  def mixWeights(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_buckets"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .withColumn("sample_rate",
+        least(lit(1.0), (col("total") / col("n_buckets")) / col("cnt").cast("double")))
+      .drop("total", "n_buckets")
+  }
 }

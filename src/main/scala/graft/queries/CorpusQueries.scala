@@ -205,5 +205,92 @@ object CorpusQueries extends QueryGroup {
         ${TextOps.h64Sql("array_to_string(chunk, ' ')")} AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_id"""))
 
-  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88)
+  /** Line-level dedup (the boilerplate scrub): documents are cut into
+    * 10-word lines map-side (sequence+slice, no word-level shuffle),
+    * lines occurring in >= 2 distinct docs are dropped corpus-wide,
+    * and the survivors are reassembled in order. */
+  private val q99 = Q(
+    "q99_line_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val lines = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(0, (size(words) - 1) div 10),
+             n -> array_join(slice(words, n * 10 + 1, 10), ' '))"""))
+          .as(Seq("line_no", "line")))
+      TextOps.lineDedupe(lines, maxDocFreq = 2, sep = " ")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      l AS (
+        SELECT doc_id, i // 10 AS line_no, string_agg(word, ' ' ORDER BY i) AS line
+        FROM w GROUP BY doc_id, i // 10),
+      boiler AS (
+        SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+      kept AS (
+        SELECT l.* FROM l LEFT JOIN boiler b ON l.line = b.line
+        WHERE b.line IS NULL)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_lines,
+             string_agg(line, ' ' ORDER BY line_no) AS clean_text
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Tokenizer-coverage audit: per-doc out-of-vocabulary rate against
+    * the corpus top-20 vocabulary (count desc, word asc — a total
+    * order, so the vocab boundary is engine-independent). The vocab is
+    * broadcast; the doc-side pass never shuffles word rows. */
+  private val q100 = Q(
+    "q100_oov_rate",
+    (s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+      val vocab = words.groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"word".asc).limit(20)
+        .select($"word", lit(1).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when($"in_vocab".isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          $"n_oov".cast("double") / $"n_tokens".cast("double"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+      vocab AS (SELECT word FROM cnt ORDER BY cnt DESC, word LIMIT 20)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(CASE WHEN v.word IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+             CAST(COUNT(CASE WHEN v.word IS NULL THEN 1 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      FROM w LEFT JOIN vocab v ON w.word = v.word
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Corpus mixing weights per (lang, source): share of the corpus and
+    * the uniform-target downsampling rate. */
+  private val q101 = Q(
+    "q101_mix_weights",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.mixWeights(docs(s, dir), Seq($"lang", $"source"))
+        .orderBy($"lang", $"source")
+    },
+    Some("""
+      WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang, source),
+      t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n FROM c)
+      SELECT lang, source, cnt,
+             CAST(cnt AS DOUBLE) / total AS share,
+             least(1.0e0, (total / n) / CAST(cnt AS DOUBLE)) AS sample_rate
+      FROM c, t ORDER BY lang, source"""))
+
+  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88, q99, q100, q101)
 }

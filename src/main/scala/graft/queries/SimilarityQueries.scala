@@ -148,5 +148,86 @@ object SimilarityQueries extends QueryGroup {
         octet_length(encode(text)) // 100 + 1 AS n_frames
       FROM documents ORDER BY doc_id"""))
 
-  def queries: Seq[Q] = Seq(q50, q51, q52, q53)
+  /** DuckDB twin of [[graft.ops.Similarity.quantizeInt8]]: per-vector
+    * scale 127/max|x| and codes floor(x·scale + 0.5), shared by the
+    * q97/q98 oracles. Ends in `codes(id, i, scale, code, e)`. */
+  private val codesSql = s"""
+    $compSql,
+    sc AS (SELECT id, 127.0e0 / MAX(ABS(e)) AS scale
+           FROM comp GROUP BY id HAVING MAX(ABS(e)) > 0),
+    codes AS (SELECT c.id, c.i, sc.scale,
+                CAST(floor(c.e * sc.scale + 0.5e0) AS INT) AS code, c.e
+              FROM comp c JOIN sc ON c.id = sc.id)"""
+
+  /** Int8 symmetric quantization of the embedding store: per-vector
+    * scale, code stats, and the decimal-exact reconstruction error —
+    * all map-only (no shuffle; the oracle's groupBy is an artifact of
+    * its component-row formulation). */
+  private val q97 = Q(
+    "q97_quantize_int8",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .filter($"maxabs" > 0)
+        .select($"id", $"scale",
+          expr("aggregate(q8, CAST(0 AS BIGINT), (a, c) -> a + CAST(c AS BIGINT))")
+            .as("code_sum"),
+          array_min($"q8").as("code_min"),
+          array_max($"q8").as("code_max"),
+          Similarity.dequantError("emb", "q8", "scale").as("err"))
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH $codesSql
+      SELECT id, scale, CAST(SUM(code) AS BIGINT) AS code_sum,
+        MIN(code) AS code_min, MAX(code) AS code_max,
+        CAST(SUM(CAST((e - CAST(code AS DOUBLE) / scale) *
+                      (e - CAST(code AS DOUBLE) / scale) AS DECIMAL(18,6)))
+             AS DOUBLE) AS err
+      FROM codes GROUP BY id, scale ORDER BY id"""))
+
+  /** Quantized ANN: integer code-dot candidate sweep (top-20 per
+    * query, engine-exact so the shortlist is deterministic), exact
+    * decimal-cosine re-rank to top-5 — the int8 retrieval recipe. */
+  private val q98 = Q(
+    "q98_quantized_ann",
+    (s, dir) => {
+      import s.implicits._
+      val qz = Similarity.quantizeInt8(
+          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .filter($"maxabs" > 0)
+        .select($"id", $"q8")
+      val all = vecs(s, dir).join(qz, Seq("id"))
+      Similarity.quantizedTopK(all, all.filter($"id" < 10), m = 20, k = 5)
+        .orderBy($"id1", $"rank")
+    },
+    Some(s"""
+      WITH $codesSql,
+      iscore AS (
+        SELECT q.id AS id1, c.id AS id2,
+          CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS iscore
+        FROM codes q JOIN codes c ON q.i = c.i AND q.id <> c.id
+        WHERE q.id < 10 GROUP BY q.id, c.id),
+      short AS (
+        SELECT id1, id2, iscore FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY iscore DESC, id2) AS mrk
+          FROM iscore)
+        WHERE mrk <= 20),
+      parts AS (
+        SELECT s.id1, s.id2, s.iscore, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      cos AS (SELECT id1, id2, iscore, $cosSql AS cosine
+              FROM parts GROUP BY id1, id2, iscore),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                    ORDER BY cosine DESC, id2) AS INT) AS rank
+        FROM cos)
+      SELECT id1, id2, iscore, cosine, rank FROM ranked
+      WHERE rank <= 5 ORDER BY id1, rank"""))
+
+  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Int8 quantization + quantized ANN, line-level dedup, and corpus
+  * mixing weights — the round-4 training-data-pipeline additions. */
+class QuantCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecFrame = Seq(
+    (0L, Array(1.0f, -2.0f, 0.5f, 4.0f)),
+    (1L, Array(-1.0f, 2.0f, -0.5f, -4.0f)),
+    (2L, Array(0.1f, 0.2f, 0.3f, 0.4f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("quantizeInt8: codes bounded, extreme element hits ±127, zero vector nulls") {
+    val q = Similarity.quantizeInt8(vecFrame, $"vec_id", $"embedding")
+      .select($"id", $"scale", $"q8")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q0 = q(0L).getSeq[Int](2)
+    assert(q0.max == 127 && q0.forall(c => c >= -127 && c <= 127))
+    // x = 1.0 with maxabs 4.0 → scale 31.75 → floor(31.75 + 0.5) = 32
+    assert(q0.head == 32)
+    val q1 = q(1L).getSeq[Int](2)
+    assert(q1.min == -127)
+    assert(q(3L).isNullAt(1) && q(3L).isNullAt(2))
+  }
+
+  test("quantizeInt8 reconstruction error is small relative to the norm") {
+    val q = Similarity.quantizeInt8(vecFrame, $"vec_id", $"embedding")
+      .filter($"maxabs" > 0)
+      .select($"id", Similarity.dequantError("emb", "q8", "scale").as("err"),
+        Similarity.sqNormExact("emb").as("n2"))
+      .collect()
+    assert(q.nonEmpty)
+    // per-element error <= (1/(2·scale))², so err/norm² stays tiny
+    q.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) * 1e-3 + 1e-9))
+  }
+
+  test("dotInt equals a driver-side integer dot product") {
+    val df = Seq((Array(1, -2, 3), Array(4, 5, -6))).toDF("a", "b")
+    val got = df.select(Similarity.dotInt("a", "b")).as[Long].head()
+    assert(got == (1 * 4 + -2 * 5 + 3 * -6).toLong)
+  }
+
+  test("quantizedTopK: shortlist re-rank matches bruteForceTopK on the shortlist-covered top") {
+    // m = corpus size ⇒ the quantized path degenerates to exact brute force
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val qz = Similarity.quantizeInt8(base, $"vec_id", $"embedding")
+      .filter($"maxabs" > 0).select($"id", $"q8")
+    val all = v.join(qz, Seq("id"))
+    val queries = all.filter($"id" < 3)
+    val got = Similarity.quantizedTopK(all, queries, m = 30, k = 4)
+      .select($"id1", $"id2", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(v, v.filter($"id" < 3), k = 4)
+      .select($"id1", $"id2", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("lineDedupe drops corpus-repeated lines and reassembles in order") {
+    val lines = Seq(
+      (1L, 0, "shared header"), (1L, 1, "alpha"), (1L, 2, "beta"),
+      (2L, 0, "shared header"), (2L, 1, "gamma"),
+      (3L, 0, "shared header") // only boilerplate → doc vanishes
+    ).toDF("doc_id", "line_no", "line")
+    val out = TextOps.lineDedupe(lines, maxDocFreq = 2, sep = "\n")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((1L, 2L, "alpha\nbeta"), (2L, 1L, "gamma")))
+  }
+
+  test("lineDedupe keeps within-doc repeats that never cross documents") {
+    val lines = Seq(
+      (1L, 0, "solo"), (1L, 1, "solo"), (2L, 0, "other")
+    ).toDF("doc_id", "line_no", "line")
+    val out = TextOps.lineDedupe(lines, maxDocFreq = 2, sep = " ")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc-frequency of "solo" is 1 (one distinct doc), so both copies stay
+    assert(out.toSeq == Seq((1L, 2L, "solo solo"), (2L, 1L, "other")))
+  }
+
+  test("mixWeights: uniform buckets rate 1.0, oversized bucket downsampled") {
+    val df = (Seq.fill(6)("big") ++ Seq.fill(2)("small")).toDF("b")
+    val out = TextOps.mixWeights(df, Seq($"b"))
+      .orderBy($"b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // total 8, 2 buckets, uniform target 4: big 6 → rate 4/6, small 2 → capped at 1
+    assert(out.toSeq == Seq(("big", 6L, 0.75, 4.0 / 6.0), ("small", 2L, 0.25, 1.0)))
+  }
+}
