@@ -90,6 +90,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q97 quantization is map-only: one exchange, for the presentation sort") {
+    val p = planOf("q97_quantize_int8")
+    // scale + codes + error are all per-row expressions; the only
+    // shuffle a quantization pass may have is the final orderBy
+    assert(nodeCount(p, "Exchange") == 1, p)
+  }
+
+  test("q99 removes boilerplate with a broadcast anti join, no line-key window") {
+    val p = planOf("q99_line_dedup")
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q100 vocab is TakeOrdered top-k broadcast back onto the word rows") {
+    val p = planOf("q100_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q101 mixing totals ride a broadcast join, not a global window") {
+    val p = planOf("q101_mix_weights")
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
