@@ -16,10 +16,12 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
   }
 
-  /** Median of the successful runs; -1 if every run crashed. */
+  /** Median of the runs; -1 if ANY run crashed — a query that worked
+    * on pass 1 and died on pass 2 must not report a healthy time in
+    * the summary line (the per-pass detail still shows which). */
   private def median(runs: Seq[Double]): Double = {
-    val ok = runs.filter(_ >= 0).sorted
-    if (ok.isEmpty) -1.0
+    val ok = runs.sorted
+    if (runs.isEmpty || runs.exists(_ < 0)) -1.0
     else if (ok.size % 2 == 1) ok(ok.size / 2)
     else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
   }

@@ -65,8 +65,12 @@ object Sink {
     df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
+    // when neither the config nor the standard name yields a canonical
+    // direction, pass attrs through untouched — a non-canonical
+    // configured value (e.g. 'Up') is the operator's to keep, not ours
+    // to silently drop
     val attrs = positiveOf(attrs0.get("positive"), attrs0.get("standard_name"))
-      .map(p => attrs0 + ("positive" -> p)).getOrElse(attrs0 - "positive")
+      .map(p => attrs0 + ("positive" -> p)).getOrElse(attrs0)
     val json = (Map("variable" -> k.variable, "table" -> k.table) ++ attrs)
       .toSeq.sortBy(_._1)
       .map { case (key, v) => s""""$key": "${v.replace("\"", "\\\"")}"""" }

@@ -462,19 +462,20 @@ object TextOps {
     * dedup-then-requalify pipeline stage.
     *
     * Scale: one groupBy on the line text counts document frequency;
-    * only lines crossing the threshold survive the filter, and real
-    * boilerplate is a tiny, heavy-tailed fraction of a corpus, so that
-    * set broadcasts and the doc-side anti join stays map-side. The
-    * reassembly is the one unavoidable shuffle (by doc_id). If the
-    * boilerplate set ever outgrew a broadcast, the same plan degrades
-    * gracefully to a shuffled anti join on the line key. */
+    * only lines crossing the threshold survive the filter. The anti
+    * join is deliberately left unhinted: how many lines recur across
+    * documents is a property of the corpus (at maxDocFreq=2 on real
+    * web data it is NOT tiny), so AQE picks broadcast when the
+    * filtered set turns out small and a shuffled anti join when it
+    * doesn't — a forced broadcast() would OOM the driver on the latter.
+    * The reassembly is the one unavoidable shuffle (by doc_id). */
   def lineDedupe(lines: DataFrame, maxDocFreq: Int, sep: String = "\n"): DataFrame = {
     val boiler = lines
       .groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= maxDocFreq)
       .select(col("line"))
-    lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    lines.join(boiler, Seq("line"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_lines"),
         concat_ws(sep, expr(

@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   * (1.5M cells) or a per-tile batch of them distributes evenly.
   *
   * Precondition: at least 2 cells along each axis (midpoints need a
-  * neighbor to extrapolate from), rows distinct on (j, i).
+  * neighbor to extrapolate from), rows distinct on (j, i), and a DENSE
+  * rectangular index space with non-null field values — on real model
+  * grids the cell-center coordinate fields are defined even over
+  * masked (land) cells, so densify the coordinate table before calling
+  * this rather than dropping masked rows (a gap would make lag/lead
+  * pair non-adjacent cells and shift every downstream node index).
   */
 object Vertices {
 
@@ -45,12 +50,16 @@ object Vertices {
   private def halfPass(df: DataFrame, part: String, along: String,
       out: String, fields: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(part)).orderBy(col(along))
-    val nbr = fields.foldLeft(df) { (d, f) =>
+    val nbr = fields.foldLeft(
+      // run-end is detected from the index column itself: a field value
+      // that happened to be null mid-run must not fake a partition edge
+      df.withColumn("__x_idx", lead(col(along), 1).over(w))
+        .withColumn("__p_idx", lag(col(along), 1).over(w))) { (d, f) =>
       d.withColumn(s"__p_$f", lag(col(f), 1).over(w))
         .withColumn(s"__x_$f", lead(col(f), 1).over(w))
     }
     def lowStruct = struct(col(along).cast("int").as(out) +: fields.map { f =>
-      when(col(s"__p_$f").isNull,
+      when(col("__p_idx").isNull,
           col(f) - (col(s"__x_$f") - col(f)) / 2.0)
         .otherwise((col(s"__p_$f") + col(f)) / 2.0).as(f)
     }: _*)
@@ -60,7 +69,7 @@ object Vertices {
     // every cell owns its low-side node; the last cell of the run also
     // emits the high edge, so N cells yield N+1 nodes
     nbr.select(col(part), explode(
-        when(col(s"__x_${fields.head}").isNull, array(lowStruct, highStruct))
+        when(col("__x_idx").isNull, array(lowStruct, highStruct))
           .otherwise(array(lowStruct))).as("__n"))
       .select(col(part) +: (out +: fields).map(f => col(s"__n.$f")): _*)
   }

@@ -189,17 +189,19 @@ object AnalyticsQueries extends QueryGroup {
     * surface (the reference keeps JSON in config only; an event
     * pipeline has it in the data). Extraction is per-row map-side
     * (inside codegen); integer sums stay exact. Cast parity needs care:
-    * Spark's non-ANSI string→int cast nulls on non-integral text like
-    * '3.7', while DuckDB's TRY_CAST rounds it to 4 — so the oracle
-    * gates its cast behind an integral-format regexp to match Spark's
-    * accept set (optional sign, digits, surrounding whitespace). */
+    * the string→int casts disagree on non-integral text (ANSI Spark
+    * truncates '3.7' to 3 and throws on 'abc'; DuckDB TRY_CAST rounds
+    * to 4), so BOTH sides gate the cast behind the same integral-format
+    * regexp — the accept set is then identical by construction, not by
+    * the fixture happening to hold only integral values. */
   private val q87 = Q(
     "q87_json_extract",
     (s, dir) => {
       import s.implicits._
       Tables(s, dir, "events")
         .select($"event_type",
-          get_json_object($"props", "$.k").cast("int").as("k"))
+          when(trim(get_json_object($"props", "$.k")).rlike("^[+-]?[0-9]+$"),
+            trim(get_json_object($"props", "$.k")).cast("int")).as("k"))
         .groupBy($"event_type")
         .agg(count($"k").as("n"), sum($"k").as("k_sum"),
           min($"k").as("k_min"), max($"k").as("k_max"))

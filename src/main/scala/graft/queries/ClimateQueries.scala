@@ -523,7 +523,7 @@ object ClimateQueries extends QueryGroup {
           ${sqlSum("ymean")} AS sv,
           ${sqlSum("CAST(yr AS DOUBLE) * ymean")} AS stv,
           COUNT(DISTINCT yr) AS nt
-        FROM yearly WHERE ymean IS NOT NULL GROUP BY y, x)
+        FROM yearly WHERE ymean IS NOT NULL AND yr IS NOT NULL GROUP BY y, x)
       SELECT y, x,
         (n * stv - st * sv) / (n * stt - st * st) AS slope,
         (sv - ((n * stv - st * sv) / (n * stt - st * st)) * st) / n AS icept

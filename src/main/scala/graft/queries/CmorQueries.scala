@@ -45,7 +45,7 @@ object CmorQueries extends QueryGroup {
         (20, "lev", null, null, "time: mean", "", "ta", "", 19),
         (21, "model_p_level", null, null, "time: mean", "", "ua", "", 3),
         (22, "pressure", "Z", null, "time: mean", "", "ta", "", 39),
-        (23, "lev", null, null, "plevinterp(var[0], plev, 24)", "", "ua24", "", 19),
+        (23, "lev", null, null, "time: mean", "plevinterp(var[0], plev, 24)", "ua24", "", 19),
         (24, "depth", null, null, "time: mean", "", "tsl", "", 0),
         (25, "soil", "Z", null, "time: mean", "", "mrsos", "topsoil", 0),
         (26, "tile", "pseudo_axis", null, "time: mean", "", "landCoverFrac", "", 0),
@@ -90,7 +90,7 @@ object CmorQueries extends QueryGroup {
         (20, 'lev', NULL, NULL, 'time: mean', '', 'ta', '', 19),
         (21, 'model_p_level', NULL, NULL, 'time: mean', '', 'ua', '', 3),
         (22, 'pressure', 'Z', NULL, 'time: mean', '', 'ta', '', 39),
-        (23, 'lev', NULL, NULL, 'plevinterp(var[0], plev, 24)', '', 'ua24', '', 19),
+        (23, 'lev', NULL, NULL, 'time: mean', 'plevinterp(var[0], plev, 24)', 'ua24', '', 19),
         (24, 'depth', NULL, NULL, 'time: mean', '', 'tsl', '', 0),
         (25, 'soil', 'Z', NULL, 'time: mean', '', 'mrsos', 'topsoil', 0),
         (26, 'tile', 'pseudo_axis', NULL, 'time: mean', '', 'landCoverFrac', '', 0),

@@ -97,10 +97,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Exchange") == 1, p)
   }
 
-  test("q99 removes boilerplate with a broadcast anti join, no line-key window") {
+  test("q99 removes boilerplate with an anti join, no line-key window") {
     val p = planOf("q99_line_dedup")
     assert(nodeCount(p, "Window") == 0, p)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // join strategy is deliberately AQE-decided (the boilerplate set's
+    // size is a corpus property) — audit only the LeftAnti shape
+    assert(p.contains("LeftAnti"), p)
   }
 
   test("q100 vocab is TakeOrdered top-k broadcast back onto the word rows") {
