@@ -98,6 +98,34 @@ object Axes {
       .when(cls === "p" || cls === "e", dim)
       .otherwise(lit(null))
 
+  /** Cell-methods inference (mopdb/mopdb_utils.py:470-488,
+    * `get_cell_methods`): the varlist-scan rule every mapping row passes
+    * through. A missing/empty cell_methods attribute is treated as
+    * instantaneous; `area: ` is prefixed whenever no area statistic is
+    * present; and when the variable has exactly one time dimension, the
+    * attribute either gains a `time: point` default (with the `Pt`
+    * frequency modifier) or has its time-dim token normalized to `time`
+    * (e.g. `time_0: mean` → `time: mean`).
+    *
+    * Mirrored verbatim, including two reference quirks: the appended
+    * default has no separator (`val += "time: point"`), and all the
+    * substring checks are case-sensitive (a dim named `Time` is not a
+    * time axis here, exactly as in the reference). Pure per-row CASE
+    * logic — map-only at any scale. `dims` is the variable's dimension
+    * array. Returns (cell_methods, frqmod). */
+  def cellMethods(attr: Column, dims: Column): (Column, Column) = {
+    val base = coalesce(attr, lit(""))
+    val v = when(base.contains("area"), base)
+      .otherwise(concat(lit("area: "), base))
+    val timeAxs = filter(dims, d => d.contains("time"))
+    val oneTime = size(timeAxs) === 1
+    val cm = when(oneTime && !v.contains("time"), concat(v, lit("time: point")))
+      .when(oneTime, replace(v, element_at(timeAxs, 1), lit("time")))
+      .otherwise(v)
+    val frqmod = when(oneTime && !v.contains("time"), "Pt").otherwise("")
+    (cm, frqmod)
+  }
+
   /** Vertical-direction inference (mop_utils.py:776-786): an explicit
     * configured `up`/`down` wins; otherwise keyword-sniff the CF
     * standard name. NULL when neither applies (CMOR ignores positive

@@ -79,6 +79,50 @@ object Catalog {
       .drop("__dist")
   }
 
+  /** Filename-token frequency inference (mopdb_utils.py:431-467,
+    * `get_frequency`): the realm-specific substring ladder the varlist
+    * scan tries BEFORE falling back to time-axis deltas (q41's half).
+    * atmos reads the last `_`-token with `.nc` stripped and normalizes
+    * the UM spellings (`dai`→day, `3h`/`6h`→`3hr`/`6hr`,
+    * `hPt`→`hrPt`); ocean and ice sniff fixed substrings. Anything
+    * undecided is the reference's literal 'NA' sentinel — callers
+    * compose the delta fallback behind it ([[frequencyWithFallback]]).
+    * Pure per-row CASE logic; map-only at any scale. */
+  def filenameFrequency(realm: org.apache.spark.sql.Column,
+      fname: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tok = replace(element_at(split(fname, "_"), -1), lit(".nc"), lit(""))
+    val atmos = when(tok === "dai", "day")
+      .when(tok === "3h", "3hr")
+      .when(tok === "6h", "6hr")
+      .otherwise(replace(tok, lit("hPt"), lit("hrPt")))
+    when(realm === "atmos", atmos)
+      .when(realm === "ocean",
+        when(fname.contains("scalar") || fname.contains("month"), "mon")
+          .when(fname.contains("daily"), "day")
+          .otherwise("NA"))
+      .when(realm === "ice",
+        when(fname.contains("_m."), "mon")
+          .when(fname.contains("_d."), "day")
+          .otherwise("NA"))
+      .otherwise("NA")
+  }
+
+  /** The reference's frequency precedence (write_varlist,
+    * mopdb_utils.py:509-561): filename inference first, the time-delta
+    * ladder (q41, build_umfrq) only where the filename is mute.
+    * `deltaS` is the dominant inter-sample delta in seconds (nullable —
+    * grid/static files have no time axis), mapped on the same ladder as
+    * q41. */
+  def frequencyWithFallback(realm: org.apache.spark.sql.Column,
+      fname: org.apache.spark.sql.Column,
+      deltaS: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val fromName = filenameFrequency(realm, fname)
+    val fromDelta = when(deltaS.isNull, lit(null))
+      .when(deltaS <= 90, "1min").when(deltaS <= 5400, "1hr")
+      .when(deltaS <= 129600, "day").otherwise("mon")
+    coalesce(nullif(fromName, lit("NA")), fromDelta, lit("NA"))
+  }
+
   /** Catalog consistency check (`mopdb check`, mopdb.py:76-112): mapping
     * rows whose output variable has no CMOR definition — an anti-join of
     * mapping − cmorvar on (variable, table). */

@@ -297,4 +297,57 @@ object Similarity {
         Seq(col("cosine").desc, col("id2").asc), k)
       .select(col("id1"), col("id2"), col("iscore"), col("cosine"), col("rank"))
   }
+
+  /** Quantized ANN pruned by the IVF index — [[quantizedTopK]]'s int8
+    * candidate sweep restricted to each query's `nprobe` probed cells,
+    * so the integer scan reads nprobe/n_cells of the corpus instead of
+    * all of it. The composed scale path: IVF prunes (inverted lists),
+    * int8 narrows (codes are 4× smaller than floats and engine-exact),
+    * the exact decimal cosine re-ranks only the O(q·m) shortlist.
+    *
+    * `corpus`/`queries` carry (id, emb, norm2, q8) — [[withNorms]]
+    * joined with [[quantizeInt8]]; `centroids` carries (cid, cemb,
+    * cnorm2); queries must be broadcast-small. The corpus-side
+    * assignment is [[ivfAssign]]'s provably-exact top-1; the query-side
+    * cell ranking is an exact broadcast sweep (q × K rows). The cell
+    * filter lands BEFORE any code is read: the sweep's input is
+    * qcells ⋈ assign — equi-joins on cid then id2, never a q × n
+    * nested loop over the code store. */
+  def quantizedIvfTopK(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nprobe: Int, m: Int, k: Int): DataFrame = {
+    val assign = ivfAssign(corpus, centroids)
+      .select(col("id").as("id2"), col("cid"))
+    val qcos = queries
+      .select(col("id").as("id1"), col("emb").as("qemb"), col("norm2").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id1"), col("cid"),
+        (dotExact("qemb", "cemb") / (sqrt(col("qn")) * sqrt(col("cnorm2"))))
+          .as("qcos"))
+    val qcells = Relational.topKPerGroup(qcos, Seq(col("id1")),
+        Seq(col("qcos").desc, col("cid").asc), nprobe)
+      .select(col("id1"), col("cid"))
+    // a corpus vector lives in exactly one cell and a query probes
+    // nprobe distinct cells, so (id1, id2) pairs are unique — no dedup
+    val cands = broadcast(qcells).join(assign, Seq("cid"))
+      .filter(col("id2") =!= col("id1"))
+      .select(col("id1"), col("id2"))
+    val swept = cands
+      .join(broadcast(queries.select(col("id").as("id1"), col("q8").as("qq8"))),
+        Seq("id1"))
+      .join(corpus.select(col("id").as("id2"), col("q8")), Seq("id2"))
+      .select(col("id1"), col("id2"), dotInt("qq8", "q8").as("iscore"))
+    val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
+        Seq(col("iscore").desc, col("id2").asc), m)
+      .select(col("id1"), col("id2"), col("iscore"))
+    val exact = shortlist
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(corpus.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("iscore"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
+    Relational.topKPerGroup(exact, Seq(col("id1")),
+        Seq(col("cosine").desc, col("id2").asc), k)
+      .select(col("id1"), col("id2"), col("iscore"), col("cosine"), col("rank"))
+  }
 }

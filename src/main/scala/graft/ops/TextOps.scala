@@ -461,21 +461,28 @@ object TextOps {
     * boilerplate disappear from the output — by design, like a
     * dedup-then-requalify pipeline stage.
     *
-    * Scale: one groupBy on the line text counts document frequency;
-    * only lines crossing the threshold survive the filter. The anti
-    * join is deliberately left unhinted: how many lines recur across
-    * documents is a property of the corpus (at maxDocFreq=2 on real
-    * web data it is NOT tiny), so AQE picks broadcast when the
-    * filtered set turns out small and a shuffled anti join when it
-    * doesn't — a forced broadcast() would OOM the driver on the latter.
-    * The reassembly is the one unavoidable shuffle (by doc_id). */
+    * Scale: both shuffles key on the 64-bit line hash, never the raw
+    * text — the document-frequency groupBy carries only (h64, doc_id)
+    * and the anti join's build side only h64, so the corpus text rides
+    * a shuffle exactly once (the unavoidable doc_id reassembly; the
+    * anti-join probe side carries it as payload only until AQE
+    * broadcasts the boilerplate set, the common case). 64 bits is
+    * collision-safe here: a false positive needs two distinct lines
+    * hashing together, and the cost is one dropped line, not a wrong
+    * join. The anti join is deliberately left unhinted: how many lines
+    * recur across documents is a property of the corpus (at
+    * maxDocFreq=2 on real web data it is NOT tiny), so AQE picks
+    * broadcast when the filtered set turns out small and a shuffled
+    * anti join when it doesn't — a forced broadcast() would OOM the
+    * driver on the latter. */
   def lineDedupe(lines: DataFrame, maxDocFreq: Int, sep: String = "\n"): DataFrame = {
-    val boiler = lines
-      .groupBy(col("line"))
+    val keyed = lines.withColumn("__lh", h64(col("line")))
+    val boiler = keyed
+      .groupBy(col("__lh"))
       .agg(countDistinct(col("doc_id")).as("line_df"))
       .filter(col("line_df") >= maxDocFreq)
-      .select(col("line"))
-    lines.join(boiler, Seq("line"), "left_anti")
+      .select(col("__lh"))
+    keyed.join(boiler, Seq("__lh"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_lines"),
         concat_ws(sep, expr(

@@ -95,12 +95,38 @@ object WindowOps {
     * reference clamps latitude to ±90 and heights to >= 0,
     * mop_utils.py:729-741).
     *
+    * PRECONDITION: this variant windows over the WHOLE frame (one
+    * unpartitioned sort), which is only safe because its input is a
+    * single coordinate axis — O(10²–10³) rows. Never hand it a
+    * data-sized frame: Spark would serialize it into one task. For a
+    * catalog-wide bounds pass (every axis of every file at once) use
+    * [[midpointBoundsBy]], which keys the window on the axis id.
+    *
     * Input: df with a numeric coordinate column `coordCol` (rows assumed
     * distinct on it). Output: coord, bnd_lo, bnd_hi.
     */
   def midpointBounds(df: DataFrame, coordCol: String, clampLo: Option[Double] = None,
-      clampHi: Option[Double] = None): DataFrame = {
-    val w = Window.orderBy(col(coordCol))
+      clampHi: Option[Double] = None): DataFrame =
+    boundsSelect(df, Nil, coordCol, clampLo, clampHi)
+
+  /** [[midpointBounds]] partitioned by an axis key — the catalog-scale
+    * variant: one pass computes bounds for EVERY axis of every file,
+    * with the window keyed on `partition` so parallelism scales with
+    * the axis count, not capped at one task. Output: partition columns,
+    * coord, bnd_lo, bnd_hi. Clamps apply to every partition; axes with
+    * different clamp rules (latitude vs height) go in separate calls —
+    * or clamp downstream on the axis class. */
+  def midpointBoundsBy(df: DataFrame, partition: Seq[Column], coordCol: String,
+      clampLo: Option[Double] = None, clampHi: Option[Double] = None): DataFrame = {
+    require(partition.nonEmpty,
+      "midpointBoundsBy needs partition keys; use midpointBounds for one axis")
+    boundsSelect(df, partition, coordCol, clampLo, clampHi)
+  }
+
+  private def boundsSelect(df: DataFrame, partition: Seq[Column], coordCol: String,
+      clampLo: Option[Double], clampHi: Option[Double]): DataFrame = {
+    val w = (if (partition.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partition: _*)).orderBy(col(coordCol))
     val x = col(coordCol)
     val prev = lag(x, 1).over(w)
     val next = lead(x, 1).over(w)
@@ -110,6 +136,6 @@ object WindowOps {
     val hi1 = clampLo.map(v => greatest(hi0, lit(v))).getOrElse(hi0)
     val hi = clampHi.map(v => least(hi1, lit(v))).getOrElse(hi1)
     val lo1 = clampHi.map(v => least(lo, lit(v))).getOrElse(lo)
-    df.select(x, lo1.as("bnd_lo"), hi.as("bnd_hi"))
+    df.select(partition ++ Seq(x, lo1.as("bnd_lo"), hi.as("bnd_hi")): _*)
   }
 }

@@ -275,5 +275,219 @@ object CmorQueries extends QueryGroup {
       JOIN nodes nw ON nw.j_n = c.j + 1 AND nw.i_n = c.i
       ORDER BY c.j, c.i"""))
 
-  def queries: Seq[Q] = Seq(q94, q95, q96)
+  /** End-to-end CMOR per-file lifecycle — the §3.2 chain composed the
+    * way the reference's `mop_process` runs it (mopper/mopper.py:175-351):
+    * catalog resolve with frequency relaxation (q10/q40's rule) → axis
+    * classification + CMOR naming (q94) → coordinate bounds, every axis
+    * of every variable in ONE keyed window pass (q14's kernel,
+    * latitude clamped ±90) → positive-direction inference (q95) → DRS
+    * filename with frequency-precision date stamps (q39). One row per
+    * requested variable, proving the pieces compose. */
+  private val q105 = Q(
+    "q105_cmor_lifecycle",
+    (s, dir) => {
+      import s.implicits._
+      import graft.catalog.Catalog
+      import graft.ops.WindowOps
+      import org.apache.spark.sql.Column
+      val requests = Seq(("tas", "mon"), ("thetao", "mon"), ("hfds", "day"))
+        .toDF("cmorVar", "frequency")
+      val maps = Catalog.mappings(s, Seq(
+        Catalog.Mapping("tas", "fld_s03i236", "", "K",
+          "longitude latitude time", "mon", "atmos", "area: time: mean",
+          "", "Amon", "SPARK1"),
+        Catalog.Mapping("thetao", "temp", "", "K",
+          "longitude latitude olevel time", "mon", "ocean",
+          "area: time: mean", "", "Omon", "SPARK1"),
+        Catalog.Mapping("hfds", "sfc_hflux", "", "W m-2",
+          "longitude latitude time", "1hr", "ocean", "area: time: mean",
+          "", "Oday", "SPARK1")))
+      val resolved = Catalog.resolve(requests, maps)
+        .select($"req_var", $"req_freq", $"status", $"resample",
+          $"cmorTable", $"cellMethods", $"calculation", $"positive")
+      val attrs = Seq(
+        ("tas", "air_temperature", "2020-01-16", "2020-12-16"),
+        ("thetao", "sea_water_potential_temperature",
+          "2020-01-16", "2020-12-16"),
+        ("hfds", "surface_downward_heat_flux_in_sea_water",
+          "2020-01-01", "2020-12-31"))
+        .toDF("req_var", "standard_name", "t0", "t1")
+      // '' marks an absent axis attribute (nullif'd before classify);
+      // an empty coords array marks a sizeless axis (time)
+      val dims = Seq(
+        ("tas", 0, "time", "T", "", Seq.empty[Double]),
+        ("tas", 1, "lat", "", "", Seq(-75.0, 0.0, 75.0)),
+        ("tas", 2, "lon", "", "", Seq(0.0, 120.0, 240.0)),
+        ("thetao", 0, "time", "T", "", Seq.empty[Double]),
+        ("thetao", 1, "st_ocean", "", "Z", Seq(5.0, 15.0, 40.0)),
+        ("thetao", 2, "yt_ocean", "", "", Seq(-60.0, 0.0, 60.0)),
+        ("thetao", 3, "xt_ocean", "", "", Seq(40.0, 160.0, 280.0)),
+        ("hfds", 0, "time", "T", "", Seq.empty[Double]),
+        ("hfds", 1, "yt_ocean", "", "", Seq(-60.0, 0.0, 60.0)),
+        ("hfds", 2, "xt_ocean", "", "", Seq(40.0, 160.0, 280.0)))
+        .toDF("req_var", "dim_idx", "dim", "axis_attr", "cart_axis", "coords")
+      val cls = Axes.axisClass($"dim",
+        nullif($"axis_attr", lit("")), nullif($"cart_axis", lit("")))
+      val classified = dims.join(broadcast(resolved), Seq("req_var"))
+        .select($"req_var", $"dim_idx", $"dim", $"coords",
+          cls.as("axis_class"),
+          Axes.cmorName(cls, $"dim", $"cellMethods", $"calculation",
+            $"req_var", lit(""), size($"coords")).as("cmor_name"))
+      val axesStr = classified.groupBy($"req_var")
+        .agg(concat_ws(" ", expr(
+          """transform(array_sort(collect_list(struct(dim_idx, cmor_name))),
+             x -> x.cmor_name)""")).as("axes"))
+      val coordRows = classified.filter(size($"coords") > 0)
+        .select($"req_var", $"dim", $"axis_class",
+          explode($"coords").as("coord"))
+      val bounds = WindowOps.midpointBoundsBy(coordRows,
+        Seq($"req_var", $"dim", $"axis_class"), "coord")
+      val clamp = (c: Column) => greatest(least(c, lit(90.0)), lit(-90.0))
+      val ybnd = bounds.filter($"axis_class" === "y")
+        .groupBy($"req_var")
+        .agg(min(clamp($"bnd_lo")).as("y_lo"), max(clamp($"bnd_hi")).as("y_hi"))
+      val stamp = (c: Column) => when($"req_freq" === "mon",
+        date_format(c.cast("date"), "yyyyMM"))
+        .otherwise(date_format(c.cast("date"), "yyyyMMdd"))
+      resolved.join(broadcast(attrs), Seq("req_var"))
+        .join(broadcast(axesStr), Seq("req_var"))
+        .join(broadcast(ybnd), Seq("req_var"))
+        .select($"req_var".as("cmor_var"), $"status", $"resample", $"axes",
+          $"y_lo", $"y_hi",
+          Axes.positiveDir($"positive", $"standard_name").as("positive_dir"),
+          concat($"req_var", lit("_"), $"cmorTable",
+            lit("_SPARK1_histor_r1i1p1f1_gn_"),
+            stamp($"t0"), lit("-"), stamp($"t1"), lit(".nc")).as("filename"))
+        .orderBy($"cmor_var")
+    },
+    Some("""
+      WITH reqs(cmor_var, req_freq) AS (VALUES
+        ('tas', 'mon'), ('thetao', 'mon'), ('hfds', 'day')),
+      maps(cmor_var, frequency, cell_methods, calculation, positive,
+           cmor_table, model) AS (VALUES
+        ('tas', 'mon', 'area: time: mean', '', '', 'Amon', 'SPARK1'),
+        ('thetao', 'mon', 'area: time: mean', '', '', 'Omon', 'SPARK1'),
+        ('hfds', '1hr', 'area: time: mean', '', '', 'Oday', 'SPARK1')),
+      attrs(cmor_var, standard_name, t0, t1) AS (VALUES
+        ('tas', 'air_temperature', '2020-01-16', '2020-12-16'),
+        ('thetao', 'sea_water_potential_temperature',
+          '2020-01-16', '2020-12-16'),
+        ('hfds', 'surface_downward_heat_flux_in_sea_water',
+          '2020-01-01', '2020-12-31')),
+      dims(cmor_var, dim_idx, dim, axis_attr, cart_axis, coords) AS (VALUES
+        ('tas', 0, 'time', 'T', '', CAST([] AS DOUBLE[])),
+        ('tas', 1, 'lat', '', '', [-75.0e0, 0.0e0, 75.0e0]),
+        ('tas', 2, 'lon', '', '', [0.0e0, 120.0e0, 240.0e0]),
+        ('thetao', 0, 'time', 'T', '', CAST([] AS DOUBLE[])),
+        ('thetao', 1, 'st_ocean', '', 'Z', [5.0e0, 15.0e0, 40.0e0]),
+        ('thetao', 2, 'yt_ocean', '', '', [-60.0e0, 0.0e0, 60.0e0]),
+        ('thetao', 3, 'xt_ocean', '', '', [40.0e0, 160.0e0, 280.0e0]),
+        ('hfds', 0, 'time', 'T', '', CAST([] AS DOUBLE[])),
+        ('hfds', 1, 'yt_ocean', '', '', [-60.0e0, 0.0e0, 60.0e0]),
+        ('hfds', 2, 'xt_ocean', '', '', [40.0e0, 160.0e0, 280.0e0])),
+      ladder(freq, rk) AS (VALUES
+        ('10min', 0), ('30min', 1), ('1hr', 2), ('3hr', 3), ('6hr', 4),
+        ('day', 5), ('mon', 6), ('yr', 7), ('10yr', 8)),
+      cand AS (
+        SELECT r.cmor_var, r.req_freq, m.frequency, m.cell_methods,
+          m.calculation, m.positive, m.cmor_table, m.model,
+          lr.rk - lm.rk AS dist
+        FROM reqs r
+        JOIN ladder lr ON lr.freq = r.req_freq
+        JOIN maps m ON m.cmor_var = r.cmor_var
+        JOIN ladder lm ON lm.freq = m.frequency AND lm.rk <= lr.rk),
+      res AS (
+        SELECT cmor_var, req_freq, frequency, cell_methods, calculation,
+          positive, cmor_table,
+          CASE WHEN frequency = req_freq THEN '' ELSE req_freq END AS resample,
+          CASE WHEN frequency = req_freq THEN 'exact'
+               ELSE 'resampled' END AS status
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cmor_var, req_freq
+                ORDER BY dist, model) AS rn FROM cand)
+        WHERE rn = 1),
+      cl AS (
+        SELECT d.cmor_var, d.dim_idx, d.dim, d.coords, r.cell_methods,
+          r.calculation,
+          CASE
+            WHEN COALESCE(NULLIF(d.cart_axis, ''), NULLIF(d.axis_attr, ''))
+              = 'T' OR contains(d.dim, 'time') THEN 't'
+            WHEN COALESCE(NULLIF(d.cart_axis, ''), NULLIF(d.axis_attr, ''))
+              = 'Y' OR contains(d.dim, 'lat') OR contains(d.dim, 'y')
+              OR contains(d.dim, 'nj') THEN 'y'
+            WHEN COALESCE(NULLIF(d.cart_axis, ''), NULLIF(d.axis_attr, ''))
+              = 'X' OR contains(d.dim, 'lon') OR contains(d.dim, 'x')
+              OR contains(d.dim, 'ni') THEN 'x'
+            WHEN COALESCE(NULLIF(d.cart_axis, ''), NULLIF(d.axis_attr, ''))
+              = 'Z' OR contains(d.dim, 'lev') OR contains(d.dim, 'heigth')
+              OR contains(d.dim, 'depth') THEN 'z'
+          END AS axis_class
+        FROM dims d JOIN res r ON d.cmor_var = r.cmor_var),
+      named AS (
+        SELECT cmor_var, dim_idx, dim, coords, axis_class,
+          CASE axis_class
+            WHEN 't' THEN
+              CASE WHEN contains(cell_methods, 'mean')
+                     OR contains(cell_methods, 'min')
+                     OR contains(cell_methods, 'max')
+                     OR contains(cell_methods, 'sum') THEN 'time'
+                   WHEN contains(cell_methods, 'point') THEN 'time1'
+                   WHEN contains(cell_methods, 'clim') THEN 'time2'
+                   ELSE 'time' END
+            WHEN 'y' THEN 'latitude'
+            WHEN 'x' THEN 'longitude'
+            WHEN 'z' THEN
+              CASE WHEN dim IN ('st_ocean', 'sw_ocean') THEN 'depth_coord'
+              END
+          END AS cmor_name
+        FROM cl),
+      axes AS (
+        SELECT cmor_var, string_agg(cmor_name, ' ' ORDER BY dim_idx) AS axes
+        FROM named GROUP BY cmor_var),
+      coords AS (
+        SELECT cmor_var, dim, axis_class, unnest(coords) AS coord
+        FROM named WHERE len(coords) > 0),
+      n1 AS (
+        SELECT cmor_var, dim, axis_class, coord,
+          LAG(coord) OVER w AS prev, LEAD(coord) OVER w AS nxt
+        FROM coords
+        WINDOW w AS (PARTITION BY cmor_var, dim, axis_class ORDER BY coord)),
+      b AS (
+        SELECT cmor_var, dim, axis_class,
+          CASE WHEN prev IS NULL THEN coord - (nxt - coord) / 2.0e0
+               ELSE (prev + coord) / 2.0e0 END AS bnd_lo,
+          CASE WHEN nxt IS NULL THEN coord + (coord - prev) / 2.0e0
+               ELSE (coord + nxt) / 2.0e0 END AS bnd_hi
+        FROM n1),
+      ybnd AS (
+        SELECT cmor_var,
+          MIN(GREATEST(LEAST(bnd_lo, 90.0e0), -90.0e0)) AS y_lo,
+          MAX(GREATEST(LEAST(bnd_hi, 90.0e0), -90.0e0)) AS y_hi
+        FROM b WHERE axis_class = 'y' GROUP BY cmor_var)
+      SELECT r.cmor_var, r.status, r.resample, x.axes, y.y_lo, y.y_hi,
+        CASE
+          WHEN r.positive IN ('up', 'down') THEN r.positive
+          WHEN contains(lower(COALESCE(a.standard_name, 'None')), 'up')
+            OR contains(lower(COALESCE(a.standard_name, 'None')), 'outgoing')
+            OR contains(lower(COALESCE(a.standard_name, 'None')), 'out_of')
+            THEN 'up'
+          WHEN contains(lower(COALESCE(a.standard_name, 'None')), 'down')
+            OR contains(lower(COALESCE(a.standard_name, 'None')), 'incoming')
+            OR contains(lower(COALESCE(a.standard_name, 'None')), 'into')
+            THEN 'down'
+        END AS positive_dir,
+        r.cmor_var || '_' || r.cmor_table || '_SPARK1_histor_r1i1p1f1_gn_' ||
+          CASE WHEN r.req_freq = 'mon'
+               THEN strftime(CAST(a.t0 AS DATE), '%Y%m')
+               ELSE strftime(CAST(a.t0 AS DATE), '%Y%m%d') END || '-' ||
+          CASE WHEN r.req_freq = 'mon'
+               THEN strftime(CAST(a.t1 AS DATE), '%Y%m')
+               ELSE strftime(CAST(a.t1 AS DATE), '%Y%m%d') END || '.nc'
+          AS filename
+      FROM res r
+      JOIN attrs a ON r.cmor_var = a.cmor_var
+      JOIN axes x ON r.cmor_var = x.cmor_var
+      JOIN ybnd y ON r.cmor_var = y.cmor_var
+      ORDER BY r.cmor_var"""))
+
+  def queries: Seq[Q] = Seq(q94, q95, q96, q105)
 }

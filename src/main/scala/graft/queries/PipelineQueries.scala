@@ -135,5 +135,135 @@ object PipelineQueries extends QueryGroup {
              WHEN delta_s <= 129600 THEN 'day' ELSE 'mon' END AS freq
       FROM best WHERE rn = 1 ORDER BY user_id"""))
 
-  def queries: Seq[Q] = Seq(q39, q40, q41)
+  /** Cell-methods inference (mopdb_utils.py get_cell_methods 470-488):
+    * the varlist default/normalize rule — `area: ` prefixing,
+    * `time: point` defaulting with the `Pt` frequency modifier, and
+    * time-dim token normalization. The fixture rows cover every branch
+    * plus the two reference quirks mirrored verbatim (the separator-less
+    * append and the case-sensitive substring checks). */
+  private val q102 = Q(
+    "q102_cell_methods",
+    (s, dir) => {
+      import s.implicits._
+      val vars = Seq(
+        (1, None: Option[String], Seq("time", "lat", "lon")),
+        (2, Some("time: mean"), Seq("time", "lat", "lon")),
+        (3, Some("area: mean time: mean"), Seq("time_0", "lat", "lon")),
+        (4, Some("time_0: maximum"), Seq("time_0", "lat", "lon")),
+        (5, Some("area: sum"), Seq("time", "lat")),
+        (6, Some("lat: mean"), Seq("lat", "lon")),
+        (7, Some("time: point"), Seq("time", "time_0")),
+        (8, Some(""), Seq("time")),
+        (9, Some("longitude: mean time: maximum"), Seq("time")),
+        (10, Some("area: time: mean"), Seq("Time", "lat")))
+        .toDF("case_id", "cm", "dims")
+      val (cm, frqmod) = graft.catalog.Axes.cellMethods($"cm", $"dims")
+      vars.select($"case_id", cm.as("cell_methods"), frqmod.as("frqmod"))
+        .orderBy($"case_id")
+    },
+    Some("""
+      WITH v(case_id, cm, dims) AS (VALUES
+        (1, CAST(NULL AS VARCHAR), ['time', 'lat', 'lon']),
+        (2, 'time: mean', ['time', 'lat', 'lon']),
+        (3, 'area: mean time: mean', ['time_0', 'lat', 'lon']),
+        (4, 'time_0: maximum', ['time_0', 'lat', 'lon']),
+        (5, 'area: sum', ['time', 'lat']),
+        (6, 'lat: mean', ['lat', 'lon']),
+        (7, 'time: point', ['time', 'time_0']),
+        (8, '', ['time']),
+        (9, 'longitude: mean time: maximum', ['time']),
+        (10, 'area: time: mean', ['Time', 'lat'])),
+      b AS (
+        SELECT case_id,
+          CASE WHEN contains(COALESCE(cm, ''), 'area') THEN COALESCE(cm, '')
+               ELSE 'area: ' || COALESCE(cm, '') END AS val,
+          list_filter(dims, d -> contains(d, 'time')) AS tax
+        FROM v)
+      SELECT case_id,
+        CASE WHEN len(tax) = 1 AND NOT contains(val, 'time')
+               THEN val || 'time: point'
+             WHEN len(tax) = 1 THEN replace(val, tax[1], 'time')
+             ELSE val END AS cell_methods,
+        CASE WHEN len(tax) = 1 AND NOT contains(val, 'time')
+               THEN 'Pt' ELSE '' END AS frqmod
+      FROM b ORDER BY case_id"""))
+
+  /** Filename-token frequency inference (mopdb_utils.py get_frequency
+    * 431-467) composed with q41's delta ladder under the reference's
+    * precedence: the filename substring rules answer first; only files
+    * whose name is mute (the 'NA' sentinel) consult the dominant
+    * time-axis delta; grid/static files with neither stay 'NA'. */
+  private val q103 = Q(
+    "q103_filename_frequency",
+    (s, dir) => {
+      import s.implicits._
+      val files = Seq(
+        (1, "atmos", "umnsa_pa_2024_dai.nc", None: Option[Long]),
+        (2, "atmos", "umnsa_pa_2024_3h.nc", None: Option[Long]),
+        (3, "atmos", "umnsa_pa_2024_6h.nc", None: Option[Long]),
+        (4, "atmos", "umnsa_pa_2024_1hPt.nc", None: Option[Long]),
+        (5, "atmos", "umnsa_pa_2024_mon.nc", None: Option[Long]),
+        (6, "ocean", "ocean_scalar.nc-20240101", None: Option[Long]),
+        (7, "ocean", "ocean_month.nc", None: Option[Long]),
+        (8, "ocean", "ocean_daily.nc", None: Option[Long]),
+        (9, "ocean", "ocean_snapshot.nc", Some(3600L)),
+        (10, "ice", "iceh_m.2024-01.nc", None: Option[Long]),
+        (11, "ice", "iceh_d.2024-01-01.nc", None: Option[Long]),
+        (12, "ice", "iceh.2024.nc", Some(86400L)),
+        (13, "land", "land_veg_2024.nc", Some(2592000L)),
+        (14, "ocean", "ocean_grid.nc", None: Option[Long]))
+        .toDF("file_id", "realm", "fname", "delta_s")
+      files.select($"file_id", $"realm", $"fname",
+          graft.catalog.Catalog.filenameFrequency($"realm", $"fname")
+            .as("fname_freq"),
+          graft.catalog.Catalog.frequencyWithFallback($"realm", $"fname",
+            $"delta_s").as("freq"))
+        .orderBy($"file_id")
+    },
+    Some("""
+      WITH f(file_id, realm, fname, delta_s) AS (VALUES
+        (1, 'atmos', 'umnsa_pa_2024_dai.nc', CAST(NULL AS BIGINT)),
+        (2, 'atmos', 'umnsa_pa_2024_3h.nc', NULL),
+        (3, 'atmos', 'umnsa_pa_2024_6h.nc', NULL),
+        (4, 'atmos', 'umnsa_pa_2024_1hPt.nc', NULL),
+        (5, 'atmos', 'umnsa_pa_2024_mon.nc', NULL),
+        (6, 'ocean', 'ocean_scalar.nc-20240101', NULL),
+        (7, 'ocean', 'ocean_month.nc', NULL),
+        (8, 'ocean', 'ocean_daily.nc', NULL),
+        (9, 'ocean', 'ocean_snapshot.nc', 3600),
+        (10, 'ice', 'iceh_m.2024-01.nc', NULL),
+        (11, 'ice', 'iceh_d.2024-01-01.nc', NULL),
+        (12, 'ice', 'iceh.2024.nc', 86400),
+        (13, 'land', 'land_veg_2024.nc', 2592000),
+        (14, 'ocean', 'ocean_grid.nc', NULL)),
+      n AS (
+        SELECT *, replace(string_split(fname, '_')[-1], '.nc', '') AS tok
+        FROM f),
+      fn AS (
+        SELECT file_id, realm, fname, delta_s,
+          CASE WHEN realm = 'atmos' THEN
+                 CASE tok WHEN 'dai' THEN 'day' WHEN '3h' THEN '3hr'
+                      WHEN '6h' THEN '6hr'
+                      ELSE replace(tok, 'hPt', 'hrPt') END
+               WHEN realm = 'ocean' THEN
+                 CASE WHEN contains(fname, 'scalar')
+                        OR contains(fname, 'month') THEN 'mon'
+                      WHEN contains(fname, 'daily') THEN 'day'
+                      ELSE 'NA' END
+               WHEN realm = 'ice' THEN
+                 CASE WHEN contains(fname, '_m.') THEN 'mon'
+                      WHEN contains(fname, '_d.') THEN 'day'
+                      ELSE 'NA' END
+               ELSE 'NA' END AS fname_freq
+        FROM n)
+      SELECT file_id, realm, fname, fname_freq,
+        COALESCE(NULLIF(fname_freq, 'NA'),
+          CASE WHEN delta_s IS NULL THEN NULL
+               WHEN delta_s <= 90 THEN '1min'
+               WHEN delta_s <= 5400 THEN '1hr'
+               WHEN delta_s <= 129600 THEN 'day' ELSE 'mon' END,
+          'NA') AS freq
+      FROM fn ORDER BY file_id"""))
+
+  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103)
 }

@@ -229,5 +229,78 @@ object SimilarityQueries extends QueryGroup {
       SELECT id1, id2, iscore, cosine, rank FROM ranked
       WHERE rank <= 5 ORDER BY id1, rank"""))
 
-  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98)
+  /** Quantized ANN pruned by the IVF index (q98 × q77): the int8 sweep
+    * reads only the queries' nprobe=2 probed cells' inverted lists, the
+    * exact decimal cosine re-ranks the O(q·m) shortlist — at 100 TB the
+    * integer scan touches nprobe/n_cells of the code store, not all of
+    * it. Codebook = vectors 0..15, queries = vectors 0..9, exactly as
+    * q61/q77 so the cell structure is comparable across the family. */
+  private val q104 = Q(
+    "q104_quantized_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val qz = Similarity.quantizeInt8(
+          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .filter($"maxabs" > 0)
+        .select($"id", $"q8")
+      val all = vecs(s, dir).join(qz, Seq("id"))
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      Similarity.quantizedIvfTopK(all, cents, all.filter($"id" < 10),
+          nprobe = 2, m = 20, k = 3)
+        .orderBy($"id1", $"rank")
+    },
+    Some(s"""
+      WITH $codesSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v
+        JOIN sc sv ON v.id = sv.id
+        JOIN comp c ON v.i = c.i AND c.id < 16
+        JOIN sc sc2 ON c.id = sc2.id),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS id1, cid FROM (
+          SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos WHERE id < 10) WHERE rn <= 2),
+      cands AS (
+        SELECT qc.id1, a.id AS id2
+        FROM qcells qc JOIN assign a ON a.cid = qc.cid AND a.id <> qc.id1),
+      iscore AS (
+        SELECT cd.id1, cd.id2,
+          CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS iscore
+        FROM cands cd
+        JOIN codes q ON q.id = cd.id1
+        JOIN codes c ON c.id = cd.id2 AND q.i = c.i
+        GROUP BY cd.id1, cd.id2),
+      short AS (
+        SELECT id1, id2, iscore FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY iscore DESC, id2) AS mrk
+          FROM iscore)
+        WHERE mrk <= 20),
+      parts AS (
+        SELECT s.id1, s.id2, s.iscore, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      cos AS (SELECT id1, id2, iscore, $cosSql AS cosine
+              FROM parts GROUP BY id1, id2, iscore),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                    ORDER BY cosine DESC, id2) AS INT) AS rank
+        FROM cos)
+      SELECT id1, id2, iscore, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY id1, rank"""))
+
+  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104)
 }

@@ -159,4 +159,25 @@ class OpsSpec extends SparkSpec {
     val h = Seq("abc").toDF("s").select(TextOps.h64($"s")).as[Long].head()
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
   }
+
+  test("midpointBoundsBy computes every axis in one keyed pass, bit-equal " +
+      "to the per-axis global-window variant") {
+    import graft.ops.WindowOps
+    val axes = Seq(-60.0, 0.0, 60.0, 88.0).map(("lat", _)) ++
+      Seq(5.0, 15.0, 40.0).map(("zlev", _)) ++
+      Seq(100.0).map(("scalar", _)) // single-cell axis: both ends null
+    val df = axes.toDF("axis_id", "coord")
+    val oneShot = WindowOps.midpointBoundsBy(df, Seq($"axis_id"), "coord")
+      .orderBy("axis_id", "coord").collect().toSeq
+    val perAxis = Seq("lat", "scalar", "zlev").flatMap { a =>
+      WindowOps.midpointBounds(df.filter($"axis_id" === a), "coord")
+        .select(lit(a).as("axis_id"), $"coord", $"bnd_lo", $"bnd_hi")
+        .orderBy("coord").collect().toSeq
+    }
+    assert(oneShot == perAxis)
+    // the keyed window must partition on axis_id, not sort globally
+    val plan = WindowOps.midpointBoundsBy(df, Seq($"axis_id"), "coord")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("axis_id"), plan)
+  }
 }

@@ -103,6 +103,10 @@ class PlanAuditSpec extends SparkSpec {
     // join strategy is deliberately AQE-decided (the boilerplate set's
     // size is a corpus property) — audit only the LeftAnti shape
     assert(p.contains("LeftAnti"), p)
+    // every shuffle keys on the 64-bit line hash or doc_id — never the
+    // raw line text (at 100 TB a text key shuffles the corpus twice)
+    assert(p.contains("hashpartitioning(__lh"), p)
+    assert(!p.contains("hashpartitioning(line"), p)
   }
 
   test("q100 vocab is TakeOrdered top-k broadcast back onto the word rows") {
@@ -115,6 +119,24 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q101_mix_weights")
     assert(nodeCount(p, "Window") == 0, p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q98 shortlist rank pushes into the shuffle (WindowGroupLimit)") {
+    // the map-side partial rank limit is what bounds the q·n candidate
+    // shuffle — frozen so a Spark upgrade can't silently drop it
+    val p = planOf("q98_quantized_ann")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q104 int8 sweep reads codes only behind the IVF cell filter") {
+    val p = planOf("q104_quantized_ivf")
+    // the only nested-loop joins are the two K-wide centroid sweeps
+    // (corpus assignment and query cell-ranking); the corpus code store
+    // is consumed exclusively through equi joins below the shortlist
+    // rank — a third nested loop would mean the sweep went q × n flat
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 2, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
