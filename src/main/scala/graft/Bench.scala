@@ -26,6 +26,16 @@ object Bench {
     else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2.0
   }
 
+  /** Nearest-rank (lower) percentile over the healthy runs — an actual
+    * sample, never an interpolation. With the default 3 passes p25/p75
+    * are the min/max, which IS the spread a regression must clear to be
+    * more than run-to-run noise. -1 when every run crashed. */
+  private def pct(runs: Seq[Double], q: Double): Double = {
+    val ok = runs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else ok(math.min(ok.size - 1, math.max(0, math.ceil(q * ok.size).toInt - 1)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,9 +86,17 @@ object Bench {
     val detail = named.indices.map { i =>
       "\"" + named(i)._1 + "\":[" + runs(i).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-query [p25, p75] over the passes: the variance band a future
+    // regression has to clear before it means anything — makes "is 1.4 s
+    // vs 1.1 s real?" a lookup instead of an eyeball
+    val spread = named.indices.map { i =>
+      "\"" + named(i)._1 + "\":[" + fmt(pct(runs(i), 0.25)) + "," +
+        fmt(pct(runs(i), 0.75)) + "]"
+    }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(s"""{"passes":$passes,"sf":"$sfDir","runs":$detail}""")
+      try w.println(
+        s"""{"passes":$passes,"sf":"$sfDir","spread":$spread,"runs":$detail}""")
       finally w.close()
     } catch { case _: Throwable => () }
     println(s"[bench-detail] $detail")
