@@ -132,6 +132,61 @@ object Catalog {
       .select(col("cmorVar"), col("cmorTable"), col("frequency"))
       .distinct()
 
+  /** Template-section classification (mopdb_utils.py:629-674,
+    * `parse_vars` + `add_var`): each scanned model variable is matched
+    * against the mapping catalog's direct rows (calculation = '') on a
+    * relaxation ladder — exact (name, frequency, version) → same name
+    * and frequency, any version (`no_ver`: "different model version —
+    * use with caution") → same name and version, any frequency
+    * (`no_frq`) → no match (a name-only hit with BOTH frequency and
+    * version wrong classifies as unmatched, per the reference's tuple
+    * slices). The winning match enriches the row as `add_var` does: an
+    * empty cmor_var takes the match's, positive is copied, and missing
+    * units fill from the match. The sections drive
+    * `write_map_template`'s warning blocks (mopdb_utils.py:744-798);
+    * the fifth block (derivable variables) is [[derivable]].
+    *
+    * The reference walks an unordered dict and keeps the first hit; we
+    * make the choice deterministic — within a relaxation level ties
+    * break on (model, frequency, cmorVar). The mapping catalog is
+    * broadcast-small by contract; the scanned varlist is the big side
+    * (every run × variable of a 100 TB archive), so classification is
+    * a broadcast join + one keyed top-1 window. */
+  def templateSections(scanned: DataFrame, mappings: DataFrame,
+      version: String): DataFrame = {
+    val m = broadcast(mappings
+      .filter(col("calculation") === "")
+      .select(col("inputVars").as("m_var"), col("frequency").as("m_freq"),
+        col("model").as("m_model"), col("cmorVar").as("m_cmor"),
+        col("positive").as("m_pos"), col("units").as("m_units")))
+    val cand = scanned.join(m, col("varName") === col("m_var"), "left")
+    val level = when(col("m_var").isNull, 3)
+      .when(col("frequency") === col("m_freq") && col("m_model") === version, 0)
+      .when(col("frequency") === col("m_freq"), 1)
+      .when(col("m_model") === version, 2)
+      .otherwise(3)
+    val best = Relational.topOnePerGroup(
+      cand.withColumn("__lvl", level),
+      Seq(col("varName"), col("frequency")),
+      Seq(col("__lvl").asc, col("m_model").asc_nulls_last,
+        col("m_freq").asc_nulls_last, col("m_cmor").asc_nulls_last))
+    best
+      .withColumn("section",
+        when(col("__lvl") === 0, "matched")
+          .when(col("__lvl") === 1, "no_ver")
+          .when(col("__lvl") === 2, "no_frq")
+          .otherwise("no_match"))
+      .withColumn("cmor_var",
+        coalesce(nullif(col("cmorVar"), lit("")),
+          when(col("__lvl") < 3, col("m_cmor")), col("varName")))
+      .withColumn("positive", when(col("__lvl") < 3, col("m_pos")))
+      .withColumn("units_out",
+        coalesce(nullif(col("units"), lit("")),
+          when(col("__lvl") < 3, col("m_units"))))
+      .select(col("varName"), col("frequency"), col("section"),
+        col("cmor_var"), col("positive"), col("units_out").as("units"))
+  }
+
   /** Derivable variables: mapping rows whose every input token is
     * available (mopdb_utils.py potential_vars 715-741) — relational
     * division via explode + count. */

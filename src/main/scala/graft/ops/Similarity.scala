@@ -350,4 +350,143 @@ object Similarity {
         Seq(col("cosine").desc, col("id2").asc), k)
       .select(col("id1"), col("id2"), col("iscore"), col("cosine"), col("rank"))
   }
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al. '23): cluster
+    * the embedding store with the IVF coarse quantizer ([[ivfAssign]]),
+    * compare vectors only within their cell ([[blockedCosinePairs]]
+    * with the double prefilter), and drop every vector that has a
+    * cosine-≥-tau twin with a lower id in its cell — the deterministic
+    * keep-the-lowest-id policy.
+    *
+    * Scale shape: pair generation is an equi-join on the cell id, so
+    * the work is O(Σ|cell|²) not O(n²), and K (the cell count) is the
+    * knob that bounds cell size; the drop set is a distinct + left
+    * join, all keyed on the vector id. The assignment sub-plan is
+    * deliberately NOT cached: its three consumers each re-run the
+    * map-only K-wide sweep (no shuffle, embarrassingly parallel)
+    * rather than pinning a corpus-sized frame in executor memory.
+    * Output: (id, cid, dropped). */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    val assign = ivfAssign(vecs, centroids).select(col("id"), col("cid"))
+    val pairs = blockedCosinePairs(vecs,
+        assign.select(col("id"), col("cid").as("block")),
+        prefilterAbove = Some(tau))
+      .filter(col("cosine") >= tau)
+    val dropped = pairs.select(col("id2").as("id")).distinct()
+      .withColumn("__drop", lit(true))
+    vecs.select(col("id")).join(assign, Seq("id"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("__drop"), lit(false)).as("dropped"))
+  }
+
+  /** Product-quantization codebook (Jégou et al. '11): the embedding
+    * dimension is split into `m` contiguous subspaces of `dim/m`
+    * components, and each subspace gets its own small centroid table
+    * drawn from the `seeds` vectors' subvectors. Centroid ids are
+    * re-keyed 0..k-1 by seed-id order so codes index lookup tables
+    * positionally regardless of the seeds' original ids.
+    *
+    * Output is ONE row: `cb`, an array over subspaces of arrays (by
+    * cid) of centroid subvectors — the whole codebook rides a single
+    * broadcast and encode/search never shuffle it. Seeds must be
+    * broadcast-small (a codebook is k·dim doubles; the global
+    * row_number window over k rows is fine by the same contract). */
+  def pqCodebook(seeds: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    seeds.select(col("id"), col("emb"))
+      .withColumn("cid", row_number().over(w) - 1)
+      .select(col("cid"), expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(slice(emb, s * $dsub + 1, $dsub),
+                        x -> CAST(x AS DOUBLE)))""").as("subs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("subs")))).as("cs"))
+      .select(expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(cs, c -> element_at(c.subs, s + 1)))""").as("cb"))
+  }
+
+  /** PQ encode: each vector becomes `m` byte-sized codes — the nearest
+    * centroid of each of its subvectors by exact squared L2 (decimal-
+    * exact element sums; ties break to the lower cid via a struct min,
+    * so the assignment is deterministic across engines).
+    *
+    * Entirely map-side: the codebook is one broadcast row and every
+    * code is computed inside a single projection over the vector —
+    * encoding a 100 TB corpus is a shuffle-free single pass, and the
+    * output codes are m bytes against dim·4 for the floats (32× at
+    * dim=64, m=8). Output: (id, emb, codes: Array[Int]). */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    vecs.crossJoin(broadcast(codebook))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              array_min(transform(element_at(cb, s + 1), (c, ci) -> struct(
+                aggregate(
+                  zip_with(slice(emb, s * $dsub + 1, $dsub), c, (x, y) ->
+                    CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)
+                         AS DECIMAL(18,6))),
+                  CAST(0 AS DECIMAL(28,6)),
+                  (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS d,
+                ci AS cid))).cid)"""))
+      .drop("cb")
+  }
+
+  /** PQ search with asymmetric distance computation (ADC): each query
+    * precomputes an m×k lookup table of exact decimal dot products
+    * between its subvectors and every centroid, and a corpus vector's
+    * approximate score is the sum of m table lookups indexed by its
+    * codes — O(m) per pair instead of O(dim), reading only the m-byte
+    * codes. The top `mShort` per query by (adc desc, id asc) is then
+    * re-ranked by the exact decimal cosine over the original floats,
+    * which are fetched for O(q·mShort) rows only.
+    *
+    * The ADC sums are decimal end-to-end, so the shortlist is
+    * engine-exact — same sketch-then-verify contract as
+    * [[quantizedTopK]], with the sweep narrowed from int8 codes (4×)
+    * to PQ codes (dim·4/m ×). The code store and the float store are
+    * SEPARATE inputs on purpose: at 100 TB the codes are their own
+    * 32×-smaller dataset, the sweep touches only it, and the re-rank
+    * reads the floats directly rather than through the encode join.
+    * `codes` carries (id, codes) ([[pqEncode]]); `floats` carries
+    * (id, emb, norm2) ([[withNorms]]); `queries` carries (id, emb,
+    * norm2) and must be broadcast-small. */
+  def pqTopK(codes: DataFrame, floats: DataFrame, codebook: DataFrame,
+      queries: DataFrame, m: Int, dim: Int, mShort: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val luts = queries.crossJoin(broadcast(codebook))
+      .select(col("id").as("id1"), expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(element_at(cb, s + 1), c ->
+                aggregate(
+                  zip_with(slice(emb, s * $dsub + 1, $dsub), c, (x, y) ->
+                    CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,6))),
+                  CAST(0 AS DECIMAL(28,6)),
+                  (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))))""").as("luts"))
+    val swept = broadcast(luts)
+      .join(codes.select(col("id").as("id2"), col("codes")),
+        col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), expr(
+        """aggregate(
+             zip_with(codes, luts, (c, l) -> element_at(l, c + 1)),
+             CAST(0 AS DECIMAL(28,6)),
+             (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))""").as("adc"))
+    val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
+        Seq(col("adc").desc, col("id2").asc), mShort)
+      .select(col("id1"), col("id2"), col("adc"))
+    val exact = shortlist
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(floats.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("adc").cast("double").as("adc"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
+    Relational.topKPerGroup(exact, Seq(col("id1")),
+        Seq(col("cosine").desc, col("id2").asc), k)
+      .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
+  }
 }

@@ -265,5 +265,88 @@ object PipelineQueries extends QueryGroup {
           'NA') AS freq
       FROM fn ORDER BY file_id"""))
 
-  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103)
+  /** Template-section classification (mopdb_utils.py parse_vars
+    * 629-674 + add_var): the relaxation ladder that routes every
+    * scanned variable into write_map_template's blocks — matched /
+    * no_ver ("different model version") / no_frq ("different
+    * frequency") / no_match — with add_var's enrichment (cmor_var
+    * assignment, positive copy, units fill). The fixture covers every
+    * rung: an exact hit, a no_ver hit with a model-name tie-break, a
+    * no_frq hit, a name-only miss (freq AND version wrong → no_match,
+    * per the reference's tuple slices), a calculation-row exclusion,
+    * and a fully unknown variable. */
+  private val q108 = Q(
+    "q108_template_sections",
+    (s, dir) => {
+      import s.implicits._
+      val scanned = Seq(
+        ("fld_s03i236", "", "K", "mon"),
+        ("fld_s03i236", "", "K", "day"),
+        ("fld_s00i024", "myts", "", "day"),
+        ("fld_s05i216", "", "", "yr"),
+        ("calc_var", "", "", "mon"),
+        ("fld_s99i999", "", "", "mon"),
+        ("unknown_var", "", "kg", "day"))
+        .toDF("varName", "cmorVar", "units", "frequency")
+      val mappings = Seq(
+        ("tas", "fld_s03i236", "", "K", "mon", "CM2", ""),
+        ("tas", "fld_s03i236", "", "K", "mon", "ESM1.5", ""),
+        ("tas2", "fld_s03i236", "", "K", "day", "AUS2200", ""),
+        ("tas3", "fld_s03i236", "", "K", "day", "ESM1.5", ""),
+        ("ts", "fld_s00i024", "", "K", "day", "CM2", "down"),
+        ("pr", "fld_s05i216", "", "kg m-2 s-1", "mon", "CM2", ""),
+        ("prc", "calc_var", "plev(var)", "kg m-2 s-1", "mon", "CM2", ""),
+        ("huss", "fld_s99i999", "", "1", "3hr", "OTHER", ""))
+        .toDF("cmorVar", "inputVars", "calculation", "units",
+          "frequency", "model", "positive")
+      graft.catalog.Catalog.templateSections(scanned, mappings, "CM2")
+        .orderBy($"varName", $"frequency")
+    },
+    Some("""
+      WITH sc(var_name, cmor_in, units_in, frequency) AS (VALUES
+        ('fld_s03i236', '', 'K', 'mon'),
+        ('fld_s03i236', '', 'K', 'day'),
+        ('fld_s00i024', 'myts', '', 'day'),
+        ('fld_s05i216', '', '', 'yr'),
+        ('calc_var', '', '', 'mon'),
+        ('fld_s99i999', '', '', 'mon'),
+        ('unknown_var', '', 'kg', 'day')),
+      mp(m_cmor, input_vars, calculation, m_units, m_freq, m_model, m_pos)
+      AS (VALUES
+        ('tas', 'fld_s03i236', '', 'K', 'mon', 'CM2', ''),
+        ('tas', 'fld_s03i236', '', 'K', 'mon', 'ESM1.5', ''),
+        ('tas2', 'fld_s03i236', '', 'K', 'day', 'AUS2200', ''),
+        ('tas3', 'fld_s03i236', '', 'K', 'day', 'ESM1.5', ''),
+        ('ts', 'fld_s00i024', '', 'K', 'day', 'CM2', 'down'),
+        ('pr', 'fld_s05i216', '', 'kg m-2 s-1', 'mon', 'CM2', ''),
+        ('prc', 'calc_var', 'plev(var)', 'kg m-2 s-1', 'mon', 'CM2', ''),
+        ('huss', 'fld_s99i999', '', '1', '3hr', 'OTHER', '')),
+      cand AS (
+        SELECT s.*, m.input_vars, m.m_freq, m.m_model, m.m_cmor,
+          m.m_pos, m.m_units,
+          CASE WHEN m.input_vars IS NULL THEN 3
+               WHEN s.frequency = m.m_freq AND m.m_model = 'CM2' THEN 0
+               WHEN s.frequency = m.m_freq THEN 1
+               WHEN m.m_model = 'CM2' THEN 2
+               ELSE 3 END AS lvl
+        FROM sc s
+        LEFT JOIN (SELECT * FROM mp WHERE calculation = '') m
+          ON s.var_name = m.input_vars),
+      best AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY var_name, frequency
+            ORDER BY lvl, m_model ASC NULLS LAST, m_freq ASC NULLS LAST,
+                     m_cmor ASC NULLS LAST) AS rn
+          FROM cand) WHERE rn = 1)
+      SELECT var_name AS varName, frequency,
+        CASE lvl WHEN 0 THEN 'matched' WHEN 1 THEN 'no_ver'
+                 WHEN 2 THEN 'no_frq' ELSE 'no_match' END AS section,
+        COALESCE(NULLIF(cmor_in, ''),
+          CASE WHEN lvl < 3 THEN m_cmor END, var_name) AS cmor_var,
+        CASE WHEN lvl < 3 THEN m_pos END AS positive,
+        COALESCE(NULLIF(units_in, ''),
+          CASE WHEN lvl < 3 THEN m_units END) AS units
+      FROM best ORDER BY varName, frequency"""))
+
+  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108)
 }

@@ -302,5 +302,117 @@ object SimilarityQueries extends QueryGroup {
       SELECT id1, id2, iscore, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY id1, rank"""))
 
-  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104)
+  /** Product-quantization ANN (Jégou et al. '11): dim=64 split into
+    * m=8 subspaces, k=16 centroids per subspace seeded from vectors
+    * 0..15's subvectors (the same deterministic codebook convention as
+    * the IVF family), ADC candidate sweep over the m-byte codes, exact
+    * decimal cosine re-rank of the top-20 shortlist. The 100 TB story:
+    * the sweep reads 8 bytes per corpus vector instead of 256, encode
+    * is shuffle-free map work, and the floats are fetched for
+    * O(q·mShort) rows only. */
+  private val q106 = Q(
+    "q106_pq_ann",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
+      val codes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
+        .select($"id", $"codes")
+      Similarity.pqTopK(codes, all, cb, all.filter($"id" < 10),
+          m = 8, dim = 64, mShort = 20, k = 3)
+        .orderBy($"id1", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      sd AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid
+        FROM (SELECT DISTINCT id FROM comp WHERE id < 16)),
+      cent AS (
+        SELECT sd.cid, c.i // 8 AS s, c.i % 8 AS j, c.e AS ce
+        FROM comp c JOIN sd ON c.id = sd.id),
+      dist AS (
+        SELECT v.id, ct.s, ct.cid,
+          SUM(CAST((v.e - ct.ce) * (v.e - ct.ce) AS DECIMAL(18,6))) AS d
+        FROM comp v JOIN cent ct ON v.i // 8 = ct.s AND v.i % 8 = ct.j
+        GROUP BY v.id, ct.s, ct.cid),
+      codes AS (
+        SELECT id, s, cid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                      ORDER BY d, cid) AS rn
+          FROM dist) WHERE rn = 1),
+      lut AS (
+        SELECT q.id AS id1, ct.s, ct.cid,
+          SUM(CAST(q.e * ct.ce AS DECIMAL(18,6))) AS dot
+        FROM comp q JOIN cent ct ON q.i // 8 = ct.s AND q.i % 8 = ct.j
+        WHERE q.id < 10 GROUP BY q.id, ct.s, ct.cid),
+      adcs AS (
+        SELECT l.id1, c.id AS id2, SUM(l.dot) AS adc
+        FROM codes c
+        JOIN lut l ON l.s = c.s AND l.cid = c.code AND l.id1 <> c.id
+        GROUP BY l.id1, c.id),
+      short AS (
+        SELECT id1, id2, adc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY adc DESC, id2) AS mrk
+          FROM adcs)
+        WHERE mrk <= 20),
+      parts AS (
+        SELECT s.id1, s.id2, s.adc, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      cos AS (SELECT id1, id2, adc, $cosSql AS cosine
+              FROM parts GROUP BY id1, id2, adc),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                    ORDER BY cosine DESC, id2) AS INT) AS rank
+        FROM cos)
+      SELECT id1, id2, CAST(adc AS DOUBLE) AS adc, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY id1, rank"""))
+
+  /** Semantic dedup over IVF cells (SemDeDup): assign every vector to
+    * its nearest of the 16 fixed centroids (codebook = vectors 0..15,
+    * as the whole IVF family), compare pairs only within a cell, and
+    * drop the higher id of any pair with cosine ≥ 0.3. Every vector is
+    * reported with its cell and verdict — the embedding-space dedup
+    * policy beside the token ones (q46–q49). */
+  private val q107 = Q(
+    "q107_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      Similarity.semanticDedup(all, cents, tau = 0.3)
+        .orderBy($"id")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      pparts AS (
+        SELECT a.id AS id1, b.id AS id2, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM assign aa JOIN assign bb ON aa.cid = bb.cid AND aa.id < bb.id
+        JOIN comp a ON a.id = aa.id
+        JOIN comp b ON b.id = bb.id AND a.i = b.i),
+      pcos AS (SELECT id1, id2, $cosSql AS cosine
+               FROM pparts GROUP BY id1, id2),
+      drops AS (SELECT DISTINCT id2 AS id FROM pcos WHERE cosine >= 0.3e0)
+      SELECT a.id, a.cid, (d.id IS NOT NULL) AS dropped
+      FROM assign a LEFT JOIN drops d ON d.id = a.id
+      ORDER BY a.id"""))
+
+  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107)
 }

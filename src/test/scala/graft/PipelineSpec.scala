@@ -57,6 +57,34 @@ class PipelineSpec extends SparkSpec {
     assert(d.toSet == Set("tas")) // pr needs snow, which is missing
   }
 
+  test("catalog templateSections: the parse_vars relaxation ladder + add_var enrichment") {
+    val scanned = Seq(
+      ("v1", "", "", "mon"),    // exact (freq+version) → matched
+      ("v1", "", "", "day"),    // freq hit on another version → no_ver
+      ("v1", "", "", "yr"),     // version hit, freq differs → no_frq
+      ("v2", "pre", "K", "mon"),// name hit, freq AND version wrong → no_match
+      ("v3", "", "", "mon"))    // unknown → no_match
+      .toDF("varName", "cmorVar", "units", "frequency")
+    val mappings = Seq(
+      ("tas", "v1", "", "K", "mon", "CM2", "up"),
+      ("taz", "v1", "", "K", "day", "ESM1.5", ""),
+      ("hus", "v2", "", "1", "3hr", "OTHER", ""))
+      .toDF("cmorVar", "inputVars", "calculation", "units",
+        "frequency", "model", "positive")
+    val out = Catalog.templateSections(scanned, mappings, "CM2")
+      .orderBy($"varName", $"frequency")
+      .select($"varName", $"frequency", $"section", $"cmor_var",
+        $"positive", $"units")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), Option(r.getString(4)), Option(r.getString(5))))
+    assert(out.toSeq == Seq(
+      ("v1", "day", "no_ver", "taz", Some(""), Some("K")),
+      ("v1", "mon", "matched", "tas", Some("up"), Some("K")),
+      ("v1", "yr", "no_frq", "tas", Some("up"), Some("K")),
+      ("v2", "mon", "no_match", "pre", None, Some("K")),
+      ("v3", "mon", "no_match", "v3", None, None)))
+  }
+
   test("driver contract: entry returns rows, every query has an oracle or runs") {
     assert(SparkEntry.entry(spark).count() > 0) // the driver's t1 smoke
     // every registered query name appears exactly once and each oracle

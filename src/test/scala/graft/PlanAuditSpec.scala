@@ -139,6 +139,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q106 PQ reads the codebook via broadcast only; no cartesian, ranks push down") {
+    val p = planOf("q106_pq_ann")
+    // exactly three K-wide broadcast nested loops: encode (corpus ×
+    // codebook row), LUT build (queries × codebook row), and the ADC
+    // sweep (broadcast LUTs × corpus codes, id1 ≠ id2). Anything more
+    // would mean the float arrays leaked into a flat q × n join.
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 3, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // both the ADC shortlist and the exact re-rank push rank<=k into
+    // the shuffle as map-side partial limits
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q107 semantic dedup pairs only within cells (equi joins, centroid sweeps only)") {
+    val p = planOf("q107_semantic_dedup")
+    // the only nested loops are the K-wide centroid assignment sweep,
+    // re-executed once per consumer of the assignment (both pair sides
+    // and the verdict join — map-only recompute, chosen over caching a
+    // corpus-sized frame); pair generation itself is an equi-join on
+    // the cell id, never an n × n loop
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 3, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")

@@ -85,6 +85,77 @@ class QuantCorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, "solo solo"), (2L, 1L, "other")))
   }
 
+  test("pqCodebook re-keys seed ids to 0..k-1 and splits subspaces") {
+    // non-contiguous seed ids 5 and 9 → cids 0 and 1 by id order
+    val seeds = Seq(
+      (5L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (9L, Array(5.0f, 5.0f, -10.0f, -10.0f)))
+      .toDF("id", "emb")
+    val cb = Similarity.pqCodebook(seeds, m = 2, dim = 4)
+      .select($"cb").as[Seq[Seq[Seq[Double]]]].head()
+    assert(cb.length == 2)                 // m subspaces
+    assert(cb.forall(_.length == 2))       // k centroids each
+    assert(cb(0)(0) == Seq(0.0, 0.0))      // seed 5's first subvector = cid 0
+    assert(cb(1)(1) == Seq(-10.0, -10.0))  // seed 9's second subvector = cid 1
+  }
+
+  test("pqEncode assigns each subvector to its nearest centroid, ties to lower cid") {
+    val seeds = Seq(
+      (5L, Array(0.0f, 0.0f, 10.0f, 10.0f)),
+      (9L, Array(5.0f, 5.0f, -10.0f, -10.0f)))
+      .toDF("id", "emb")
+    val cb = Similarity.pqCodebook(seeds, m = 2, dim = 4)
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 9.0f, 9.0f)),    // near c0 in both subspaces
+      (1L, Array(4.0f, 4.0f, -9.0f, -9.0f)),  // near c1 in both
+      (2L, Array(2.5f, 2.5f, 0.0f, 0.0f)))    // s0 equidistant → lower cid
+      .toDF("id", "emb")
+    val codes = Similarity.pqEncode(vecs, cb, m = 2, dim = 4)
+      .orderBy($"id").select($"codes").as[Seq[Int]].collect()
+    assert(codes(0) == Seq(0, 0))
+    assert(codes(1) == Seq(1, 1))
+    assert(codes(2).head == 0) // exact tie on s0 breaks to cid 0
+  }
+
+  test("pqTopK: full-corpus shortlist re-rank matches bruteForceTopK") {
+    // mShort = corpus size ⇒ the ADC sweep cannot drop the true top-k,
+    // and the exact re-rank makes the result identical to brute force
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val cb = Similarity.pqCodebook(v.filter($"id" < 4), m = 4, dim = 8)
+    val codes = Similarity.pqEncode(v, cb, m = 4, dim = 8).select($"id", $"codes")
+    val got = Similarity.pqTopK(codes, v, cb, v.filter($"id" < 3),
+        m = 4, dim = 8, mShort = 30, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(v, v.filter($"id" < 3), k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("semanticDedup drops the higher id of each within-cell near-pair") {
+    val base = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.98f, 0.12f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val cents = v.filter($"id".isin(0L, 2L))
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    val out = Similarity.semanticDedup(v, cents, tau = 0.95)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // cells: {0,1,3} around c0, {2,4} around c2; ids 1,3,4 have a
+    // ≥0.95 twin with a lower id in their cell, 0 and 2 survive
+    assert(out.toSeq == Seq((0L, 0L, false), (1L, 0L, true),
+      (2L, 2L, false), (3L, 0L, true), (4L, 2L, true)))
+  }
+
   test("mixWeights: uniform buckets rate 1.0, oversized bucket downsampled") {
     val df = (Seq.fill(6)("big") ++ Seq.fill(2)("small")).toDF("b")
     val out = TextOps.mixWeights(df, Seq($"b"))
