@@ -489,4 +489,67 @@ object Similarity {
         Seq(col("cosine").desc, col("id2").asc), k)
       .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
   }
+
+  /** IVF-PQ (the FAISS index architecture, Jégou et al. '11 §V): the
+    * PQ ADC sweep of [[pqTopK]] restricted to each query's `nprobe`
+    * probed IVF cells, so the lookup-table scan reads nprobe/n_cells
+    * of the m-byte code store instead of all of it. The full composed
+    * scale path: IVF prunes (inverted lists), PQ narrows (m bytes per
+    * vector, O(m) lookups per pair), the exact decimal cosine
+    * re-ranks only the O(q·mShort) shortlist of original floats.
+    *
+    * Same input split as [[pqTopK]] (codes / floats / codebook /
+    * broadcast-small queries) plus the IVF `centroids` (cid, cemb,
+    * cnorm2); the corpus-side assignment is [[ivfAssign]]'s provably
+    * exact top-1, the query-side cell ranking an exact broadcast
+    * sweep, exactly as [[quantizedIvfTopK]]. */
+  def pqIvfTopK(codes: DataFrame, floats: DataFrame, codebook: DataFrame,
+      centroids: DataFrame, queries: DataFrame, nprobe: Int,
+      m: Int, dim: Int, mShort: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val assign = ivfAssign(floats, centroids)
+      .select(col("id").as("id2"), col("cid"))
+    val qcos = queries
+      .select(col("id").as("id1"), col("emb").as("qemb"), col("norm2").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id1"), col("cid"),
+        (dotExact("qemb", "cemb") / (sqrt(col("qn")) * sqrt(col("cnorm2"))))
+          .as("qcos"))
+    val qcells = Relational.topKPerGroup(qcos, Seq(col("id1")),
+        Seq(col("qcos").desc, col("cid").asc), nprobe)
+      .select(col("id1"), col("cid"))
+    val cands = broadcast(qcells).join(assign, Seq("cid"))
+      .filter(col("id2") =!= col("id1"))
+      .select(col("id1"), col("id2"))
+    val luts = queries.crossJoin(broadcast(codebook))
+      .select(col("id").as("id1"), expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(element_at(cb, s + 1), c ->
+                aggregate(
+                  zip_with(slice(emb, s * $dsub + 1, $dsub), c, (x, y) ->
+                    CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,6))),
+                  CAST(0 AS DECIMAL(28,6)),
+                  (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))))""").as("luts"))
+    val swept = cands
+      .join(broadcast(luts), Seq("id1"))
+      .join(codes.select(col("id").as("id2"), col("codes")), Seq("id2"))
+      .select(col("id1"), col("id2"), expr(
+        """aggregate(
+             zip_with(codes, luts, (c, l) -> element_at(l, c + 1)),
+             CAST(0 AS DECIMAL(28,6)),
+             (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))""").as("adc"))
+    val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
+        Seq(col("adc").desc, col("id2").asc), mShort)
+      .select(col("id1"), col("id2"), col("adc"))
+    val exact = shortlist
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(floats.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("adc").cast("double").as("adc"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
+    Relational.topKPerGroup(exact, Seq(col("id1")),
+        Seq(col("cosine").desc, col("id2").asc), k)
+      .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
+  }
 }

@@ -414,5 +414,96 @@ object SimilarityQueries extends QueryGroup {
       FROM assign a LEFT JOIN drops d ON d.id = a.id
       ORDER BY a.id"""))
 
-  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107)
+  /** IVF-PQ (q106 × q77, the FAISS architecture): the ADC sweep over
+    * m-byte PQ codes restricted to each query's nprobe=2 probed IVF
+    * cells — at 100 TB the lookup-table scan touches nprobe/n_cells of
+    * a code store that is itself 32× narrower than the floats, and the
+    * floats are fetched only for the exact re-rank shortlist. IVF
+    * centroids and PQ seeds both = vectors 0..15, queries 0..9, as the
+    * rest of the ANN family. */
+  private val q109 = Q(
+    "q109_pq_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
+      val codes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
+        .select($"id", $"codes")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      Similarity.pqIvfTopK(codes, all, cb, cents, all.filter($"id" < 10),
+          nprobe = 2, m = 8, dim = 64, mShort = 20, k = 3)
+        .orderBy($"id1", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS id1, cid FROM (
+          SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos WHERE id < 10) WHERE rn <= 2),
+      cands AS (
+        SELECT qc.id1, a.id AS id2
+        FROM qcells qc JOIN assign a ON a.cid = qc.cid AND a.id <> qc.id1),
+      sd AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS pcid
+        FROM (SELECT DISTINCT id FROM comp WHERE id < 16)),
+      cent AS (
+        SELECT sd.pcid, c.i // 8 AS s, c.i % 8 AS j, c.e AS ce
+        FROM comp c JOIN sd ON c.id = sd.id),
+      dist AS (
+        SELECT v.id, ct.s, ct.pcid,
+          SUM(CAST((v.e - ct.ce) * (v.e - ct.ce) AS DECIMAL(18,6))) AS d
+        FROM comp v JOIN cent ct ON v.i // 8 = ct.s AND v.i % 8 = ct.j
+        GROUP BY v.id, ct.s, ct.pcid),
+      codes AS (
+        SELECT id, s, pcid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                      ORDER BY d, pcid) AS rn
+          FROM dist) WHERE rn = 1),
+      lut AS (
+        SELECT q.id AS id1, ct.s, ct.pcid,
+          SUM(CAST(q.e * ct.ce AS DECIMAL(18,6))) AS dot
+        FROM comp q JOIN cent ct ON q.i // 8 = ct.s AND q.i % 8 = ct.j
+        WHERE q.id < 10 GROUP BY q.id, ct.s, ct.pcid),
+      adcs AS (
+        SELECT cd.id1, cd.id2, SUM(l.dot) AS adc
+        FROM cands cd
+        JOIN codes c ON c.id = cd.id2
+        JOIN lut l ON l.id1 = cd.id1 AND l.s = c.s AND l.pcid = c.code
+        GROUP BY cd.id1, cd.id2),
+      short AS (
+        SELECT id1, id2, adc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY adc DESC, id2) AS mrk
+          FROM adcs)
+        WHERE mrk <= 20),
+      parts AS (
+        SELECT s.id1, s.id2, s.adc, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      cos AS (SELECT id1, id2, adc, $cosSql AS cosine
+              FROM parts GROUP BY id1, id2, adc),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                    ORDER BY cosine DESC, id2) AS INT) AS rank
+        FROM cos)
+      SELECT id1, id2, CAST(adc AS DOUBLE) AS adc, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY id1, rank"""))
+
+  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109)
 }

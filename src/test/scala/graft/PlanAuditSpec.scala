@@ -152,6 +152,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q109 IVF-PQ reads codes only behind the cell filter, K-wide sweeps only") {
+    val p = planOf("q109_pq_ivf")
+    // four K-wide broadcast loops: corpus IVF assignment, query cell
+    // ranking, PQ encode, LUT build; the code store itself is consumed
+    // exclusively through the cands equi-join — a fifth nested loop
+    // would mean the ADC sweep went q × n flat
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q107 semantic dedup pairs only within cells (equi joins, centroid sweeps only)") {
     val p = planOf("q107_semantic_dedup")
     // the only nested loops are the K-wide centroid assignment sweep,

@@ -136,6 +136,28 @@ class QuantCorpusSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pqIvfTopK with every cell probed matches the flat PQ search") {
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val cb = Similarity.pqCodebook(v.filter($"id" < 4), m = 4, dim = 8)
+    val codes = Similarity.pqEncode(v, cb, m = 4, dim = 8).select($"id", $"codes")
+    val cents = v.filter($"id" < 4)
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    // nprobe = n_cells ⇒ the cell filter admits every candidate and the
+    // composed index degenerates to the flat ADC sweep
+    val got = Similarity.pqIvfTopK(codes, v, cb, cents, v.filter($"id" < 3),
+        nprobe = 4, m = 4, dim = 8, mShort = 10, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.pqTopK(codes, v, cb, v.filter($"id" < 3),
+        m = 4, dim = 8, mShort = 10, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
   test("semanticDedup drops the higher id of each within-cell near-pair") {
     val base = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
