@@ -490,6 +490,36 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Repeated-passage detection — the exact-substring-dedup shape of
+    * Lee et al. '22 ("Deduplicating Training Data Makes Language
+    * Models Better") at w-token shingle granularity: every w-token
+    * span whose hash occurs in more than one document is a duplicated
+    * passage, and each document reports how much of it is made of
+    * such passages. Finer than document-level dedup (q46–q49, which
+    * score whole documents) and different from [[lineDedupe]] (layout
+    * lines): this catches quoted/boilerplate PROSE shared across
+    * documents regardless of line structure.
+    *
+    * Scale: spans are generated map-side (token-array transform, no
+    * explode-join), both shuffles key on the 64-bit span hash / the
+    * doc id, and the span-frequency table never carries text. Output:
+    * (doc, n_spans, n_dup, dup_frac) for every document with >= w
+    * tokens; dup_frac is a pinned count/count double division. */
+  def dupSpans(docs: DataFrame, doc: Column, text: Column, w: Int): DataFrame = {
+    val spans = docs
+      .select(doc.as("doc"), tokens(text).as("ts"))
+      .select(col("doc"), explode(shingles("ts", w)).as("s"))
+      .select(col("doc"), h64(col("s")).as("h"))
+    val freq = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("ndocs"))
+    spans.join(freq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Static corpus-mixing weights: per-bucket counts, corpus shares,
     * and the sampling rate that flattens the mix toward a uniform
     * target — rate = min(1, (total/n_buckets)/cnt), i.e. buckets above

@@ -278,5 +278,34 @@ object TextQueries extends QueryGroup {
       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       ORDER BY d1, d2"""))
 
-  def queries: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49)
+  /** Repeated-passage detection (Lee et al. '22 substring dedup at
+    * 5-token shingle granularity): per-document duplicated-span
+    * fraction — the prose-level dedup signal beside the document
+    * (q46–q49) and line (q99) ones. */
+  private val q110 = Q(
+    "q110_dup_spans",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.dupSpans(docs(s, dir), $"doc_id", $"text", w = 5)
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sp AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql(
+          "array_to_string(ts[i:i+4], ' ')")} AS h
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
+        WHERE len(ts) >= 5),
+      freq AS (
+        SELECT h, COUNT(DISTINCT doc) AS ndocs FROM sp GROUP BY h)
+      SELECT sp.doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) * 1.0e0 / COUNT(*)
+          AS dup_frac
+      FROM sp JOIN freq f ON sp.h = f.h
+      GROUP BY sp.doc ORDER BY sp.doc"""))
+
+  def queries: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110)
 }

@@ -114,6 +114,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Seq((1L, 7L, 2L, 0.5), (2L, 8L, 1L, 0.5)))
   }
 
+  test("dupSpans: cross-doc span flagged, unique spans not, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),   // shares "a b c d e" with doc 1
+      (3L, "too short")      // < 5 tokens -> no spans
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpans(docs, $"doc_id", $"text", w = 5)
+      .orderBy($"doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
   test("blockLocalComponents equals the iterative CC on block-local graphs") {
     val rnd = new scala.util.Random(7)
     // 3 blocks, nodes 0..59 assigned round-robin; random edges strictly
