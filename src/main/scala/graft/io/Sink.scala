@@ -82,6 +82,53 @@ object Sink {
     dir
   }
 
+  /** Mapping-template CSV emission (mopdb_utils.py write_map_template
+    * 744-798): the `;`-separated template with the reference's literal
+    * warning-section banners, fed by
+    * [[graft.catalog.Catalog.templateSections]] (the matched / no_ver /
+    * no_frq / no_match ladder) and [[graft.catalog.Catalog.derivable]]
+    * (the pot_vars block). A mapping template is a human-edited
+    * artifact of catalog size — the data-sized classification pass
+    * stays distributed in templateSections; only the final few-KB
+    * template is brought to the driver and written as one file. */
+  def writeMapTemplate(sections: DataFrame, derivable: DataFrame,
+      path: String, version: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    def s(v: Any): String = Option(v).map(_.toString).getOrElse("")
+    val rows = sections
+      .select(col("section"), col("cmor_var"), col("varName"),
+        col("units"), col("frequency"), col("positive"))
+      .orderBy(col("varName"), col("frequency"))
+      .collect()
+    val derived = derivable
+      .select(col("cmorVar"), col("inputVars"))
+      .orderBy(col("cmorVar"), col("inputVars"))
+      .collect()
+    val bySection = rows.groupBy(_.getString(0))
+    val sb = new StringBuilder
+    def line(cols: Seq[String]): Unit =
+      sb.append(cols.mkString(";")).append('\n')
+    line(Seq("cmor_var", "input_vars", "units", "frequency", "positive",
+      "version", "section"))
+    val banners = Map( // the reference's literal warning banners
+      "no_ver" -> ("# Variables definitions coming from different " +
+        "model version: Use with caution!"),
+      "no_frq" -> "# Variables with different frequency: Use with caution!",
+      "no_match" -> "# Variables without mapping")
+    Seq("matched", "no_ver", "no_frq", "no_match").foreach { sec =>
+      banners.get(sec).foreach(b => line(Seq(b)))
+      bySection.getOrElse(sec, Array()).foreach { r =>
+        line(Seq(s(r.get(1)), s(r.get(2)), s(r.get(3)), s(r.get(4)),
+          s(r.get(5)), version, sec))
+      }
+    }
+    line(Seq("# Derived variables: Use with caution!"))
+    derived.foreach { r =>
+      line(Seq(s(r.get(0)), s(r.get(1)), "", "", "", version, "derivable"))
+    }
+    Files.writeString(Paths.get(path), sb.toString)
+  }
+
   /** Status bookkeeping (the filelist.status updates of mopper.py
     * 107-112): one appended row per processed task. */
   def appendStatus(spark: org.apache.spark.sql.SparkSession, statusDir: String,

@@ -85,6 +85,42 @@ class PipelineSpec extends SparkSpec {
       ("v3", "mon", "no_match", "v3", None, None)))
   }
 
+  test("writeMapTemplate: sections in reference order behind their banners") {
+    val scanned = Seq(
+      ("v1", "", "", "mon"), ("v1", "", "", "day"), ("v3", "", "", "mon"))
+      .toDF("varName", "cmorVar", "units", "frequency")
+    val mappings = Seq(
+      ("tas", "v1", "", "K", "mon", "CM2", ""),
+      ("taz", "v1", "", "K", "day", "ESM1.5", ""),
+      ("pr", "rain snow", "var[0]+var[1]", "kg m-2 s-1", "mon", "CM2", ""))
+      .toDF("cmorVar", "inputVars", "calculation", "units",
+        "frequency", "model", "positive")
+    val sections = Catalog.templateSections(scanned, mappings, "CM2")
+    val avail = Seq("rain", "snow").toDF("varName")
+    val pot = Catalog.derivable(
+      Catalog.mappings(spark, Seq(Mapping("pr", "rain snow",
+        "var[0]+var[1]", "kg m-2 s-1", "t y x", "mon", "atmos",
+        "area: time: mean", "", "Amon", "CM2"))), avail)
+    val out = Files.createTempDirectory("tmpl").resolve("map_test.csv")
+    Sink.writeMapTemplate(sections, pot, out.toString, "CM2")
+    val lines = Files.readAllLines(out)
+    assert(lines.get(0).startsWith("cmor_var;input_vars;"))
+    // matched row first, then each banner introduces its section
+    val txt = String.join("\n", lines)
+    val iMatched = txt.indexOf("tas;v1")
+    val iVerBanner = txt.indexOf("# Variables definitions coming from")
+    val iNoVer = txt.indexOf("taz;v1")
+    val iNoMatchBanner = txt.indexOf("# Variables without mapping")
+    val iNoMatch = txt.indexOf("v3;v3")
+    val iDerivBanner = txt.indexOf("# Derived variables")
+    val iDeriv = txt.indexOf("pr;rain snow")
+    assert(Seq(iMatched, iVerBanner, iNoVer, iNoMatchBanner, iNoMatch,
+      iDerivBanner, iDeriv).forall(_ >= 0), txt)
+    assert(iMatched < iVerBanner && iVerBanner < iNoVer &&
+      iNoVer < iNoMatchBanner && iNoMatchBanner < iNoMatch &&
+      iNoMatch < iDerivBanner && iDerivBanner < iDeriv, txt)
+  }
+
   test("driver contract: entry returns rows, every query has an oracle or runs") {
     assert(SparkEntry.entry(spark).count() > 0) // the driver's t1 smoke
     // every registered query name appears exactly once and each oracle
