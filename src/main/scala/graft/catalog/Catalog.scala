@@ -187,6 +187,41 @@ object Catalog {
         col("cmor_var"), col("positive"), col("units_out").as("units"))
   }
 
+  /** CMOR-name lookup (mopdb_utils.py:262-304, `get_cmorname`): given a
+    * scanned (varName, frequency), pick the mapping row that names its
+    * CMOR variable/table among the direct rows (calculation empty or
+    * NULL) for that input variable. The reference's ladder: a singleton
+    * candidate wins outright; among several, (version AND frequency) →
+    * frequency only → version only → "the first row" (its multi-match
+    * fallback — SQL result order there, (cmorVar, cmorTable) order
+    * here so the choice is deterministic). Unmatched variables yield
+    * empty strings, as the reference does. Differs from
+    * [[templateSections]] (parse_vars): that ladder classifies into
+    * warning sections and treats a name-only hit as unmatched; this one
+    * always resolves to SOME definition when any exists. */
+  def cmorName(scanned: DataFrame, mappings: DataFrame,
+      version: String): DataFrame = {
+    val m = broadcast(mappings
+      .filter(col("calculation").isNull || col("calculation") === "")
+      .select(col("inputVars").as("m_var"), col("frequency").as("m_freq"),
+        col("model").as("m_model"), col("cmorVar").as("m_cmor"),
+        col("cmorTable").as("m_table")))
+    val cand = scanned.join(m, col("varName") === col("m_var"), "left")
+    val level = when(col("m_var").isNull, 4)
+      .when(col("frequency") === col("m_freq") && col("m_model") === version, 0)
+      .when(col("frequency") === col("m_freq"), 1)
+      .when(col("m_model") === version, 2)
+      .otherwise(3)
+    Relational.topOnePerGroup(
+        cand.withColumn("__lvl", level),
+        Seq(col("varName"), col("frequency")),
+        Seq(col("__lvl").asc, col("m_cmor").asc_nulls_last,
+          col("m_table").asc_nulls_last))
+      .select(col("varName"), col("frequency"),
+        coalesce(col("m_cmor"), lit("")).as("cmor_var"),
+        coalesce(col("m_table"), lit("")).as("cmor_table"))
+  }
+
   /** Derivable variables: mapping rows whose every input token is
     * available (mopdb_utils.py potential_vars 715-741) — relational
     * division via explode + count. */

@@ -129,6 +129,59 @@ object Sink {
     Files.writeString(Paths.get(path), sb.toString)
   }
 
+  /** CMOR table `approx_interval` per frequency (mopdb_utils.py
+    * cmor_table_header 307-330, verbatim). */
+  val approxInterval: Map[String, String] = Map(
+    "dec" -> "3650.0", "yr" -> "365.0", "mon" -> "30.0", "day" -> "1.0",
+    "6hr" -> "0.25", "3hr" -> "0.125", "1hr" -> "0.041667",
+    "10min" -> "0.006944", "fx" -> "0.0")
+
+  /** CMOR table JSON emission (mopdb_utils.py write_cmor_table
+    * 331-366 + cmor_table_header 307-330): the `{Header,
+    * variable_entry}` document. The table's realm and frequency are
+    * the MODE across the variable list (the reference's
+    * Counter.most_common), computed distributed (groupBy + count,
+    * ties broken lexicographically — the reference's tie is dict
+    * order); `tableDate` is a parameter instead of `date.today()` so
+    * the artifact is reproducible. `vars` must carry `cmor_var` plus
+    * `frequency` and `modeling_realm`; every other column lands in
+    * that variable's entry verbatim. A CMOR table is a catalog-sized
+    * human artifact — only the final JSON is collected. */
+  def writeCmorTable(vars: DataFrame, name: String, tableDate: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def mode(c: String): String = {
+      val r = vars.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(c).asc).limit(1).collect()
+      if (r.isEmpty) "" else Option(r(0).get(0)).map(_.toString).getOrElse("")
+    }
+    val realm = mode("modeling_realm")
+    val freq = mode("frequency")
+    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    def jobj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")
+    val header = jobj(Seq(
+      "data_specs_version" -> "01.00.33", "cmor_version" -> "3.5",
+      "table_id" -> s"Table $name", "realm" -> realm,
+      "table_date" -> tableDate, "missing_value" -> "1e20",
+      "int_missing_value" -> "-999", "product" -> "model-output",
+      "approx_interval" -> approxInterval.getOrElse(freq, ""),
+      "generic_levels" -> "", "mip_era" -> "",
+      "Conventions" -> "CF-1.7 ACDD1.3"))
+    val cols = vars.columns
+    val entries = vars.orderBy(col("cmor_var")).collect().map { r =>
+      val kvs = cols.zipWithIndex.filter(_._1 != "cmor_var").map {
+        case (c, i) => c -> Option(r.get(i)).map(_.toString).getOrElse("")
+      }
+      jstr(r.getString(cols.indexOf("cmor_var"))) + ": " + jobj(kvs.toSeq)
+    }
+    val json = s"""{"Header": $header, "variable_entry": {${
+      entries.mkString(", ")}}}"""
+    Files.writeString(Paths.get(path), json)
+  }
+
   /** Status bookkeeping (the filelist.status updates of mopper.py
     * 107-112): one appended row per processed task. */
   def appendStatus(spark: org.apache.spark.sql.SparkSession, statusDir: String,

@@ -348,5 +348,68 @@ object PipelineQueries extends QueryGroup {
           CASE WHEN lvl < 3 THEN m_units END) AS units
       FROM best ORDER BY varName, frequency"""))
 
-  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108)
+  /** CMOR-name lookup (mopdb_utils.py get_cmorname 262-304): the
+    * varlist-scan rule that names each scanned variable's CMOR
+    * variable/table from the mapping catalog — singleton wins
+    * outright, else version+frequency → frequency → version → first
+    * (deterministically ordered here). The fixture covers every rung
+    * plus the singleton-regardless-of-keys and unmatched cases. */
+  private val q111 = Q(
+    "q111_cmor_name",
+    (s, dir) => {
+      import s.implicits._
+      val scanned = Seq(
+        ("solo", "mon"),    // singleton candidate, keys don't match → still wins
+        ("multi", "mon"),   // exact version+frequency rung
+        ("multi", "day"),   // frequency-only rung
+        ("multi", "yr"),    // version-only rung (ties break on cmor_var)
+        ("multi2", "mon"),  // several candidates, none matches → first by (cmor_var, table)
+        ("ghost", "mon"))   // no candidate → empty strings
+        .toDF("varName", "frequency")
+      val mappings = Seq(
+        ("zos", "solo", null, "SImon", "6hr", "OTHER"),
+        ("tas", "multi", "", "Amon", "mon", "CM2"),
+        ("tasd", "multi", "", "Aday", "day", "ESM1.5"),
+        ("tasy", "multi", "", "Ayr", "10yr", "CM2"),
+        ("calc", "multi", "x+y", "Acalc", "3hr", "CM2"),
+        ("bbb", "multi2", "", "B1", "6hr", "OTHER"),
+        ("aab", "multi2", "", "B2", "10min", "XYZ"))
+        .toDF("cmorVar", "inputVars", "calculation", "cmorTable",
+          "frequency", "model")
+      graft.catalog.Catalog.cmorName(scanned, mappings, "CM2")
+        .orderBy($"varName", $"frequency")
+    },
+    Some("""
+      WITH sc(var_name, frequency) AS (VALUES
+        ('solo', 'mon'), ('multi', 'mon'), ('multi', 'day'),
+        ('multi', 'yr'), ('multi2', 'mon'), ('ghost', 'mon')),
+      mp(m_cmor, input_vars, calculation, m_table, m_freq, m_model) AS (VALUES
+        ('zos', 'solo', CAST(NULL AS VARCHAR), 'SImon', '6hr', 'OTHER'),
+        ('tas', 'multi', '', 'Amon', 'mon', 'CM2'),
+        ('tasd', 'multi', '', 'Aday', 'day', 'ESM1.5'),
+        ('tasy', 'multi', '', 'Ayr', '10yr', 'CM2'),
+        ('calc', 'multi', 'x+y', 'Acalc', '3hr', 'CM2'),
+        ('bbb', 'multi2', '', 'B1', '6hr', 'OTHER'),
+        ('aab', 'multi2', '', 'B2', '10min', 'XYZ')),
+      cand AS (
+        SELECT s.var_name, s.frequency, m.m_cmor, m.m_table,
+          CASE WHEN m.input_vars IS NULL THEN 4
+               WHEN s.frequency = m.m_freq AND m.m_model = 'CM2' THEN 0
+               WHEN s.frequency = m.m_freq THEN 1
+               WHEN m.m_model = 'CM2' THEN 2
+               ELSE 3 END AS lvl
+        FROM sc s
+        LEFT JOIN (SELECT * FROM mp
+                   WHERE calculation IS NULL OR calculation = '') m
+          ON s.var_name = m.input_vars)
+      SELECT var_name AS varName, frequency,
+        COALESCE(m_cmor, '') AS cmor_var,
+        COALESCE(m_table, '') AS cmor_table
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY var_name, frequency
+          ORDER BY lvl, m_cmor ASC NULLS LAST, m_table ASC NULLS LAST) AS rn
+        FROM cand) WHERE rn = 1
+      ORDER BY varName, frequency"""))
+
+  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108, q111)
 }

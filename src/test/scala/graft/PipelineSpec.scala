@@ -121,6 +121,22 @@ class PipelineSpec extends SparkSpec {
       iNoMatch < iDerivBanner && iDerivBanner < iDeriv, txt)
   }
 
+  test("writeCmorTable: mode realm/frequency, interval map, entries keyed by var") {
+    val vars = Seq(
+      ("tas", "mon", "atmos", "K", "area: time: mean"),
+      ("pr", "mon", "atmos", "kg m-2 s-1", "area: time: mean"),
+      ("tos", "mon", "ocean", "degC", "area: mean where sea time: mean"))
+      .toDF("cmor_var", "frequency", "modeling_realm", "units", "cell_methods")
+    val out = Files.createTempDirectory("cmor").resolve("CMOR_Amon.json")
+    Sink.writeCmorTable(vars, "Amon", "01 January 2026", out.toString)
+    val txt = Files.readString(out)
+    assert(txt.contains("\"realm\": \"atmos\""), txt)        // 2-of-3 mode
+    assert(txt.contains("\"approx_interval\": \"30.0\""), txt) // mon -> 30.0
+    assert(txt.contains("\"table_id\": \"Table Amon\""), txt)
+    assert(txt.contains("\"tas\": {") && txt.contains("\"tos\": {"), txt)
+    assert(txt.contains("\"units\": \"degC\""), txt)
+  }
+
   test("driver contract: entry returns rows, every query has an oracle or runs") {
     assert(SparkEntry.entry(spark).count() > 0) // the driver's t1 smoke
     // every registered query name appears exactly once and each oracle
