@@ -490,6 +490,93 @@ object Similarity {
       .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
   }
 
+  /** Residuals from the IVF coarse quantizer: each vector minus its
+    * assigned centroid, the input to residual PQ encoding
+    * ([[pqIvfResidualTopK]]). Residual components are single IEEE
+    * double subtractions of exact float widenings — deterministic
+    * across engines. Output: (id, cid, remb: Array[Double]); the
+    * assignment is [[ivfAssign]]'s provably exact top-1 and the
+    * centroid join a broadcast. */
+  def pqResiduals(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val assign = ivfAssign(vecs, centroids).select(col("id"), col("cid"))
+    vecs.join(assign, Seq("id"))
+      .join(broadcast(centroids.select(col("cid"), col("cemb"))), Seq("cid"))
+      .select(col("id"), col("cid"), expr(
+        "zip_with(emb, cemb, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+        .as("remb"))
+  }
+
+  /** Residual IVF-PQ search (the production FAISS layout, Jégou et
+    * al. '11 §V.A): corpus vectors are PQ-encoded as RESIDUALS from
+    * their IVF centroid, so the codebook spends its precision on the
+    * within-cell spread instead of the global point cloud, and a
+    * query's approximate dot against a cell member decomposes exactly:
+    *   dot(q, c + r̂) = dot(q, c)  +  Σ_s lut_s[code_s]
+    * — the first term computed once per (query, probed cell), the
+    * second an O(m) ADC lookup per candidate. Both terms are decimal,
+    * so the shortlist is engine-exact; the floats are fetched only for
+    * the exact cosine re-rank of the top `mShort`.
+    *
+    * `codes` is [[pqEncode]] over [[pqResiduals]] (id, cid, codes) —
+    * the inverted-list layout made literal: candidate generation is an
+    * equi-join of the probed (query, cell) pairs against the code
+    * store's cid column. `codebook` must be trained on residuals
+    * (seed vectors DISJOINT from the centroids — a centroid's own
+    * residual is the zero vector and wastes a code word). */
+  def pqIvfResidualTopK(codes: DataFrame, floats: DataFrame,
+      codebook: DataFrame, centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, m: Int, dim: Int, mShort: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val qc = queries
+      .select(col("id").as("id1"), col("emb").as("qemb"), col("norm2").as("qn"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id1"), col("cid"),
+        (dotExact("qemb", "cemb") / (sqrt(col("qn")) * sqrt(col("cnorm2"))))
+          .as("qcos"),
+        // the unnormalized dot STAYS decimal so the composed score
+        // (qcdot + ADC sum) is exact end-to-end
+        expr("""aggregate(
+          zip_with(qemb, cemb, (p, q) ->
+            CAST(CAST(p AS DOUBLE) * CAST(q AS DOUBLE) AS DECIMAL(18,6))),
+          CAST(0 AS DECIMAL(28,6)),
+          (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))""").as("qcdot"))
+    val qcells = Relational.topKPerGroup(qc, Seq(col("id1")),
+        Seq(col("qcos").desc, col("cid").asc), nprobe)
+      .select(col("id1"), col("cid"), col("qcdot"))
+    val luts = queries.crossJoin(broadcast(codebook))
+      .select(col("id").as("id1"), expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+              transform(element_at(cb, s + 1), c ->
+                aggregate(
+                  zip_with(slice(emb, s * $dsub + 1, $dsub), c, (x, y) ->
+                    CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,6))),
+                  CAST(0 AS DECIMAL(28,6)),
+                  (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))))""").as("luts"))
+    val swept = broadcast(qcells)
+      .join(codes.select(col("id").as("id2"), col("cid"), col("codes")),
+        Seq("cid"))
+      .filter(col("id2") =!= col("id1"))
+      .join(broadcast(luts), Seq("id1"))
+      .select(col("id1"), col("id2"), (col("qcdot") + expr(
+        """aggregate(
+             zip_with(codes, luts, (c, l) -> element_at(l, c + 1)),
+             CAST(0 AS DECIMAL(28,6)),
+             (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))""")).as("adc"))
+    val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
+        Seq(col("adc").desc, col("id2").asc), mShort)
+      .select(col("id1"), col("id2"), col("adc"))
+    val exact = shortlist
+      .join(broadcast(queries.select(col("id").as("id1"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
+      .join(floats.select(col("id").as("id2"),
+        col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("adc").cast("double").as("adc"),
+        cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
+    Relational.topKPerGroup(exact, Seq(col("id1")),
+        Seq(col("cosine").desc, col("id2").asc), k)
+      .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
+  }
+
   /** IVF-PQ (the FAISS index architecture, Jégou et al. '11 §V): the
     * PQ ADC sweep of [[pqTopK]] restricted to each query's `nprobe`
     * probed IVF cells, so the lookup-table scan reads nprobe/n_cells

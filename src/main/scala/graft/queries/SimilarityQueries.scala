@@ -505,5 +505,106 @@ object SimilarityQueries extends QueryGroup {
       SELECT id1, id2, CAST(adc AS DOUBLE) AS adc, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY id1, rank"""))
 
-  def queries: Seq[Q] = Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109)
+  /** Residual IVF-PQ (q109 with residual encoding — the production
+    * FAISS layout): corpus vectors PQ-encode their residual from the
+    * IVF centroid, queries score candidates as dot(q, centroid) +
+    * ADC(residual codes), both decimal-exact, with the exact cosine
+    * re-rank on the shortlist. IVF centroids = vectors 0..15; the
+    * residual codebook seeds = vectors 16..31 (disjoint from the
+    * centroids — a centroid's own residual is the zero vector). */
+  private val q112 = Q(
+    "q112_pq_residual_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val resid = Similarity.pqResiduals(all, cents)
+      val seeds = resid.filter($"id" >= 16 && $"id" < 32)
+        .select($"id", $"remb".as("emb"))
+      val cb = Similarity.pqCodebook(seeds, m = 8, dim = 64)
+      val codes = Similarity.pqEncode(
+          resid.select($"id", $"cid", $"remb".as("emb")), cb, m = 8, dim = 64)
+        .select($"id", $"cid", $"codes")
+      Similarity.pqIvfResidualTopK(codes, all, cb, cents,
+          all.filter($"id" < 10), nprobe = 2, m = 8, dim = 64,
+          mShort = 20, k = 3)
+        .orderBy($"id1", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos,
+                 SUM(CAST(p AS DECIMAL(18,6))) AS cdot
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS id1, cid, cdot FROM (
+          SELECT id, cid, cdot, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos WHERE id < 10) WHERE rn <= 2),
+      rcomp AS (
+        SELECT v.id, a.cid, v.i, v.e - c.e AS e
+        FROM comp v
+        JOIN assign a ON v.id = a.id
+        JOIN comp c ON c.id = a.cid AND c.i = v.i),
+      sd AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS pcid
+        FROM (SELECT DISTINCT id FROM comp WHERE id >= 16 AND id < 32)),
+      cent AS (
+        SELECT sd.pcid, r.i // 8 AS s, r.i % 8 AS j, r.e AS ce
+        FROM rcomp r JOIN sd ON r.id = sd.id),
+      dist AS (
+        SELECT v.id, ct.s, ct.pcid,
+          SUM(CAST((v.e - ct.ce) * (v.e - ct.ce) AS DECIMAL(18,6))) AS d
+        FROM rcomp v JOIN cent ct ON v.i // 8 = ct.s AND v.i % 8 = ct.j
+        GROUP BY v.id, ct.s, ct.pcid),
+      codes AS (
+        SELECT id, s, pcid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                      ORDER BY d, pcid) AS rn
+          FROM dist) WHERE rn = 1),
+      lut AS (
+        SELECT q.id AS id1, ct.s, ct.pcid,
+          SUM(CAST(q.e * ct.ce AS DECIMAL(18,6))) AS dot
+        FROM comp q JOIN cent ct ON q.i // 8 = ct.s AND q.i % 8 = ct.j
+        WHERE q.id < 10 GROUP BY q.id, ct.s, ct.pcid),
+      adcs AS (
+        SELECT qc.id1, a.id AS id2, qc.cdot + SUM(l.dot) AS adc
+        FROM qcells qc
+        JOIN assign a ON a.cid = qc.cid AND a.id <> qc.id1
+        JOIN codes c ON c.id = a.id
+        JOIN lut l ON l.id1 = qc.id1 AND l.s = c.s AND l.pcid = c.code
+        GROUP BY qc.id1, a.id, qc.cdot),
+      short AS (
+        SELECT id1, id2, adc FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY adc DESC, id2) AS mrk
+          FROM adcs)
+        WHERE mrk <= 20),
+      parts AS (
+        SELECT s.id1, s.id2, s.adc, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      cos AS (SELECT id1, id2, adc, $cosSql AS cosine
+              FROM parts GROUP BY id1, id2, adc),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id1
+                    ORDER BY cosine DESC, id2) AS INT) AS rank
+        FROM cos)
+      SELECT id1, id2, CAST(adc AS DOUBLE) AS adc, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY id1, rank"""))
+
+  def queries: Seq[Q] =
+    Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112)
 }

@@ -163,6 +163,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q112 residual IVF-PQ: candidate gen is the cid equi-join on the code store") {
+    val p = planOf("q112_pq_residual_ivf")
+    // K-wide broadcast loops only (corpus assignment, query cell
+    // ranking, residual-seed assignment lineage, PQ encode, LUT build);
+    // the code store is consumed through the broadcast cid equi-join
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    // the probed-cells join against the inverted-list code store
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q107 semantic dedup pairs only within cells (equi joins, centroid sweeps only)") {
     val p = planOf("q107_semantic_dedup")
     // the only nested loops are the K-wide centroid assignment sweep,

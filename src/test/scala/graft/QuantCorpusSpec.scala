@@ -158,6 +158,32 @@ class QuantCorpusSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pqIvfResidualTopK with every cell probed and full shortlist matches brute force") {
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val cents = v.filter($"id" < 4)
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    val resid = Similarity.pqResiduals(v, cents)
+    val seeds = resid.filter($"id" >= 4 && $"id" < 8)
+      .select($"id", $"remb".as("emb"))
+    val cb = Similarity.pqCodebook(seeds, m = 4, dim = 8)
+    val codes = Similarity.pqEncode(
+        resid.select($"id", $"cid", $"remb".as("emb")), cb, m = 4, dim = 8)
+      .select($"id", $"cid", $"codes")
+    // nprobe = n_cells and mShort = corpus ⇒ the exact re-rank sees every
+    // candidate and the composed index equals the exact brute force
+    val got = Similarity.pqIvfResidualTopK(codes, v, cb, cents,
+        v.filter($"id" < 3), nprobe = 4, m = 4, dim = 8, mShort = 30, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(v, v.filter($"id" < 3), k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
   test("semanticDedup drops the higher id of each within-cell near-pair") {
     val base = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
