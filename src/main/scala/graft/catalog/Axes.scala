@@ -51,6 +51,31 @@ object Axes {
       .when(timeshot.contains("clim"), "time2")
       .otherwise("time")
 
+  /** Timeshot + fixed frequency (setup_utils.py define_timeshot
+    * 53-79): the token after `time:` in cell_methods is the base
+    * timeshot; a `Pt` frequency forces `point` and strips the
+    * modifier, `monC` forces `clim` and fixes the frequency to `mon`;
+    * when the variable will be resampled, mean/point/empty collapse
+    * to `mean` and maximum/minimum become their 3-letter resample
+    * methods. Returns (timeshot, fixed frequency). */
+  def defineTimeshot(frequency: Column, cellMethods: Column,
+      resample: Column): (Column, Column) = {
+    val tok = regexp_extract(cellMethods, "time: (\\S+)", 1)
+    val base = when(frequency.contains("Pt"), lit("point"))
+      .when(frequency === "monC", lit("clim"))
+      .otherwise(tok)
+    val ts = when(resample =!= "",
+        when(base.isin("mean", "point", ""), lit("mean"))
+          .when(base.isin("maximum", "minimum"), substring(base, 1, 3))
+          .otherwise(base))
+      .otherwise(base)
+    val freq = when(frequency.contains("Pt"),
+        substr(frequency, lit(1), length(frequency) - 2))
+      .when(frequency === "monC", lit("mon"))
+      .otherwise(frequency)
+    (ts, freq)
+  }
+
   /** Last run of digits in a variable id — the plev flavor of a
     * plevinterp-derived variable (mop_utils.py:438-440, e.g. `ua19` or
     * `hus850`). No lookahead (kept RE2-compatible): anchor on the

@@ -123,6 +123,31 @@ object Catalog {
     coalesce(nullif(fromName, lit("NA")), fromDelta, lit("NA"))
   }
 
+  /** Timesteps per day by frequency (setup_utils.py adjust_nsteps
+    * 89-92, verbatim incl. the fractional rungs). */
+  private val nstepDayMap: Map[String, Double] = Map(
+    "10min" -> 144.0, "30min" -> 48.0, "1hr" -> 24.0, "3hr" -> 8.0,
+    "6hr" -> 4.0, "day" -> 1.0, "10day" -> 0.1, "mon" -> 1.0 / 30,
+    "yr" -> 1.0 / 365, "dec" -> 1.0 / 3652)
+
+  /** nsteps re-scaling under resample (setup_utils.py adjust_nsteps
+    * 81-101): a variable's timestep count at a new frequency is
+    * total-days × steps-per-day(new), with total-days = nsteps /
+    * steps-per-day(orig) and a `Pt` modifier stripped from the origin
+    * frequency first. The FP chain is pinned ((n / a) · b, doubles)
+    * so both engines agree bit-for-bit. A frequency outside the rung
+    * table yields NULL (the reference raises a KeyError there —
+    * totalizing to NULL is this engine's defined behavior). */
+  def adjustNsteps(nsteps: org.apache.spark.sql.Column,
+      origFreq: org.apache.spark.sql.Column,
+      newFreq: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def stepsPerDay(f: org.apache.spark.sql.Column) =
+      element_at(typedLit(nstepDayMap), f)
+    nsteps.cast("double") /
+      stepsPerDay(replace(origFreq, lit("Pt"), lit(""))) *
+      stepsPerDay(newFreq)
+  }
+
   /** Catalog consistency check (`mopdb check`, mopdb.py:76-112): mapping
     * rows whose output variable has no CMOR definition — an anti-join of
     * mapping − cmorvar on (variable, table). */

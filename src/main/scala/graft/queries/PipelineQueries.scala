@@ -411,5 +411,71 @@ object PipelineQueries extends QueryGroup {
         FROM cand) WHERE rn = 1
       ORDER BY varName, frequency"""))
 
-  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108, q111)
+  /** Timeshot definition + nsteps re-scaling (setup_utils.py
+    * define_timeshot 53-79 and adjust_nsteps 81-101): the two
+    * setup-phase rules that fix a task's time statistic and its size
+    * estimate when the plan inserts a resample. The fixture covers
+    * the cell_methods token, the Pt and monC frequency fixes, the
+    * resample overrides (mean/point/''→mean, maximum→max), and the
+    * fractional steps-per-day rungs. */
+  private val q113 = Q(
+    "q113_timeshot_nsteps",
+    (s, dir) => {
+      import s.implicits._
+      val tasks = Seq(
+        (1, "mon", "area: time: mean", "", 100L, "day"),
+        (2, "1hrPt", "area: time: point", "", 48L, "day"),
+        (3, "monC", "time: mean within years", "", 12L, "mon"),
+        (4, "day", "time: maximum", "mon", 365L, "mon"),
+        (5, "day", "", "mon", 30L, "mon"),
+        (6, "6hr", "time: minimum", "day", 400L, "day"),
+        (7, "3hr", "time: sum", "", 8L, "3hr"))
+        .toDF("case_id", "frequency", "cell_methods", "resample",
+          "nsteps", "new_frq")
+      val (ts, freq) = graft.catalog.Axes.defineTimeshot(
+        $"frequency", $"cell_methods", $"resample")
+      tasks.select($"case_id", ts.as("timeshot"), freq.as("freq"),
+          graft.catalog.Catalog.adjustNsteps($"nsteps", $"frequency",
+            $"new_frq").as("new_nsteps"))
+        .orderBy($"case_id")
+    },
+    Some("""
+      WITH t(case_id, frequency, cell_methods, resample, nsteps, new_frq)
+      AS (VALUES
+        (1, 'mon', 'area: time: mean', '', 100, 'day'),
+        (2, '1hrPt', 'area: time: point', '', 48, 'day'),
+        (3, 'monC', 'time: mean within years', '', 12, 'mon'),
+        (4, 'day', 'time: maximum', 'mon', 365, 'mon'),
+        (5, 'day', '', 'mon', 30, 'mon'),
+        (6, '6hr', 'time: minimum', 'day', 400, 'day'),
+        (7, '3hr', 'time: sum', '', 8, '3hr')),
+      b AS (
+        SELECT *,
+          CASE WHEN contains(frequency, 'Pt') THEN 'point'
+               WHEN frequency = 'monC' THEN 'clim'
+               ELSE COALESCE(regexp_extract(cell_methods,
+                      'time: (\S+)', 1), '') END AS base
+        FROM t),
+      sd(f, spd) AS (VALUES
+        ('10min', 144.0e0), ('30min', 48.0e0), ('1hr', 24.0e0),
+        ('3hr', 8.0e0), ('6hr', 4.0e0), ('day', 1.0e0), ('10day', 0.1e0),
+        ('mon', 1.0e0 / 30), ('yr', 1.0e0 / 365), ('dec', 1.0e0 / 3652))
+      SELECT case_id,
+        CASE WHEN resample <> '' THEN
+               CASE WHEN base IN ('mean', 'point', '') THEN 'mean'
+                    WHEN base IN ('maximum', 'minimum')
+                      THEN substr(base, 1, 3)
+                    ELSE base END
+             ELSE base END AS timeshot,
+        CASE WHEN contains(frequency, 'Pt')
+               THEN substr(frequency, 1, length(frequency) - 2)
+             WHEN frequency = 'monC' THEN 'mon'
+             ELSE frequency END AS freq,
+        CAST(nsteps AS DOUBLE) / so.spd * sn.spd AS new_nsteps
+      FROM b
+      LEFT JOIN sd so ON so.f = replace(b.frequency, 'Pt', '')
+      LEFT JOIN sd sn ON sn.f = b.new_frq
+      ORDER BY case_id"""))
+
+  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108, q111, q113)
 }
