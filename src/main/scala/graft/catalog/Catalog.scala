@@ -123,6 +123,25 @@ object Catalog {
     coalesce(nullif(fromName, lit("NA")), fromDelta, lit("NA"))
   }
 
+  /** Varlist dedup (mopdb_utils.py remove_duplicate 695-712): drop
+    * repeated variable definitions, keeping the FIRST occurrence under
+    * `order`. Strict mode keys on (name, cmor_var, units, realm,
+    * cell_methods) — the reference's tuple of row positions 0,1,2,5,6;
+    * loose mode on (name, cmor_var, units) only. The reference keeps
+    * list order; Spark has no implicit row order, so the caller names
+    * the ordering column (file position, scan timestamp) and the
+    * keep-first choice stays deterministic and distributed (one keyed
+    * top-1, no driver pass). */
+  def removeDuplicateVars(df: DataFrame, strict: Boolean,
+      order: org.apache.spark.sql.Column): DataFrame = {
+    val key =
+      if (strict)
+        Seq(col("varName"), col("cmorVar"), col("units"),
+          col("realm"), col("cellMethods"))
+      else Seq(col("varName"), col("cmorVar"), col("units"))
+    Relational.topOnePerGroup(df, key, Seq(order.asc))
+  }
+
   /** Timesteps per day by frequency (setup_utils.py adjust_nsteps
     * 89-92, verbatim incl. the fractional rungs). */
   private val nstepDayMap: Map[String, Double] = Map(

@@ -121,6 +121,23 @@ class PipelineSpec extends SparkSpec {
       iNoMatch < iDerivBanner && iDerivBanner < iDeriv, txt)
   }
 
+  test("removeDuplicateVars: strict vs loose keys, keep-first under the order") {
+    val vars = Seq(
+      // same loose key (name, cmor, units); realms differ
+      ("v1", "tas", "K", "atmos", "area: time: mean", 1L),
+      ("v1", "tas", "K", "ocean", "area: time: mean", 2L),
+      // exact strict duplicate, later position -> dropped in both modes
+      ("v1", "tas", "K", "atmos", "area: time: mean", 3L),
+      ("v2", "pr", "kg m-2 s-1", "atmos", "area: time: mean", 4L))
+      .toDF("varName", "cmorVar", "units", "realm", "cellMethods", "pos")
+    val strict = Catalog.removeDuplicateVars(vars, strict = true, $"pos")
+      .select($"pos").as[Long].collect().toSet
+    val loose = Catalog.removeDuplicateVars(vars, strict = false, $"pos")
+      .select($"pos").as[Long].collect().toSet
+    assert(strict == Set(1L, 2L, 4L)) // realm distinguishes rows 1 and 2
+    assert(loose == Set(1L, 4L))      // loose key collapses them, first kept
+  }
+
   test("writeCmorTable: mode realm/frequency, interval map, entries keyed by var") {
     val vars = Seq(
       ("tas", "mon", "atmos", "K", "area: time: mean"),
