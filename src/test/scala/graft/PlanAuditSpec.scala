@@ -185,6 +185,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("q110 span dedup shuffles hashes and doc ids, never span text") {
+    val p = planOf("q110_dup_spans")
+    assert(nodeCount(p, "Window") == 0, p)
+    // every exchange keys on the 64-bit span hash or the doc id — the
+    // shingle text is hashed map-side before any shuffle
+    assert(p.contains("hashpartitioning(h"), p)
+    assert(!p.contains("hashpartitioning(s#") &&
+      !p.contains("hashpartitioning(ts"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
