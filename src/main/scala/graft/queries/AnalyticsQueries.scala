@@ -268,5 +268,44 @@ object AnalyticsQueries extends QueryGroup {
         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90)
+  /** Bucketized range join (ops/RangeJoin): every lineitem shipped in
+    * the 30 days from a sampled order's date, per-interval counts and
+    * exact quantity sums. The interval predicate becomes an equi-join
+    * on a day-grid bucket (plan-audited: no nested loop), with the
+    * exact BETWEEN as a residual filter — the scale path for
+    * time-window attribution joins the reference's relational layer
+    * never needed but a 100 TB event store does. */
+  private val q114 = Q(
+    "q114_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val iv = Tables(s, dir, "orders")
+        .filter($"o_orderkey" % 200 === 0)
+        .select($"o_orderkey".as("iid"),
+          datediff($"o_orderdate", to_date(lit("1990-01-01")))
+            .cast("long").as("lo"))
+        .withColumn("hi", $"lo" + 30)
+      val pts = Tables(s, dir, "lineitem")
+        .select($"l_quantity",
+          datediff($"l_shipdate", to_date(lit("1990-01-01")))
+            .cast("long").as("v"))
+      graft.ops.RangeJoin.pointInInterval(pts, iv, w = 16)
+        .groupBy($"iid")
+        .agg(count(lit(1)).as("n_shipped"),
+          graft.ops.Exact.dsum($"l_quantity").as("qty_sum"))
+        .orderBy($"iid")
+    },
+    Some(s"""
+      WITH iv AS (
+        SELECT o_orderkey AS iid,
+          datediff('day', DATE '1990-01-01', o_orderdate) AS lo
+        FROM orders WHERE o_orderkey % 200 = 0)
+      SELECT iid, CAST(COUNT(*) AS BIGINT) AS n_shipped,
+        ${graft.ops.Exact.sqlSum("l_quantity")} AS qty_sum
+      FROM iv JOIN lineitem
+        ON datediff('day', DATE '1990-01-01', l_shipdate)
+           BETWEEN iv.lo AND iv.lo + 30
+      GROUP BY iid ORDER BY iid"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114)
 }

@@ -160,6 +160,32 @@ class OpsSpec extends SparkSpec {
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
   }
 
+  test("RangeJoin.pointInInterval matches the naive BETWEEN join incl. negatives") {
+    import graft.ops.RangeJoin
+    val pts = Seq((-9L, "p1"), (-8L, "p2"), (0L, "p3"), (7L, "p4"),
+      (16L, "p5"), (33L, "p6")).toDF("v", "pid")
+    val ivs = Seq((1, -10L, -8L), (2, -8L, 20L), (3, 15L, 16L), (4, 40L, 50L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, w = 8)
+      .select($"iid", $"pid").as[(Int, String)].collect().toSet
+    val want = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .select($"iid", $"pid").as[(Int, String)].collect().toSet
+    assert(got == want)
+    assert(got.contains((1, "p1")) && got.contains((3, "p5")))
+    assert(!got.exists(_._1 == 4)) // empty interval bucket joins nothing
+  }
+
+  test("RangeJoin.intervalOverlap emits each overlapping pair exactly once") {
+    import graft.ops.RangeJoin
+    // a and b overlap across MANY shared buckets (w = 2) — the
+    // canonical-bucket rule must still emit the pair once
+    val a = Seq((1, 0L, 20L), (2, 30L, 31L)).toDF("aid", "lo", "hi")
+    val b = Seq((10, 5L, 25L), (11, 21L, 29L)).toDF("bid", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(a, b, w = 2)
+      .select($"aid", $"bid").as[(Int, Int)].collect().toSeq
+    assert(got.sorted == Seq((1, 10))) // exactly once; (1,11)/(2,*) disjoint
+  }
+
   test("midpointBoundsBy computes every axis in one keyed pass, bit-equal " +
       "to the per-axis global-window variant") {
     import graft.ops.WindowOps

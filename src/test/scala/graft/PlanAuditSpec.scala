@@ -185,6 +185,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("q114 range join is a bucket equi-join, not a nested loop") {
+    val p = planOf("q114_range_join")
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q110 span dedup shuffles hashes and doc ids, never span text") {
     val p = planOf("q110_dup_spans")
     assert(nodeCount(p, "Window") == 0, p)
