@@ -71,4 +71,45 @@ object Sketch {
            ELSE ${(k - 1).toDouble}e0 * 1.152921504606846976e18 / CAST(kth AS DOUBLE)
       END AS est_distinct
     FROM bk"""
+
+  /** Count-Min sketch (Cormode & Muthukrishnan '05): `d` hash rows ×
+    * `w` counters; occurrence counts of `value` fold into counter
+    * (j, g_j(value) mod w) for each row j, and a point estimate is the
+    * minimum of a value's d counters — an overestimate by at most the
+    * collision mass, never an underestimate. The g_j family is
+    * Kirsch-Mitzenmacher over the same md5 digest as minhash
+    * (g_j = h1 + j·(h2 mod p)), so the sketch is deterministic,
+    * cross-engine checkable, and MERGEABLE (counters add) — the same
+    * properties that picked KMV over HLL. The sketch itself is at most
+    * d·w rows regardless of input size: one narrow groupBy shuffle to
+    * build, a broadcast to query. */
+  val CmsP = 1000000007L
+
+  /** Build: (j, c, cnt) counter table, at most d·w rows. */
+  def cmsBuild(df: DataFrame, value: Column, d: Int, w: Int): DataFrame = {
+    val hashed = df.select(TextOps.h64(value).as("h1"),
+      (TextOps.h64b(value) % CmsP).as("h2"))
+    hashed
+      .select(explode(expr(s"transform(sequence(0, ${d - 1}), j ->" +
+        s" named_struct('j', j, 'c', CAST((h1 + j * h2) % $w AS INT)))"))
+        .as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (any frame with the value column):
+    * min over the d counters. The counter table is ≤ d·w rows and
+    * broadcast; probes never shuffle. Missing counters mean zero
+    * occurrences. Output: probes' columns + est: long. */
+  def cmsEstimate(cms: DataFrame, probes: DataFrame, value: Column,
+      d: Int, w: Int): DataFrame = {
+    val p = probes
+      .withColumn("__h1", TextOps.h64(value))
+      .withColumn("__h2", TextOps.h64b(value) % CmsP)
+      .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("c", expr(s"CAST((__h1 + j * __h2) % $w AS INT)"))
+    p.join(broadcast(cms), Seq("j", "c"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -75,5 +75,50 @@ object ScaleQueries extends QueryGroup {
                            WHERE o_totalprice > 400000.0e0)
       ORDER BY l_orderkey, l_linenumber"""))
 
-  def queries: Seq[Q] = Seq(q73, q74, q91)
+  /** Count-Min occurrence estimates: a 4×1024 counter table summarizes
+    * every word occurrence in the corpus; point estimates for a probe
+    * set are the min of each word's 4 counters — overestimates only,
+    * zero for the absent word, deterministic via the md5-derived
+    * Kirsch-Mitzenmacher family so the oracle replicates the sketch
+    * bit-for-bit. At 100 TB the sketch stays ≤ d·w rows (one narrow
+    * groupBy), and probing is a broadcast join — frequency monitoring
+    * without a vocabulary-sized shuffle. */
+  private val q115 = Q(
+    "q115_count_min",
+    (s, dir) => {
+      import s.implicits._
+      val words = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens($"text")).as("word"))
+      val cms = Sketch.cmsBuild(words, $"word", d = 4, w = 1024)
+      val probes = Seq("spark", "table", "query", "value", "scan",
+        "window", "vector", "zzz_absent").toDF("word")
+      Sketch.cmsEstimate(cms, probes, $"word", d = 4, w = 1024)
+        .orderBy($"word")
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents),
+      h AS (
+        SELECT ${TextOps.h64Sql("word")} AS h1,
+               ${TextOps.h64bSql("word")} % 1000000007 AS h2
+        FROM w),
+      jc AS (
+        SELECT j, (h1 + j * h2) % 1024 AS c
+        FROM h, (SELECT unnest(generate_series(0, 3)) AS j) seeds),
+      cms AS (
+        SELECT j, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM jc GROUP BY j, c),
+      probes(word) AS (VALUES ('spark'), ('table'), ('query'), ('value'),
+        ('scan'), ('window'), ('vector'), ('zzz_absent')),
+      ph AS (
+        SELECT word, j,
+          (${TextOps.h64Sql("word")} +
+           j * (${TextOps.h64bSql("word")} % 1000000007)) % 1024 AS c
+        FROM probes, (SELECT unnest(generate_series(0, 3)) AS j) seeds)
+      SELECT ph.word, MIN(COALESCE(cms.cnt, CAST(0 AS BIGINT))) AS est
+      FROM ph LEFT JOIN cms ON cms.j = ph.j AND cms.c = ph.c
+      GROUP BY ph.word ORDER BY ph.word"""))
+
+  def queries: Seq[Q] = Seq(q73, q74, q91, q115)
 }

@@ -62,6 +62,23 @@ class SkewSketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("count-min never underestimates and is exact without collisions") {
+    import graft.ops.Sketch
+    val words = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq("gamma")).toDF("word")
+    val cms = Sketch.cmsBuild(words, $"word", d = 4, w = 1024)
+    // counter table is bounded by d·w regardless of input size
+    assert(cms.count() <= 4L * 1024L)
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("word")
+    val est = Sketch.cmsEstimate(cms, probes, $"word", d = 4, w = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 7L, "beta" -> 3L, "gamma" -> 1L, "absent" -> 0L)
+    // CMS guarantee: est >= truth always; with 3 words in 1024 slots no
+    // row collides, so these are exact (deterministic hashes: stable)
+    truth.foreach { case (w, n) => assert(est(w) >= n) }
+    assert(est == truth)
+  }
+
   test("bloom semiJoin equals the plain semi join and the prefilter prunes") {
     val big = spark.range(0, 5000).toDF("k")
       .select($"k", ($"k" % 13).cast("double").as("v"))
