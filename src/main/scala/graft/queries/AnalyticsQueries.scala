@@ -307,5 +307,41 @@ object AnalyticsQueries extends QueryGroup {
            BETWEEN iv.lo AND iv.lo + 30
       GROUP BY iid ORDER BY iid"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114)
+  /** Per-user EWMA of event values (ops/Ewma): the sequential-fold
+    * smoother verified against a DuckDB recursive CTE walking the same
+    * (ts, event_id) order — both engines execute the identical IEEE
+    * chain, so the doubles match bit-for-bit with no decimal detour.
+    * α = 0.125 (dyadic). Restricted to user_id < 300 to keep the
+    * oracle's recursion cheap; the operator itself is one keyed
+    * shuffle at any scale. */
+  private val q116 = Q(
+    "q116_ewma",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").filter($"user_id" < 300)
+        .select($"user_id", unix_micros($"ts").as("tus"),
+          $"event_id", $"value")
+      graft.ops.Ewma.ema(ev, $"user_id", $"tus", $"event_id", $"value",
+          alpha = 0.125)
+        .select($"key".as("user_id"), $"tie".as("event_id"),
+          $"v".as("value"), $"ema")
+        .orderBy($"user_id", $"t", $"event_id")
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id < 300),
+      r AS (
+        SELECT user_id, event_id, value, value AS ema, rn
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.value,
+          0.125e0 * e.value + 0.875e0 * r.ema, e.rn
+        FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT user_id, event_id, value, ema
+      FROM r ORDER BY user_id, rn"""))
+
+  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116)
 }

@@ -160,6 +160,20 @@ class OpsSpec extends SparkSpec {
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
   }
 
+  test("Ewma.ema folds in (t, tie) order, seeded with the first value") {
+    import graft.ops.Ewma
+    val df = Seq(
+      (1L, 10L, 1L, 4.0), (1L, 20L, 2L, 8.0), (1L, 20L, 3L, 0.0),
+      (2L, 5L, 1L, 1.0))
+      .toDF("k", "t", "id", "v")
+    val out = Ewma.ema(df, $"k", $"t", $"id", $"v", alpha = 0.5)
+      .orderBy($"key", $"t", $"tie")
+      .select($"ema").as[Double].collect().toSeq
+    // key 1: 4.0; 0.5*8+0.5*4 = 6.0; 0.5*0+0.5*6 = 3.0 (tie on t=20
+    // broken by id). key 2: seeds at 1.0
+    assert(out == Seq(4.0, 6.0, 3.0, 1.0))
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join incl. negatives") {
     import graft.ops.RangeJoin
     val pts = Seq((-9L, "p1"), (-8L, "p2"), (0L, "p3"), (7L, "p4"),
