@@ -43,4 +43,28 @@ object Sampling {
       df.withColumn("__hkey", TextOps.h64(key)),
       Seq(stratum), Seq(col("__hkey").asc, tieBreak.asc), k)
       .drop("__hkey")
+
+  /** Deterministic train/val/test assignment: the hash-range split of
+    * dataset builds. Row → slot h64(key) mod den; the first `train`
+    * slots are "train", the next `valSlots` "val", the rest "test".
+    * A pure map-side projection (no shuffle, pushes nothing around),
+    * rerun/parallelism-stable, and join-consistent: any table keyed on
+    * the same id lands in the same split, so features and labels never
+    * leak across the boundary. */
+  def hashSplit(key: Column, den: Int, train: Int,
+      valSlots: Int): Column = {
+    require(train + valSlots < den, s"train+val slots must leave test room")
+    val slot = TextOps.h64(key) % den
+    when(slot < train, "train")
+      .when(slot < train + valSlots, "val")
+      .otherwise("test")
+  }
+
+  /** SQL twin of [[hashSplit]]. */
+  def hashSplitSql(keyExpr: String, den: Int, train: Int,
+      valSlots: Int): String =
+    s"""CASE WHEN ${TextOps.h64Sql(keyExpr)} % $den < $train THEN 'train'
+             WHEN ${TextOps.h64Sql(keyExpr)} % $den < ${train + valSlots}
+               THEN 'val'
+             ELSE 'test' END"""
 }

@@ -169,5 +169,59 @@ object SamplingQueries extends QueryGroup {
         ${Exact.sqlSum("n_chars")} AS sum_chars
       FROM sampled GROUP BY source ORDER BY source"""))
 
-  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76)
+  /** Deterministic train/val/test split (ops/Sampling.hashSplit):
+    * hash-range assignment keyed on the document id — map-side,
+    * rerun/parallelism-stable, and join-consistent so features and
+    * labels keyed on the same id can never leak across the boundary.
+    * Per-(source, split) counts verify the assignment end-to-end. */
+  private val q117 = Q(
+    "q117_train_val_test",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("split", Sampling.hashSplit(
+          concat($"source", lit("|"), $"doc_id".cast("string")),
+          den = 10, train = 8, valSlots = 1))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"split")
+    },
+    Some(s"""
+      SELECT source,
+        ${Sampling.hashSplitSql(
+          "(source || '|' || CAST(doc_id AS VARCHAR))", 10, 8, 1)} AS split,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1, 2 ORDER BY source, split"""))
+
+  /** Per-source z-score of document length (ops/Normalize.zscore): one
+    * decimal-exact stats shuffle, broadcast join-back, map-side z —
+    * the within-source standardization every quality-threshold pass
+    * needs, bit-exact against the oracle through the pinned double
+    * chain. */
+  private val q118 = Q(
+    "q118_zscore",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Normalize.zscore(
+          Tables(s, dir, "documents"), Seq("source"), $"n_chars")
+        .select($"doc_id", $"source", $"n_chars", $"mean", $"z")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT source,
+          ${graft.ops.Exact.sqlSum("CAST(n_chars AS DOUBLE)")} AS sx,
+          ${graft.ops.Exact.sqlSum(
+            "CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)")} AS sxx,
+          CAST(COUNT(n_chars) AS DOUBLE) AS n
+        FROM documents GROUP BY source)
+      SELECT doc_id, d.source, n_chars, sx / n AS mean,
+        CASE WHEN (sxx - sx * sx / n) / n > 0
+             THEN (CAST(n_chars AS DOUBLE) - sx / n) /
+                  sqrt((sxx - sx * sx / n) / n)
+        END AS z
+      FROM documents d JOIN st ON d.source = st.source
+      ORDER BY doc_id"""))
+
+  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76, q117, q118)
 }

@@ -62,6 +62,38 @@ class SkewSketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashSplit is exhaustive, deterministic, and join-consistent") {
+    import graft.ops.Sampling
+    val ids = (0L until 500L).toDF("id")
+    val split = ids.withColumn("s",
+      Sampling.hashSplit($"id".cast("string"), den = 10, train = 8, valSlots = 1))
+    val counts = split.groupBy($"s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 500L)
+    assert(counts("train") > counts("val")) // 8:1:1 slots
+    // join-consistency: a second table keyed on the same id gets the
+    // identical assignment row for row
+    val again = ids.withColumn("s2",
+      Sampling.hashSplit($"id".cast("string"), den = 10, train = 8, valSlots = 1))
+    assert(split.join(again, Seq("id")).filter($"s" =!= $"s2").count() == 0)
+  }
+
+  test("zscore: mean 0 / unit spread per group, constant group yields null") {
+    import graft.ops.Normalize
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0)).toDF("g", "x")
+    val out = Normalize.zscore(df, Seq("g"), $"x")
+      .orderBy($"g", $"x").collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(3)).map(_ => r.getDouble(3))))
+    // group a: mean 2, population sd sqrt(2/3); z of 1.0 = -1/sqrt(2/3)
+    val sd = math.sqrt(2.0 / 3.0)
+    assert(out(0) == (("a", 1.0, Some((1.0 - 2.0) / sd))))
+    assert(out(1)._3 == Some(0.0))
+    // constant group b: variance 0 -> null z, not Infinity
+    assert(out(3)._3.isEmpty && out(4)._3.isEmpty)
+  }
+
   test("count-min never underestimates and is exact without collisions") {
     import graft.ops.Sketch
     val words = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
