@@ -33,4 +33,26 @@ object Normalize {
         when(variance > 0, (x.cast("double") - mean) / sqrt(variance)))
       .drop("__sx", "__sxx", "__n")
   }
+
+  /** Curriculum binning: each row's group-relative quantile bucket —
+    * bin 1 holds rows at or below the first threshold, the last bin
+    * everything above the highest. Thresholds are EXACT data elements
+    * (the nearest-rank rule of [[WindowOps.exactQuantiles]], q89), so
+    * bucket edges are engine-identical — no interpolation, no
+    * engine-specific percentile flavor. One ranking window for the
+    * thresholds, a broadcast join-back, and the bin itself is a
+    * map-side fold over the (tiny, sorted) threshold array:
+    * bin = 1 + #(thresholds strictly below x). */
+  def quantileBins(df: DataFrame, keys: Seq[String], x: Column,
+      tieBreak: Column, qs: Seq[Double]): DataFrame = {
+    val th = WindowOps.exactQuantiles(df, keys.map(col), x, tieBreak, qs)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(col("qvalue").cast("double")))
+        .as("__th"))
+    df.join(broadcast(th), keys)
+      .withColumn("__x", x.cast("double"))
+      .withColumn("bin", expr(
+        "1 + aggregate(__th, 0, (a, t) -> a + IF(__x > t, 1, 0))"))
+      .drop("__th", "__x")
+  }
 }

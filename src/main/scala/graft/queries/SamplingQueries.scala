@@ -223,5 +223,42 @@ object SamplingQueries extends QueryGroup {
       FROM documents d JOIN st ON d.source = st.source
       ORDER BY doc_id"""))
 
-  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76, q117, q118)
+  /** Curriculum quartile bins (ops/Normalize.quantileBins): each doc's
+    * source-relative length quartile from exact nearest-rank
+    * thresholds (q89's rule) — the difficulty-bucketing pass of a
+    * curriculum data loader, with engine-identical bucket edges. */
+  private val q119 = Q(
+    "q119_quantile_bins",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Normalize.quantileBins(
+          Tables(s, dir, "documents"), Seq("source"), $"n_chars",
+          $"doc_id", Seq(0.25, 0.5, 0.75))
+        .select($"doc_id", $"source", $"n_chars", $"bin")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      th AS (
+        SELECT source,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25e0 * n) AS BIGINT))
+                THEN CAST(n_chars AS DOUBLE) END) AS t1,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5e0 * n) AS BIGINT))
+                THEN CAST(n_chars AS DOUBLE) END) AS t2,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75e0 * n) AS BIGINT))
+                THEN CAST(n_chars AS DOUBLE) END) AS t3
+        FROM r GROUP BY source)
+      SELECT doc_id, d.source, n_chars,
+        1 + (CASE WHEN n_chars > t1 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars > t2 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars > t3 THEN 1 ELSE 0 END) AS bin
+      FROM documents d JOIN th ON d.source = th.source
+      ORDER BY doc_id"""))
+
+  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76, q117, q118, q119)
 }

@@ -94,6 +94,17 @@ class SkewSketchSpec extends SparkSpec {
     assert(out(3)._3.isEmpty && out(4)._3.isEmpty)
   }
 
+  test("quantileBins: nearest-rank edges, boundary rows fall in the lower bin") {
+    import graft.ops.Normalize
+    val df = (1 to 8).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("g", "x", "id")
+    val bins = Normalize.quantileBins(df, Seq("g"), $"x", $"id",
+        Seq(0.25, 0.5, 0.75))
+      .orderBy($"x").select($"bin").as[Int].collect().toSeq
+    // n=8: thresholds at ranks 2, 4, 6 → values 2, 4, 6; x <= t stays low
+    assert(bins == Seq(1, 1, 2, 2, 3, 3, 4, 4))
+  }
+
   test("count-min never underestimates and is exact without collisions") {
     import graft.ops.Sketch
     val words = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
