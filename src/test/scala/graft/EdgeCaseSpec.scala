@@ -15,6 +15,37 @@ class EdgeCaseSpec extends SparkSpec {
   private val oneTrade = Seq(("a", 10L, 1.0)).toDF("sym", "t", "px")
   private val oneQuote = Seq(("a", 5L, 0.5)).toDF("qsym", "qt", "bid")
 
+  test("round-5 ops reject invalid shapes and survive degenerate input") {
+    import graft.ops.{Normalize, RangeJoin, Sampling, Similarity, TextOps}
+    // parameter validation fails fast, not mid-job
+    val v = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "emb")
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebook(v, m = 2, dim = 3) // 3 % 2 != 0
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        Seq((1L, "p")).toDF("v", "pid"),
+        Seq((1, 0L, 5L)).toDF("iid", "lo", "hi"), w = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(lit("x"), den = 10, train = 9, valSlots = 1)
+    }
+    // every document too short for a shingle → empty output, no crash
+    val shortDocs = Seq((1L, "too short"), (2L, "also tiny"))
+      .toDF("doc_id", "text")
+    assert(TextOps.dupSpans(shortDocs, $"doc_id", $"text", w = 5).count() == 0)
+    // empty corpus sketch → every probe estimates zero
+    val emptyCms = graft.ops.Sketch.cmsBuild(
+      Seq.empty[String].toDF("word"), $"word", d = 2, w = 64)
+    val probed = graft.ops.Sketch.cmsEstimate(emptyCms,
+        Seq("x").toDF("word"), $"word", d = 2, w = 64)
+      .select($"est").as[Long].collect()
+    assert(probed.toSeq == Seq(0L))
+    // zscore of an empty frame is empty, not an error
+    assert(Normalize.zscore(
+      Seq.empty[(String, Double)].toDF("g", "x"), Seq("g"), $"x").count() == 0)
+  }
+
   test("as-of join with empty sides") {
     assert(AsOf.backwardJoin(noTrades, oneQuote,
       Seq("sym"), Seq("qsym"), "t", "qt").count() == 0)
