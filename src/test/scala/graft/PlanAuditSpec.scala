@@ -185,6 +185,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("q115 count-min probes ride a broadcast of the bounded counter table") {
+    val p = planOf("q115_count_min")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q118/q119 normalization stats broadcast back; the data never re-sorts globally") {
+    val p118 = planOf("q118_zscore")
+    assert(p118.contains("BroadcastHashJoin"), p118)
+    assert(nodeCount(p118, "Window") == 0, p118)
+    val p119 = planOf("q119_quantile_bins")
+    assert(p119.contains("BroadcastHashJoin"), p119)
+    // the only window is the per-source threshold ranking, keyed on source
+    assert(p119.contains("Window"), p119)
+  }
+
+  test("q117 split assignment is map-side: one exchange for the groupBy") {
+    val p = planOf("q117_train_val_test")
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(nodeCount(p, "Exchange") <= 2, p) // agg + presentation sort
+  }
+
   test("q114 range join is a bucket equi-join, not a nested loop") {
     val p = planOf("q114_range_join")
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
