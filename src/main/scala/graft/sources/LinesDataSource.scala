@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 read connector: text files as (path, line_no, line)
+  * rows — the natural ingest for the line-level pipeline operators
+  * (lineDedupe/q99 consumes exactly this shape).
+  *
+  * The last rung of the extension ladder demonstrated end-to-end
+  * (ARCHITECTURE.md): where FloatDot extends the expression layer,
+  * LowerPow the optimizer, and AsOfJoin the plan layer, this extends
+  * the SOURCE layer — Spark plans it like any table, so filters and
+  * limits stack on top and downstream shuffles see ordinary rows.
+  *
+  * Scale shape: one InputPartition per file (embarrassingly parallel,
+  * no driver-side content reads — planning touches only the listing,
+  * sorted for determinism), and column pruning is honored: a query
+  * that needs only `line` deserializes only `line` (the reader
+  * materializes just the pruned fields; `path` strings and line
+  * numbers are never allocated when unused — visible as the narrowed
+  * ReadSchema in explain).
+  *
+  * Usage: `spark.read.format("graft.sources.LinesDataSource")
+  * .load(dir)` — reads every regular file under `dir` (one level). */
+class LinesDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LinesDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LinesTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("path required")))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object LinesDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("line_no", LongType, nullable = false),
+    StructField("line", StringType, nullable = false)))
+}
+
+private[sources] class LinesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"lines($path)"
+  override def schema(): StructType = LinesDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LinesScanBuilder(path)
+}
+
+private[sources] class LinesScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = LinesDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new LinesScan(path, required)
+}
+
+private[sources] class LinesScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(path)
+    val files =
+      if (dir.isFile) Array(dir)
+      else Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName) // deterministic order
+    files.map(f => LinesPartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LinesReaderFactory(required.fieldNames)
+}
+
+private[sources] final case class LinesPartition(file: String)
+    extends InputPartition
+
+private[sources] class LinesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LinesPartition]
+    new PartitionReader[InternalRow] {
+      private val src = scala.io.Source.fromFile(p.file, "UTF-8")
+      private val it = src.getLines()
+      private var lineNo = -1L
+      private var current: String = _
+      // path is constant per partition — materialize the UTF8String once
+      private val pathU = UTF8String.fromString(p.file)
+
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); lineNo += 1; true } else false
+
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map {
+          case "path" => pathU
+          case "line_no" => lineNo
+          case "line" => UTF8String.fromString(current)
+        }.asInstanceOf[Array[Any]])
+
+      override def close(): Unit = src.close()
+    }
+  }
+}
