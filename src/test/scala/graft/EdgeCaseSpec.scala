@@ -15,6 +15,30 @@ class EdgeCaseSpec extends SparkSpec {
   private val oneTrade = Seq(("a", 10L, 1.0)).toDF("sym", "t", "px")
   private val oneQuote = Seq(("a", 5L, 0.5)).toDF("qsym", "qt", "bid")
 
+  test("decimal-critical ops are invariant to the input partitioning") {
+    import graft.ops.{Exact, Normalize}
+    // mixed-magnitude values (within the documented DECIMAL(18,6)
+    // envelope — x² must fit too) that would expose order-dependent
+    // double summation if any path regressed to raw double sums
+    val base = (1 to 2000).map(i => ("g" + (i % 3), 1.0 / i + 100.0 * (i % 7)))
+    def run(parts: Int): Seq[(String, Double, Double)] = {
+      val df = base.toDF("g", "x").repartition(parts)
+      val sums = df.groupBy($"g").agg(Exact.dsum($"x").as("s"))
+      val zs = Normalize.zscore(df, Seq("g"), $"x")
+        .groupBy($"g").agg(Exact.dsum($"z").as("zsum"))
+      sums.join(zs, "g").orderBy($"g")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    }
+    val a = run(3)
+    val b = run(17)
+    // bit-exact equality, not tolerance — the determinism contract
+    assert(a.zip(b).forall { case ((g1, s1, z1), (g2, s2, z2)) =>
+      g1 == g2 &&
+        java.lang.Double.doubleToLongBits(s1) == java.lang.Double.doubleToLongBits(s2) &&
+        java.lang.Double.doubleToLongBits(z1) == java.lang.Double.doubleToLongBits(z2)
+    }, s"$a vs $b")
+  }
+
   test("round-5 ops reject invalid shapes and survive degenerate input") {
     import graft.ops.{Normalize, RangeJoin, Sampling, Similarity, TextOps}
     // parameter validation fails fast, not mid-job
