@@ -610,17 +610,20 @@ object Similarity {
     * vector, O(m) lookups per pair), the exact decimal cosine
     * re-ranks only the O(q·mShort) shortlist of original floats.
     *
-    * Same input split as [[pqTopK]] (codes / floats / codebook /
-    * broadcast-small queries) plus the IVF `centroids` (cid, cemb,
-    * cnorm2); the corpus-side assignment is [[ivfAssign]]'s provably
-    * exact top-1, the query-side cell ranking an exact broadcast
+    * `codes` carries (id, cid, codes) — the inverted-list layout made
+    * literal, exactly as [[pqIvfResidualTopK]]: the IVF cell id is
+    * attached at index-BUILD time ([[pqEncode]] joined with
+    * [[ivfAssign]]'s provably exact top-1), so candidate generation is
+    * a cid equi-join against the code store alone and search never
+    * re-reads the dim·4-byte float store (at 100 TB a 32× read
+    * amplification per query batch). `floats` (id, emb, norm2) is
+    * touched only by the exact-cosine re-rank of the O(q·mShort)
+    * shortlist; the query-side cell ranking is an exact broadcast
     * sweep, exactly as [[quantizedIvfTopK]]. */
   def pqIvfTopK(codes: DataFrame, floats: DataFrame, codebook: DataFrame,
       centroids: DataFrame, queries: DataFrame, nprobe: Int,
       m: Int, dim: Int, mShort: Int, k: Int): DataFrame = {
     val dsub = dim / m
-    val assign = ivfAssign(floats, centroids)
-      .select(col("id").as("id2"), col("cid"))
     val qcos = queries
       .select(col("id").as("id1"), col("emb").as("qemb"), col("norm2").as("qn"))
       .crossJoin(broadcast(centroids))
@@ -630,9 +633,6 @@ object Similarity {
     val qcells = Relational.topKPerGroup(qcos, Seq(col("id1")),
         Seq(col("qcos").desc, col("cid").asc), nprobe)
       .select(col("id1"), col("cid"))
-    val cands = broadcast(qcells).join(assign, Seq("cid"))
-      .filter(col("id2") =!= col("id1"))
-      .select(col("id1"), col("id2"))
     val luts = queries.crossJoin(broadcast(codebook))
       .select(col("id").as("id1"), expr(
         s"""transform(sequence(0, ${m - 1}), s ->
@@ -642,9 +642,11 @@ object Similarity {
                     CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,6))),
                   CAST(0 AS DECIMAL(28,6)),
                   (acc, v) -> CAST(acc + v AS DECIMAL(28,6)))))""").as("luts"))
-    val swept = cands
+    val swept = broadcast(qcells)
+      .join(codes.select(col("id").as("id2"), col("cid"), col("codes")),
+        Seq("cid"))
+      .filter(col("id2") =!= col("id1"))
       .join(broadcast(luts), Seq("id1"))
-      .join(codes.select(col("id").as("id2"), col("codes")), Seq("id2"))
       .select(col("id1"), col("id2"), expr(
         """aggregate(
              zip_with(codes, luts, (c, l) -> element_at(l, c + 1)),

@@ -418,19 +418,23 @@ object SimilarityQueries extends QueryGroup {
     * m-byte PQ codes restricted to each query's nprobe=2 probed IVF
     * cells — at 100 TB the lookup-table scan touches nprobe/n_cells of
     * a code store that is itself 32× narrower than the floats, and the
-    * floats are fetched only for the exact re-rank shortlist. IVF
-    * centroids and PQ seeds both = vectors 0..15, queries 0..9, as the
-    * rest of the ANN family. */
+    * floats are fetched only for the exact re-rank shortlist. The IVF
+    * cell id is attached to the codes at index-BUILD time (encode ⋈
+    * assignment), so search reads the m-byte code store alone — the
+    * same inverted-list layout as q112. IVF centroids and PQ seeds
+    * both = vectors 0..15, queries 0..9, as the rest of the ANN
+    * family. */
   private val q109 = Q(
     "q109_pq_ivf",
     (s, dir) => {
       import s.implicits._
       val all = vecs(s, dir)
       val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
-      val codes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
-        .select($"id", $"codes")
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
+      val codes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
+        .select($"id", $"codes").join(assign, Seq("id"))
       Similarity.pqIvfTopK(codes, all, cb, cents, all.filter($"id" < 10),
           nprobe = 2, m = 8, dim = 64, mShort = 20, k = 3)
         .orderBy($"id1", $"rank")

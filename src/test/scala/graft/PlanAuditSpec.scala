@@ -154,13 +154,53 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q109 IVF-PQ reads codes only behind the cell filter, K-wide sweeps only") {
     val p = planOf("q109_pq_ivf")
-    // four K-wide broadcast loops: corpus IVF assignment, query cell
+    // four K-wide broadcast loops: corpus IVF assignment (index-BUILD
+    // lineage, feeding the encode⋈assign code store), query cell
     // ranking, PQ encode, LUT build; the code store itself is consumed
-    // exclusively through the cands equi-join — a fifth nested loop
-    // would mean the ADC sweep went q × n flat
+    // exclusively through the probed-cells cid equi-join — a fifth
+    // nested loop would mean the ADC sweep went q × n flat
     assert(nodeCount(p, "BroadcastNestedLoopJoin") == 4, p)
     assert(nodeCount(p, "CartesianProduct") == 0, p)
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("pqIvfTopK search touches the float store only in the shortlist re-rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    // index-build: floats and (id, cid, codes) persisted as the two
+    // on-disk index artifacts, exactly the 100 TB deployment layout
+    val dir = java.nio.file.Files.createTempDirectory("pqivf").toString
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    v.write.mode("overwrite").parquet(s"$dir/floats")
+    val cents = v.filter($"id" < 4)
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    val cb = Similarity.pqCodebook(v.filter($"id" < 4), m = 4, dim = 8)
+    Similarity.pqEncode(v, cb, m = 4, dim = 8).select($"id", $"codes")
+      .join(Similarity.ivfAssign(v, cents).select($"id", $"cid"), Seq("id"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    // search: centroids / codebook / queries are broadcast-small local
+    // frames, so every parquet scan in the plan is an index artifact
+    val floats = spark.read.parquet(s"$dir/floats")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val centsL = cents.as[(Long, Array[Float], Double)].collect().toSeq
+      .toDF("cid", "cemb", "cnorm2")
+    val cbL = Seq(Tuple1(cb.as[Seq[Seq[Seq[Double]]]].head())).toDF("cb")
+    val queriesL = v.filter($"id" < 3).as[(Long, Array[Float], Double)]
+      .collect().toSeq.toDF("id", "emb", "norm2")
+    val out = Similarity.pqIvfTopK(codes, floats, cbL, centsL, queriesL,
+      nprobe = 2, m = 4, dim = 8, mShort = 10, k = 4)
+    val p = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // exactly two parquet scans: the m-byte code store under the ADC
+    // sweep and ONE float-store read under the exact re-rank. The
+    // pre-fix shape scanned floats twice — a query-time ivfAssign
+    // re-read the 32×-larger store on every batch.
+    assert(nodeCount(p, "Scan parquet") == 2, p)
+    assert(p.contains(s"$dir/floats") && p.contains(s"$dir/codes"), p)
+    assert(out.count() > 0)
   }
 
   test("q112 residual IVF-PQ: candidate gen is the cid equi-join on the code store") {

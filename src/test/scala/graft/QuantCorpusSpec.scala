@@ -142,9 +142,12 @@ class QuantCorpusSpec extends SparkSpec {
         .as("embedding"))
     val v = Similarity.withNorms(base, $"vec_id", $"embedding")
     val cb = Similarity.pqCodebook(v.filter($"id" < 4), m = 4, dim = 8)
-    val codes = Similarity.pqEncode(v, cb, m = 4, dim = 8).select($"id", $"codes")
     val cents = v.filter($"id" < 4)
       .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    // the inverted-list layout: cell ids attach to codes at index time
+    val codes = Similarity.pqEncode(v, cb, m = 4, dim = 8)
+      .select($"id", $"codes")
+      .join(Similarity.ivfAssign(v, cents).select($"id", $"cid"), Seq("id"))
     // nprobe = n_cells ⇒ the cell filter admits every candidate and the
     // composed index degenerates to the flat ADC sweep
     val got = Similarity.pqIvfTopK(codes, v, cb, cents, v.filter($"id" < 3),
