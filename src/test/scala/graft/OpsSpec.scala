@@ -174,6 +174,32 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(4.0, 6.0, 3.0, 1.0))
   }
 
+  test("Ewma.ema streams a skewed long series, exact fold on hot and cold keys") {
+    import graft.ops.Ewma
+    // one hot key with 200k rows next to a 3-row key: the secondary-sort
+    // fold must reproduce the sequential IEEE chain on both, and the key
+    // boundary inside a shared partition must reset the state
+    val n = 200000
+    val df = spark.range(n).selectExpr("CAST(1 AS LONG) AS k", "id AS t",
+        "id AS tie", "CAST(id % 97 AS DOUBLE) AS v")
+      .union(spark.range(3).selectExpr("CAST(2 AS LONG) AS k", "id AS t",
+        "id AS tie", "CAST(id AS DOUBLE) AS v"))
+    val out = Ewma.ema(df, $"k", $"t", $"tie", $"v", alpha = 0.25)
+    // driver-side replay of the hot key's chain, bit-compared at the tail
+    var s = 0.0
+    for (i <- 0 until n) {
+      val v = (i % 97).toDouble
+      s = if (i == 0) v else 0.25 * v + 0.75 * s
+    }
+    val gotLast = out.filter($"key" === 1L).orderBy($"t".desc)
+      .select($"ema").as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(gotLast) ==
+      java.lang.Double.doubleToLongBits(s))
+    val cold = out.filter($"key" === 2L).orderBy($"t")
+      .select($"ema").as[Double].collect().toSeq
+    assert(cold == Seq(0.0, 0.25, 0.6875))
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join incl. negatives") {
     import graft.ops.RangeJoin
     val pts = Seq((-9L, "p1"), (-8L, "p2"), (0L, "p3"), (7L, "p4"),
@@ -187,6 +213,22 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
     assert(got.contains((1, "p1")) && got.contains((3, "p5")))
     assert(!got.exists(_._1 == 4)) // empty interval bucket joins nothing
+  }
+
+  test("RangeJoin buckets are exact beyond 2^53 (long floor division, no doubles)") {
+    import graft.ops.RangeJoin
+    // at |key| ~ 2^61 a double division collapses adjacent buckets;
+    // the long floor division must keep them distinct on both signs
+    val big = 1L << 61
+    val pts = Seq((big + 9L, "p1"), (big - 9L, "p2"), (-big + 7L, "p3"),
+      (big + 20L, "p4")).toDF("v", "pid")
+    val ivs = Seq((1, big + 8L, big + 16L), (2, -big, -big + 8L),
+      (3, big - 16L, big - 8L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, w = 8)
+      .select($"iid", $"pid").as[(Int, String)].collect().toSet
+    val want = pts.join(ivs, $"v" >= $"lo" && $"v" <= $"hi")
+      .select($"iid", $"pid").as[(Int, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("RangeJoin.intervalOverlap emits each overlapping pair exactly once") {
