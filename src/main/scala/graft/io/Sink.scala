@@ -90,7 +90,16 @@ object Sink {
     * (the pot_vars block). A mapping template is a human-edited
     * artifact of catalog size — the data-sized classification pass
     * stays distributed in templateSections; only the final few-KB
-    * template is brought to the driver and written as one file. */
+    * template is brought to the driver and written as one file.
+    *
+    * Fields containing the `;` delimiter (or a quote/newline) are
+    * quoted with doubled embedded quotes, matching Python's
+    * csv.writer(delimiter=';'). Layout note: this is a DELIBERATELY
+    * reduced 7-column template — the columns this engine's catalog
+    * computes — not the reference's 17-column layout (whose extra
+    * columns are pass-through DB fields with no analog here); the
+    * artifact is for this engine's round-trip, not for feeding back
+    * into reference tooling. */
   def writeMapTemplate(sections: DataFrame, derivable: DataFrame,
       path: String, version: String): Unit = {
     import org.apache.spark.sql.functions.col
@@ -106,8 +115,12 @@ object Sink {
       .collect()
     val bySection = rows.groupBy(_.getString(0))
     val sb = new StringBuilder
+    def field(v: String): String =
+      if (v.exists(ch => ch == ';' || ch == '"' || ch == '\n' || ch == '\r'))
+        "\"" + v.replace("\"", "\"\"") + "\""
+      else v
     def line(cols: Seq[String]): Unit =
-      sb.append(cols.mkString(";")).append('\n')
+      sb.append(cols.map(field).mkString(";")).append('\n')
     line(Seq("cmor_var", "input_vars", "units", "frequency", "positive",
       "version", "section"))
     val banners = Map( // the reference's literal warning banners
@@ -157,8 +170,18 @@ object Sink {
     }
     val realm = mode("modeling_realm")
     val freq = mode("frequency")
-    def jstr(s: String): String = "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\""
+    // full JSON string escape — control characters included, so a
+    // newline/tab inside cell_methods or a comment can't produce an
+    // invalid document (json.dump parity)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
     def jobj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")

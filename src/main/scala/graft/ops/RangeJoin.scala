@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def bucketOf(c: Column, w: Long): Column =
-    floor(c.cast("double") / w).cast("long")
+  private def bucketOf(c: Column, w: Long): Column = {
+    // exact long floor division: `div` truncates toward zero, so shift
+    // negative non-multiples down one bucket — no double detour, so the
+    // bucket id is exact over the whole Long range (a double division
+    // loses low bits beyond 2^53)
+    val q = c.cast("long")
+    val t = call_function("div", q, lit(w))
+    when(q % w < 0, t - 1).otherwise(t)
+  }
 
   /** Point-in-interval join: `points` (pid, v, payload...) ⋈
     * `intervals` (iid, lo, hi, payload...) on lo <= v <= hi

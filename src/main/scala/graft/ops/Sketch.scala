@@ -100,16 +100,28 @@ object Sketch {
   /** Point estimates for `probes` (any frame with the value column):
     * min over the d counters. The counter table is ≤ d·w rows and
     * broadcast; probes never shuffle. Missing counters mean zero
-    * occurrences. Output: probes' columns + est: long. */
+    * occurrences. Output: probes' columns + est: long.
+    *
+    * Row multiplicity is preserved — duplicate probe rows each get
+    * their estimate (a per-row id rides the explode/groupBy, then
+    * drops). Internals are `__cms_`-prefixed and the counter table's
+    * columns are renamed before the join, so probe frames may freely
+    * carry columns named j, c or cnt; only `est` (the output column)
+    * and the `__cms_` prefix are reserved. */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, value: Column,
       d: Int, w: Int): DataFrame = {
     val p = probes
-      .withColumn("__h1", TextOps.h64(value))
-      .withColumn("__h2", TextOps.h64b(value) % CmsP)
-      .withColumn("j", explode(expr(s"sequence(0, ${d - 1})")))
-      .withColumn("c", expr(s"CAST((__h1 + j * __h2) % $w AS INT)"))
-    p.join(broadcast(cms), Seq("j", "c"), "left")
-      .groupBy(probes.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .withColumn("__cms_rid", monotonically_increasing_id())
+      .withColumn("__cms_h1", TextOps.h64(value))
+      .withColumn("__cms_h2", TextOps.h64b(value) % CmsP)
+      .withColumn("__cms_j", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("__cms_c",
+        expr(s"CAST((__cms_h1 + __cms_j * __cms_h2) % $w AS INT)"))
+    val counters = cms.select(col("j").as("__cms_j"),
+      col("c").as("__cms_c"), col("cnt").as("__cms_cnt"))
+    p.join(broadcast(counters), Seq("__cms_j", "__cms_c"), "left")
+      .groupBy((col("__cms_rid") +: probes.columns.map(col)): _*)
+      .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("est"))
+      .drop("__cms_rid")
   }
 }

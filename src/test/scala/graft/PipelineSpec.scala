@@ -154,6 +154,28 @@ class PipelineSpec extends SparkSpec {
     assert(txt.contains("\"units\": \"degC\""), txt)
   }
 
+  test("writeCmorTable escapes control characters (valid JSON, json.dump parity)") {
+    val vars = Seq(("tas", "mon", "atmos", "K", "line one\nline two\ttabbed"))
+      .toDF("cmor_var", "frequency", "modeling_realm", "units", "comment")
+    val out = Files.createTempDirectory("cmor").resolve("ctrl.json")
+    Sink.writeCmorTable(vars, "Amon", "01 January 2026", out.toString)
+    val txt = Files.readString(out)
+    // the raw newline/tab must be escaped, never emitted literally
+    assert(!txt.contains('\n') && !txt.contains('\t'), txt)
+    assert(txt.contains("line one\\nline two\\ttabbed"), txt)
+  }
+
+  test("writeMapTemplate quotes fields containing the ; delimiter (csv.writer parity)") {
+    val sections = Seq(("matched", "tas", "v1", "a;b", "mon", ""))
+      .toDF("section", "cmor_var", "varName", "units", "frequency", "positive")
+    val pot = Seq.empty[(String, String)].toDF("cmorVar", "inputVars")
+    val out = Files.createTempDirectory("tmpl").resolve("quoted.csv")
+    Sink.writeMapTemplate(sections, pot, out.toString, "CM2")
+    val txt = Files.readString(out)
+    // the units field must arrive quoted so the row still has 7 columns
+    assert(txt.contains("\"a;b\""), txt)
+  }
+
   test("driver contract: entry returns rows, every query has an oracle or runs") {
     assert(SparkEntry.entry(spark).count() > 0) // the driver's t1 smoke
     // every registered query name appears exactly once and each oracle

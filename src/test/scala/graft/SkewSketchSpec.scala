@@ -94,6 +94,19 @@ class SkewSketchSpec extends SparkSpec {
     assert(out(3)._3.isEmpty && out(4)._3.isEmpty)
   }
 
+  test("zscore keeps rows whose group key is NULL (null-safe join-back)") {
+    import graft.ops.Normalize
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 5.0), (None, 7.0)).toDF("g", "x")
+    val out = Normalize.zscore(df, Seq("g"), $"x")
+    // a plain = join-back would silently drop the NULL-key group
+    assert(out.count() == 4)
+    val nullz = out.filter($"g".isNull).orderBy($"x")
+      .select($"z").as[Double].collect().toSeq
+    // NULL group: mean 6, population variance 1 → z = ∓1
+    assert(nullz == Seq(-1.0, 1.0))
+  }
+
   test("quantileBins: nearest-rank edges, boundary rows fall in the lower bin") {
     import graft.ops.Normalize
     val df = (1 to 8).map(i => ("g", i.toDouble, i.toLong))
@@ -120,6 +133,20 @@ class SkewSketchSpec extends SparkSpec {
     // row collides, so these are exact (deterministic hashes: stable)
     truth.foreach { case (w, n) => assert(est(w) >= n) }
     assert(est == truth)
+  }
+
+  test("cmsEstimate preserves probe multiplicity and tolerates j/c/cnt probe columns") {
+    import graft.ops.Sketch
+    val words = Seq.fill(5)("alpha").toDF("word")
+    val cms = Sketch.cmsBuild(words, $"word", d = 4, w = 1024)
+    // duplicate probe rows + a column named like the counter table's
+    val probes = Seq(("alpha", 1L), ("alpha", 2L), ("absent", 3L))
+      .toDF("word", "cnt")
+    val est = Sketch.cmsEstimate(cms, probes, $"word", d = 4, w = 1024)
+      .orderBy($"cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.toSeq == Seq(("alpha", 1L, 5L), ("alpha", 2L, 5L),
+      ("absent", 3L, 0L)))
   }
 
   test("bloom semiJoin equals the plain semi join and the prefilter prunes") {
