@@ -123,6 +123,82 @@ object Catalog {
     coalesce(nullif(fromName, lit("NA")), fromDelta, lit("NA"))
   }
 
+  /** build_umfrq's interval table (mopdb_utils.py:401-408) as an
+    * ordered CASE ladder over a day-unit interval, first match wins —
+    * the reference iterates the dict in insertion order and breaks.
+    * Matching is math.isclose with rel_tol 0.05:
+    * |d − v| ≤ 0.05·max(|d|, |v|). NULL where nothing matches. */
+  private def umfrqLadder(d: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val table = Seq("dec" -> 3652.0, "yr" -> 365.0, "mon" -> 30.0,
+      "day" -> 1.0, "6hr" -> 0.25, "3hr" -> 0.125, "1hr" -> 0.041667,
+      "10min" -> 0.006944)
+    table.foldRight(lit(null).cast("string")) { case ((k, v), rest) =>
+      when(abs(d - v) <= lit(0.05) * greatest(abs(d), lit(v)), k)
+        .otherwise(rest)
+    }
+  }
+
+  /** Per-VARIABLE frequency for multi-time-axis UM files (build_umfrq,
+    * mopdb_utils.py:401-428, composed into write_varlist:509-561): one
+    * atmosphere file can carry several time axes of different lengths,
+    * and each variable then inherits the frequency of ITS OWN leading
+    * time axis rather than the file-level answer.
+    *
+    * Inputs (NetCDF header facts — the documented ingestion contract):
+    *  - `files`: (file_id, realm, fname)
+    *  - `axes`:  (file_id, axis, n_steps, delta_days, span_days) — one
+    *    row per axis; delta = first-step interval, span = last−first,
+    *    both in days (nullable for single-step axes)
+    *  - `vars`:  (file_id, var_name, dim0) — each variable's leading
+    *    dimension
+    *
+    * Rules, faithful to the reference:
+    *  - only 'atmos' files with ≠1 distinct time-axis lengths are
+    *    multi-frequency (get_frequency:449-454); everything else takes
+    *    [[filenameFrequency]]'s answer for every variable;
+    *  - a multi-step axis matches its first-step delta on the
+    *    [[umfrqLadder]];
+    *  - a single-step axis falls back to the file span; the reference
+    *    reads a loop-leaked `interval_file` (whichever multi-step axis
+    *    iterated last), which is non-deterministic under dict order —
+    *    pinned here to the MAX span across the file's multi-step time
+    *    axes; when that too matches nothing, the reference's literal
+    *    'file' sentinel survives into the variable row;
+    *  - a variable whose leading dim is not a time axis is 'NA'
+    *    (write_varlist:553-556), as is one on a multi-step axis the
+    *    ladder can't match (the reference would KeyError there).
+    *
+    * Scale shape: one small groupBy over the axis table (file
+    * cardinality), broadcast joins back onto the variable list — the
+    * variable table (the 100 TB-side input during a catalog scan)
+    * never shuffles. Output: (file_id, var_name, freq). */
+  def umVarFrequencies(files: DataFrame, axes: DataFrame,
+      vars: DataFrame): DataFrame = {
+    val tax = axes.filter(col("axis").contains("time"))
+    val perFile = tax.groupBy("file_id").agg(
+      (countDistinct(col("n_steps")) > 1).as("__multi"),
+      max(when(col("n_steps") > 1, col("span_days"))).as("__fspan"))
+    val axFreq = tax.join(perFile, Seq("file_id"))
+      .select(col("file_id"), col("axis").as("dim0"),
+        when(col("n_steps") > 1, umfrqLadder(col("delta_days")))
+          .otherwise(coalesce(umfrqLadder(col("__fspan")), lit("file")))
+          .as("__axis_freq"))
+    val fn = files.select(col("file_id"), col("realm"),
+      filenameFrequency(col("realm"), col("fname")).as("__fname_freq"))
+    vars
+      .join(broadcast(fn), Seq("file_id"))
+      .join(broadcast(perFile.select(col("file_id"), col("__multi"))),
+        Seq("file_id"), "left")
+      .join(broadcast(axFreq), Seq("file_id", "dim0"), "left")
+      .select(col("file_id"), col("var_name"),
+        when(col("realm") =!= "atmos" ||
+             !coalesce(col("__multi"), lit(false)), col("__fname_freq"))
+          .when(col("dim0").contains("time") && col("__axis_freq").isNotNull,
+            col("__axis_freq"))
+          .otherwise(lit("NA")).as("freq"))
+  }
+
   /** Varlist dedup (mopdb_utils.py remove_duplicate 695-712): drop
     * repeated variable definitions, keeping the FIRST occurrence under
     * `order`. Strict mode keys on (name, cmor_var, units, realm,

@@ -292,5 +292,49 @@ object CorpusQueries extends QueryGroup {
              least(1.0e0, (total / n) / CAST(cnt AS DOUBLE)) AS sample_rate
       FROM c, t ORDER BY lang, source"""))
 
-  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88, q99, q100, q101)
+  /** DSv2 lifecycle through the LinesDataSource connector: the
+    * documents table round-trips the FILE boundary — written as plain
+    * text lines (`doc_id \t source \t text`) by a distributed
+    * `df.write.text` with arbitrary file splits, read BACK through
+    * `graft.sources.LinesDataSource` (only `line` is selected, so the
+    * connector's column pruning drops path/line_no at the scan —
+    * LinesSourceSpec freezes that), parsed, tokenized with q42's
+    * tokenizer, and aggregated per source. Row identity rides in the
+    * line content, never in the filename or line number, so the result
+    * is invariant to the file layout and the oracle recomputes it
+    * straight from `documents` — the connector composing with planner,
+    * ops, and agg end-to-end, the way the reference's mop_process
+    * composes scans (mopper/mopper.py:175-351). */
+  private val q122 = Q(
+    "q122_lines_source_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("q122_lines").toString
+      docs(s, dir)
+        .select(concat_ws("\t", $"doc_id", $"source", $"text"))
+        .write.mode("overwrite").text(tmp)
+      s.read.format("graft.sources.LinesDataSource").load(tmp)
+        .select($"line") // path/line_no pruned at the connector scan
+        .select(split($"line", "\t", 3).as("f"))
+        .select($"f" (1).as("source"),
+          size(TextOps.tokens($"f" (2))).as("n_tokens"),
+          length($"f" (2)).as("n_chars"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_chars").as("n_chars"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+          length(text) AS n_chars
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM t GROUP BY source ORDER BY source"""))
+
+  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122)
 }

@@ -477,5 +477,114 @@ object PipelineQueries extends QueryGroup {
       LEFT JOIN sd sn ON sn.f = b.new_frq
       ORDER BY case_id"""))
 
-  def queries: Seq[Q] = Seq(q39, q40, q41, q102, q103, q108, q111, q113)
+  /** The math.isclose(rel_tol=0.05) interval ladder of build_umfrq as
+    * a first-match-wins SQL CASE, for the q120 oracle. */
+  private def umLadderSql(c: String): String =
+    Seq("dec" -> "3652.0e0", "yr" -> "365.0e0", "mon" -> "30.0e0",
+      "day" -> "1.0e0", "6hr" -> "0.25e0", "3hr" -> "0.125e0",
+      "1hr" -> "0.041667e0", "10min" -> "0.006944e0")
+      .map { case (k, v) =>
+        s"WHEN abs($c - $v) <= 0.05e0 * greatest(abs($c), $v) THEN '$k'"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+
+  /** Per-variable frequency on multi-time-axis UM files (build_umfrq,
+    * mopdb_utils.py:401-428 ⋈ write_varlist:509-561): an atmosphere
+    * file carrying time axes of different lengths gives each variable
+    * the frequency of its OWN leading time axis — first-step delta on
+    * the isclose ladder, single-step axes falling back to the file
+    * span, non-time-led variables to 'NA' — while single-frequency
+    * files keep q103's filename answer for every variable. Covers all
+    * the rungs: per-axis inheritance, span fallback, the 'file'
+    * sentinel, the NA cases, and the non-atmos passthrough. */
+  private val q120 = Q(
+    "q120_um_var_frequency",
+    (s, dir) => {
+      import s.implicits._
+      val files = Seq(
+        (1, "atmos", "umnsa_pa_2024_3h.nc"),
+        (2, "atmos", "umnsa_pa_2024_6h.nc"),
+        (3, "ocean", "ocean_daily.nc"),
+        (4, "atmos", "umnsa_pa_2024_1hPt.nc"))
+        .toDF("file_id", "realm", "fname")
+      val axes = Seq(
+        (1, "time", 240, Some(0.125), Some(29.875)),
+        (1, "time_0", 720, Some(0.041667), Some(29.958)),
+        (1, "time_1", 1, None: Option[Double], None: Option[Double]),
+        (2, "time", 8, Some(0.25), Some(1.75)),
+        (2, "time_0", 8, Some(0.25), Some(1.75)),
+        (3, "time", 30, Some(1.0), Some(29.0)),
+        (4, "time", 10, Some(100.0), Some(900.0)),
+        (4, "time_3", 1, None: Option[Double], None: Option[Double]))
+        .toDF("file_id", "axis", "n_steps", "delta_days", "span_days")
+      val vars = Seq(
+        (1, "xa", "time"), (1, "xb", "time_0"), (1, "xc", "time_1"),
+        (1, "xd", "lat"),
+        (2, "ya", "time"), (2, "yb", "time_0"),
+        (3, "za", "time"),
+        (4, "wa", "time"), (4, "wb", "time_3"))
+        .toDF("file_id", "var_name", "dim0")
+      graft.catalog.Catalog.umVarFrequencies(files, axes, vars)
+        .orderBy($"file_id", $"var_name")
+    },
+    Some(s"""
+      WITH fl(file_id, realm, fname) AS (VALUES
+        (1, 'atmos', 'umnsa_pa_2024_3h.nc'),
+        (2, 'atmos', 'umnsa_pa_2024_6h.nc'),
+        (3, 'ocean', 'ocean_daily.nc'),
+        (4, 'atmos', 'umnsa_pa_2024_1hPt.nc')),
+      ax(file_id, axis, n_steps, delta_days, span_days) AS (VALUES
+        (1, 'time', 240, 0.125e0, 29.875e0),
+        (1, 'time_0', 720, 0.041667e0, 29.958e0),
+        (1, 'time_1', 1, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+        (2, 'time', 8, 0.25e0, 1.75e0),
+        (2, 'time_0', 8, 0.25e0, 1.75e0),
+        (3, 'time', 30, 1.0e0, 29.0e0),
+        (4, 'time', 10, 100.0e0, 900.0e0),
+        (4, 'time_3', 1, NULL, NULL)),
+      vr(file_id, var_name, dim0) AS (VALUES
+        (1, 'xa', 'time'), (1, 'xb', 'time_0'), (1, 'xc', 'time_1'),
+        (1, 'xd', 'lat'),
+        (2, 'ya', 'time'), (2, 'yb', 'time_0'),
+        (3, 'za', 'time'),
+        (4, 'wa', 'time'), (4, 'wb', 'time_3')),
+      tax AS (SELECT * FROM ax WHERE contains(axis, 'time')),
+      pf AS (
+        SELECT file_id, COUNT(DISTINCT n_steps) > 1 AS multi,
+          MAX(CASE WHEN n_steps > 1 THEN span_days END) AS fspan
+        FROM tax GROUP BY file_id),
+      af AS (
+        SELECT t.file_id, t.axis AS dim0,
+          CASE WHEN t.n_steps > 1 THEN ${umLadderSql("t.delta_days")}
+               ELSE COALESCE(${umLadderSql("pf.fspan")}, 'file')
+          END AS axis_freq
+        FROM tax t JOIN pf USING (file_id)),
+      fn AS (
+        SELECT file_id, realm,
+          CASE WHEN realm = 'atmos' THEN
+                 CASE tok WHEN 'dai' THEN 'day' WHEN '3h' THEN '3hr'
+                      WHEN '6h' THEN '6hr'
+                      ELSE replace(tok, 'hPt', 'hrPt') END
+               WHEN realm = 'ocean' THEN
+                 CASE WHEN contains(fname, 'scalar')
+                        OR contains(fname, 'month') THEN 'mon'
+                      WHEN contains(fname, 'daily') THEN 'day'
+                      ELSE 'NA' END
+               ELSE 'NA' END AS fname_freq
+        FROM (SELECT *,
+                replace(string_split(fname, '_')[-1], '.nc', '') AS tok
+              FROM fl))
+      SELECT v.file_id, v.var_name,
+        CASE WHEN fn.realm <> 'atmos' OR NOT COALESCE(pf.multi, false)
+               THEN fn.fname_freq
+             WHEN contains(v.dim0, 'time') AND af.axis_freq IS NOT NULL
+               THEN af.axis_freq
+             ELSE 'NA' END AS freq
+      FROM vr v
+      JOIN fn USING (file_id)
+      LEFT JOIN pf USING (file_id)
+      LEFT JOIN af ON af.file_id = v.file_id AND af.dim0 = v.dim0
+      ORDER BY v.file_id, v.var_name"""))
+
+  def queries: Seq[Q] =
+    Seq(q39, q40, q41, q102, q103, q108, q111, q113, q120)
 }

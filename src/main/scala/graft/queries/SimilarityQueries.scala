@@ -609,6 +609,236 @@ object SimilarityQueries extends QueryGroup {
       SELECT id1, id2, CAST(adc AS DOUBLE) AS adc, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY id1, rank"""))
 
+  /** Recall@3 audit of the approximate ANN ladder against the exact
+    * brute-force top-3 on the same vectors: q104's int8-IVF, q109's
+    * IVF-PQ and q112's residual IVF-PQ each re-run with their exact
+    * parameters (nprobe=2, mShort=20, k=3), and every query vector
+    * gets |approx ∩ exact| / 3 per method. The plan audits freeze the
+    * index SHAPES; this freezes the approximation QUALITY — a centroid
+    * or codebook regression that still produces well-shaped plans
+    * surfaces here as a recall drop the oracle recomputes. */
+  private val q121 = Q(
+    "q121_ann_recall",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val queries = all.filter($"id" < 10)
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val exact = Similarity.bruteForceTopK(all, queries, k = 3)
+        .select($"id1", $"id2")
+      // q104's path: int8 sweep behind the IVF cell filter
+      val qz = Similarity.quantizeInt8(
+          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+        .filter($"maxabs" > 0).select($"id", $"q8")
+      val allq = all.join(qz, Seq("id"))
+      val a = Similarity.quantizedIvfTopK(allq, cents,
+        allq.filter($"id" < 10), nprobe = 2, m = 20, k = 3)
+      // q109's path: IVF-PQ, cell ids attached at index time
+      val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
+      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
+      val pcodes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
+        .select($"id", $"codes").join(assign, Seq("id"))
+      val b = Similarity.pqIvfTopK(pcodes, all, cb, cents, queries,
+        nprobe = 2, m = 8, dim = 64, mShort = 20, k = 3)
+      // q112's path: residual IVF-PQ (seeds 16..31, disjoint from cents)
+      val resid = Similarity.pqResiduals(all, cents)
+      val seeds = resid.filter($"id" >= 16 && $"id" < 32)
+        .select($"id", $"remb".as("emb"))
+      val rcb = Similarity.pqCodebook(seeds, m = 8, dim = 64)
+      val rcodes = Similarity.pqEncode(
+          resid.select($"id", $"cid", $"remb".as("emb")), rcb, m = 8, dim = 64)
+        .select($"id", $"cid", $"codes")
+      val c = Similarity.pqIvfResidualTopK(rcodes, all, rcb, cents, queries,
+        nprobe = 2, m = 8, dim = 64, mShort = 20, k = 3)
+      def recall(approx: DataFrame, method: String): DataFrame =
+        approx.select($"id1", $"id2")
+          .join(exact.withColumn("__hit", lit(1)), Seq("id1", "id2"), "left")
+          .groupBy($"id1")
+          .agg((sum(coalesce($"__hit", lit(0))).cast("double") / lit(3.0))
+            .as("recall"))
+          .select(lit(method).as("method"), $"id1", $"recall")
+      recall(a, "ivf_int8")
+        .unionAll(recall(b, "ivf_pq"))
+        .unionAll(recall(c, "ivf_pq_residual"))
+        .orderBy($"method", $"id1")
+    },
+    Some(s"""
+      WITH $compSql,
+      e_parts AS (
+        SELECT q.id AS id1, c.id AS id2, q.e * c.e AS p,
+               q.e * q.e AS a2, c.e * c.e AS b2
+        FROM comp q JOIN comp c ON q.i = c.i AND q.id <> c.id
+        WHERE q.id < 10),
+      e_cos AS (SELECT id1, id2, $cosSql AS cosine
+                FROM e_parts GROUP BY id1, id2),
+      exact3 AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY cosine DESC, id2) AS rk
+          FROM e_cos) WHERE rk <= 3),
+      -- shared IVF assignment / probed cells (centroids = ids < 16)
+      cparts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos AS (SELECT id, cid, $cosSql AS ccos,
+                 SUM(CAST(p AS DECIMAL(18,6))) AS cdot
+               FROM cparts GROUP BY id, cid),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS id1, cid, cdot FROM (
+          SELECT id, cid, cdot, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos WHERE id < 10) WHERE rn <= 2),
+      cands AS (
+        SELECT qc.id1, a.id AS id2
+        FROM qcells qc JOIN assign a ON a.cid = qc.cid AND a.id <> qc.id1),
+      -- method a: q104's int8 sweep behind the cell filter
+      a_sc AS (SELECT id, 127.0e0 / MAX(ABS(e)) AS scale
+               FROM comp GROUP BY id HAVING MAX(ABS(e)) > 0),
+      a_codes AS (SELECT c.id, c.i,
+                    CAST(floor(c.e * a_sc.scale + 0.5e0) AS INT) AS code
+                  FROM comp c JOIN a_sc ON c.id = a_sc.id),
+      a_iscore AS (
+        SELECT cd.id1, cd.id2,
+          CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS iscore
+        FROM cands cd
+        JOIN a_codes q ON q.id = cd.id1
+        JOIN a_codes c ON c.id = cd.id2 AND q.i = c.i
+        GROUP BY cd.id1, cd.id2),
+      a_short AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY iscore DESC, id2) AS mrk
+          FROM a_iscore) WHERE mrk <= 20),
+      a_parts AS (
+        SELECT s.id1, s.id2, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM a_short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      a_cos AS (SELECT id1, id2, $cosSql AS cosine
+                FROM a_parts GROUP BY id1, id2),
+      a_top AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY cosine DESC, id2) AS rk
+          FROM a_cos) WHERE rk <= 3),
+      -- method b: q109's IVF-PQ (PQ seeds = ids < 16)
+      b_sd AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS pcid
+        FROM (SELECT DISTINCT id FROM comp WHERE id < 16)),
+      b_cent AS (
+        SELECT b_sd.pcid, c.i // 8 AS s, c.i % 8 AS j, c.e AS ce
+        FROM comp c JOIN b_sd ON c.id = b_sd.id),
+      b_dist AS (
+        SELECT v.id, ct.s, ct.pcid,
+          SUM(CAST((v.e - ct.ce) * (v.e - ct.ce) AS DECIMAL(18,6))) AS d
+        FROM comp v JOIN b_cent ct ON v.i // 8 = ct.s AND v.i % 8 = ct.j
+        GROUP BY v.id, ct.s, ct.pcid),
+      b_codes AS (
+        SELECT id, s, pcid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                      ORDER BY d, pcid) AS rn
+          FROM b_dist) WHERE rn = 1),
+      b_lut AS (
+        SELECT q.id AS id1, ct.s, ct.pcid,
+          SUM(CAST(q.e * ct.ce AS DECIMAL(18,6))) AS dot
+        FROM comp q JOIN b_cent ct ON q.i // 8 = ct.s AND q.i % 8 = ct.j
+        WHERE q.id < 10 GROUP BY q.id, ct.s, ct.pcid),
+      b_adcs AS (
+        SELECT cd.id1, cd.id2, SUM(l.dot) AS adc
+        FROM cands cd
+        JOIN b_codes c ON c.id = cd.id2
+        JOIN b_lut l ON l.id1 = cd.id1 AND l.s = c.s AND l.pcid = c.code
+        GROUP BY cd.id1, cd.id2),
+      b_short AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY adc DESC, id2) AS mrk
+          FROM b_adcs) WHERE mrk <= 20),
+      b_parts AS (
+        SELECT s.id1, s.id2, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM b_short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      b_cos AS (SELECT id1, id2, $cosSql AS cosine
+                FROM b_parts GROUP BY id1, id2),
+      b_top AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY cosine DESC, id2) AS rk
+          FROM b_cos) WHERE rk <= 3),
+      -- method c: q112's residual IVF-PQ (seeds = ids 16..31)
+      rcomp AS (
+        SELECT v.id, a.cid, v.i, v.e - c.e AS e
+        FROM comp v
+        JOIN assign a ON v.id = a.id
+        JOIN comp c ON c.id = a.cid AND c.i = v.i),
+      c_sd AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS pcid
+        FROM (SELECT DISTINCT id FROM comp WHERE id >= 16 AND id < 32)),
+      c_cent AS (
+        SELECT c_sd.pcid, r.i // 8 AS s, r.i % 8 AS j, r.e AS ce
+        FROM rcomp r JOIN c_sd ON r.id = c_sd.id),
+      c_dist AS (
+        SELECT v.id, ct.s, ct.pcid,
+          SUM(CAST((v.e - ct.ce) * (v.e - ct.ce) AS DECIMAL(18,6))) AS d
+        FROM rcomp v JOIN c_cent ct ON v.i // 8 = ct.s AND v.i % 8 = ct.j
+        GROUP BY v.id, ct.s, ct.pcid),
+      c_codes AS (
+        SELECT id, s, pcid AS code FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id, s
+                      ORDER BY d, pcid) AS rn
+          FROM c_dist) WHERE rn = 1),
+      c_lut AS (
+        SELECT q.id AS id1, ct.s, ct.pcid,
+          SUM(CAST(q.e * ct.ce AS DECIMAL(18,6))) AS dot
+        FROM comp q JOIN c_cent ct ON q.i // 8 = ct.s AND q.i % 8 = ct.j
+        WHERE q.id < 10 GROUP BY q.id, ct.s, ct.pcid),
+      c_adcs AS (
+        SELECT qc.id1, a.id AS id2, qc.cdot + SUM(l.dot) AS adc
+        FROM qcells qc
+        JOIN assign a ON a.cid = qc.cid AND a.id <> qc.id1
+        JOIN c_codes c ON c.id = a.id
+        JOIN c_lut l ON l.id1 = qc.id1 AND l.s = c.s AND l.pcid = c.code
+        GROUP BY qc.id1, a.id, qc.cdot),
+      c_short AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY adc DESC, id2) AS mrk
+          FROM c_adcs) WHERE mrk <= 20),
+      c_parts AS (
+        SELECT s.id1, s.id2, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM c_short s
+        JOIN comp a ON a.id = s.id1
+        JOIN comp b ON b.id = s.id2 AND a.i = b.i),
+      c_cos AS (SELECT id1, id2, $cosSql AS cosine
+                FROM c_parts GROUP BY id1, id2),
+      c_top AS (
+        SELECT id1, id2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id1
+                      ORDER BY cosine DESC, id2) AS rk
+          FROM c_cos) WHERE rk <= 3),
+      u AS (
+        SELECT 'ivf_int8' AS method, id1, id2 FROM a_top
+        UNION ALL SELECT 'ivf_pq', id1, id2 FROM b_top
+        UNION ALL SELECT 'ivf_pq_residual', id1, id2 FROM c_top)
+      SELECT u.method, u.id1,
+        CAST(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / 3.0e0 AS recall
+      FROM u LEFT JOIN exact3 e ON e.id1 = u.id1 AND e.id2 = u.id2
+      GROUP BY u.method, u.id1
+      ORDER BY u.method, u.id1"""))
+
   def queries: Seq[Q] =
-    Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112)
+    Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121)
 }

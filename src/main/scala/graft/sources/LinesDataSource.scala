@@ -79,7 +79,13 @@ private[sources] class LinesScan(path: String, required: StructType)
     val files =
       if (dir.isFile) Array(dir)
       else Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).sortBy(_.getName) // deterministic order
+        .filter(_.isFile)
+        // the Hadoop hidden-file convention (same rule as Spark's own
+        // InMemoryFileIndex): skip `_SUCCESS` markers and `.crc`
+        // sidecars, so a directory written by another Spark job reads
+        // back as data only
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .sortBy(_.getName) // deterministic order
     files.map(f => LinesPartition(f.getAbsolutePath): InputPartition)
   }
 

@@ -121,6 +121,22 @@ class PipelineSpec extends SparkSpec {
       iNoMatch < iDerivBanner && iDerivBanner < iDeriv, txt)
   }
 
+  test("umVarFrequencies: equal-length axes defer to the filename for every variable") {
+    val files = Seq((1, "atmos", "umnsa_pa_2024_mon.nc"))
+      .toDF("file_id", "realm", "fname")
+    // two time axes of the SAME length → get_frequency returns no umfrq
+    // and even a non-time-led variable keeps the filename answer
+    val axes = Seq(
+      (1, "time", 12, Some(30.0), Some(330.0)),
+      (1, "time_0", 12, Some(30.0), Some(330.0)))
+      .toDF("file_id", "axis", "n_steps", "delta_days", "span_days")
+    val vars = Seq((1, "a", "time"), (1, "b", "depth"))
+      .toDF("file_id", "var_name", "dim0")
+    val out = Catalog.umVarFrequencies(files, axes, vars)
+      .orderBy($"var_name").select($"freq").as[String].collect().toSeq
+    assert(out == Seq("mon", "mon"))
+  }
+
   test("removeDuplicateVars: strict vs loose keys, keep-first under the order") {
     val vars = Seq(
       // same loose key (name, cmor, units); realms differ
