@@ -21,7 +21,13 @@ object Tables {
     * here: epoch-nanos ≈ 1.7e18 exceeds the 2^53 double mantissa.) */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // a re-written events table (e.g. the bench scale tier) already
+      // carries a real microsecond TIMESTAMP — no nanos detour
+      case _ => df
+    }
   }
 }

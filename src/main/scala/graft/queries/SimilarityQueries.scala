@@ -246,7 +246,11 @@ object SimilarityQueries extends QueryGroup {
       val all = vecs(s, dir).join(qz, Seq("id"))
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
-      Similarity.quantizedIvfTopK(all, cents, all.filter($"id" < 10),
+      // inverted-list layout: the cell id attaches to the int8 codes at
+      // index-build time, search reads the code store alone (as q109/q112)
+      val codes = qz
+        .join(Similarity.ivfAssign(all, cents).select($"id", $"cid"), Seq("id"))
+      Similarity.quantizedIvfTopK(codes, all, cents, all.filter($"id" < 10),
           nprobe = 2, m = 20, k = 3)
         .orderBy($"id1", $"rank")
     },
@@ -632,11 +636,11 @@ object SimilarityQueries extends QueryGroup {
           Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0).select($"id", $"q8")
       val allq = all.join(qz, Seq("id"))
-      val a = Similarity.quantizedIvfTopK(allq, cents,
-        allq.filter($"id" < 10), nprobe = 2, m = 20, k = 3)
+      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
+      val a = Similarity.quantizedIvfTopK(qz.join(assign, Seq("id")), allq,
+        cents, allq.filter($"id" < 10), nprobe = 2, m = 20, k = 3)
       // q109's path: IVF-PQ, cell ids attached at index time
       val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
-      val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
       val pcodes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
         .select($"id", $"codes").join(assign, Seq("id"))
       val b = Similarity.pqIvfTopK(pcodes, all, cb, cents, queries,

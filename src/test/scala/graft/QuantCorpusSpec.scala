@@ -62,6 +62,31 @@ class QuantCorpusSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("quantizedIvfTopK with every cell probed matches the flat quantized search") {
+    val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> CAST(CAST(hash(id * 8 + j) % 1000 AS DOUBLE) / 100.0D AS FLOAT))")
+        .as("embedding"))
+    val v = Similarity.withNorms(base, $"vec_id", $"embedding")
+    val qz = Similarity.quantizeInt8(base, $"vec_id", $"embedding")
+      .filter($"maxabs" > 0).select($"id", $"q8")
+    val all = v.join(qz, Seq("id"))
+    val cents = v.filter($"id" < 4)
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    // inverted-list layout: int8 codes carry their cell id from index time
+    val codes = qz
+      .join(Similarity.ivfAssign(v, cents).select($"id", $"cid"), Seq("id"))
+    // nprobe = n_cells ⇒ the cell filter admits every candidate and the
+    // composed index degenerates to the flat int8 sweep
+    val got = Similarity.quantizedIvfTopK(codes, all, cents,
+        all.filter($"id" < 3), nprobe = 4, m = 30, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.quantizedTopK(all, all.filter($"id" < 3), m = 30, k = 4)
+      .select($"id1", $"id2", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
   test("lineDedupe drops corpus-repeated lines and reassembles in order") {
     val lines = Seq(
       (1L, 0, "shared header"), (1L, 1, "alpha"), (1L, 2, "beta"),
