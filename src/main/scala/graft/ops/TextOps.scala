@@ -539,4 +539,30 @@ object TextOps {
         least(lit(1.0), (col("total") / col("n_buckets")) / col("cnt").cast("double")))
       .drop("total", "n_buckets")
   }
+
+  /** PII patterns for [[redactPii]] — deliberately restricted to
+    * constructs Java regex (Spark) and RE2 (DuckDB, Go tooling)
+    * interpret identically: ASCII classes, bounded repetition, `\b` —
+    * no backreferences, no lookaround, so matching is engine-portable
+    * AND guaranteed linear-time (a malicious document cannot
+    * catastrophically backtrack a scrubbing pass that must read every
+    * byte of a 100 TB corpus). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the scrubbing pass of a training-data pipeline:
+    * emails, NANP-style phone numbers and IPv4 addresses replaced by
+    * typed placeholder tokens (email → phone → IP, so placeholders
+    * never feed later patterns), with per-doc match counts as the
+    * audit trail a compliance review needs. Entirely map-side
+    * (codegen'd regexp exprs) — no shuffle at any scale. Output:
+    * input columns + n_emails, n_phones, n_ips, redacted. */
+  def redactPii(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(text, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(text, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(text, lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(text,
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
 }

@@ -336,5 +336,49 @@ object CorpusQueries extends QueryGroup {
         CAST(SUM(n_chars) AS BIGINT) AS n_chars
       FROM t GROUP BY source ORDER BY source"""))
 
-  def queries: Seq[Q] = Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122)
+  /** PII scrub (ops/TextOps.redactPii): deterministic synthetic PII
+    * (an email, a phone, an IP derived from doc_id) is seeded into
+    * every document IDENTICALLY on both engines, then redacted with
+    * the RE2/Java-common pattern set — per-doc match counts plus the
+    * scrubbed text, all map-side. The corpus text itself carries no
+    * PII-shaped tokens (verified), so the counts pin regex parity and
+    * the redacted text pins replacement parity. */
+  private val q123 = Q(
+    "q123_pii_redaction",
+    (s, dir) => {
+      import s.implicits._
+      val seeded = docs(s, dir).select($"doc_id",
+        concat($"text", lit(" reach user"), $"doc_id",
+          lit("@mail.example.com tel 555-867-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" from 192.168."), ($"doc_id" % 256).cast("string"),
+          lit(".7")).as("text"))
+      TextOps.redactPii(seeded, $"text")
+        .select($"doc_id", $"n_emails", $"n_phones", $"n_ips", $"redacted")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH seeded AS (
+        SELECT doc_id,
+          text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+          '@mail.example.com tel 555-867-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        CAST(len(regexp_extract_all(text,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM seeded ORDER BY doc_id"""))
+
+  def queries: Seq[Q] =
+    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123)
 }

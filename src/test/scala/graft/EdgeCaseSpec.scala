@@ -39,6 +39,19 @@ class EdgeCaseSpec extends SparkSpec {
     }, s"$a vs $b")
   }
 
+  test("Ewma.ema is invariant to the input partitioning (secondary-sort fold)") {
+    import graft.ops.Ewma
+    val base = (1 to 4000).map(i => ((i % 7).toLong, i.toLong, i.toLong, 1.0 / i))
+    def run(parts: Int): Seq[Double] = {
+      val df = base.toDF("k", "t", "tie", "v").repartition(parts)
+      Ewma.ema(df, $"k", $"t", $"tie", $"v", alpha = 0.125)
+        .orderBy($"key", $"t").select($"ema").as[Double].collect().toSeq
+    }
+    val a = run(2).map(java.lang.Double.doubleToLongBits)
+    val b = run(23).map(java.lang.Double.doubleToLongBits)
+    assert(a == b)
+  }
+
   test("round-5 ops reject invalid shapes and survive degenerate input") {
     import graft.ops.{Normalize, RangeJoin, Sampling, Similarity, TextOps}
     // parameter validation fails fast, not mid-job

@@ -203,6 +203,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("q122 reads through the connector with path/line_no pruned at the scan") {
+    val p = planOf("q122_lines_source_pipeline")
+    // the DSv2 scan's own output is the single pruned `line` column —
+    // path strings and line numbers never leave the reader
+    val scanOut = p.linesIterator.dropWhile(l => !l.contains("BatchScan"))
+      .find(_.startsWith("Output")).getOrElse("")
+    assert(scanOut.startsWith("Output [1]:") && scanOut.contains("line#"), p)
+  }
+
   test("q112 residual IVF-PQ: candidate gen is the cid equi-join on the code store") {
     val p = planOf("q112_pq_residual_ivf")
     // K-wide broadcast loops only (corpus assignment, query cell

@@ -146,4 +146,20 @@ class TextOpsSpec extends SparkSpec {
       .orderBy($"node").as[(Long, Long)].collect().toSeq
     assert(oneShot == iterative)
   }
+
+  test("redactPii scrubs every occurrence, counts match, clean text untouched") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d@e.org call 555-123-4567 at 10.0.0.1 or 10.0.0.2"),
+      (2L, "clean text no pii 123-45")).toDF("id", "text")
+    val out = TextOps.redactPii(df, $"text").orderBy($"id")
+      .select($"n_emails", $"n_phones", $"n_ips", $"redacted")
+      .collect()
+    assert((out(0).getInt(0), out(0).getInt(1), out(0).getInt(2)) == ((2, 1, 2)))
+    val r = out(0).getString(3)
+    assert(!r.contains("@") && !r.contains("555") && !r.contains("10.0"), r)
+    assert(r == "mail <EMAIL> and <EMAIL> call <PHONE> at <IP> or <IP>")
+    // partial shapes (123-45) are not phone numbers; nothing rewrites
+    assert(out(1).getString(3) == "clean text no pii 123-45")
+    assert((out(1).getInt(0), out(1).getInt(1), out(1).getInt(2)) == ((0, 0, 0)))
+  }
 }
