@@ -181,6 +181,11 @@ object Bench {
       if (scaleCopies <= 1) ""
       else try {
         buildScaleTier(spark, sfDir, scaleDir, scaleCopies)
+        // same warmup contract as the primary tier: cold columnar reads
+        // of the freshly-written tier files must not land on whichever
+        // heavy query happens to touch a table first
+        Tables.all.foreach(t =>
+          Tables(spark, scaleDir, t).write.format("noop").mode("overwrite").save())
         val heavy = named.filter(q => scaleTierQueries.contains(q._1))
         val sruns = timePasses(spark, scaleDir, heavy, passes)
         s""","scale":{"dir":"$scaleDir","copies":$scaleCopies,""" +

@@ -19,6 +19,20 @@ import java.nio.file.{Files, Paths}
   */
 object Sink {
 
+  /** Full JSON string escape — control characters included, so a
+    * newline/tab inside any attribute value (cell_methods, comment)
+    * can't produce an invalid document (json.dump parity). Shared by
+    * every JSON-emitting writer here. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   final case class DrsKey(
       activity: String, institution: String, source: String, experiment: String,
       member: String, table: String, variable: String, grid: String, version: String)
@@ -73,7 +87,7 @@ object Sink {
       .map(p => attrs0 + ("positive" -> p)).getOrElse(attrs0)
     val json = (Map("variable" -> k.variable, "table" -> k.table) ++ attrs)
       .toSeq.sortBy(_._1)
-      .map { case (key, v) => s""""$key": "${v.replace("\"", "\\\"")}"""" }
+      .map { case (key, v) => s""""${jsonEscape(key)}": "${jsonEscape(v)}"""" }
       .mkString("{", ", ", "}")
     // underscore prefix hides it from scans, but NOT "_metadata"/"_common_
     // metadata" — those names are parquet summary files Spark tries to
@@ -170,18 +184,7 @@ object Sink {
     }
     val realm = mode("modeling_realm")
     val freq = mode("frequency")
-    // full JSON string escape — control characters included, so a
-    // newline/tab inside cell_methods or a comment can't produce an
-    // invalid document (json.dump parity)
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
+    def jstr(s: String): String = "\"" + jsonEscape(s) + "\""
     def jobj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
         .mkString("{", ", ", "}")

@@ -540,6 +540,30 @@ object TextOps {
       .drop("total", "n_buckets")
   }
 
+  /** Exponent-smoothed corpus mixing (the multilingual
+    * temperature-sampling recipe: sample probability ∝ share^α, the
+    * α = 0.5 point of the usual 0.3–0.7 range): flattens the mix
+    * toward rare sources without inverting the order. α is FIXED at
+    * 0.5 because share^0.5 = sqrt(share), and IEEE sqrt is correctly
+    * rounded in every engine — a general pow(x, α) carries
+    * platform-dependent low bits and would break the cross-engine
+    * hash contract. The smoothed weights are normalized through the
+    * decimal-exact sum (Exact.dsum's rounding contract), so the
+    * probabilities are bit-identical everywhere. Same shape as
+    * [[mixWeights]]: one counts shuffle, a broadcast totals join.
+    * Output: keys + cnt, share, w (= sqrt share), prob. */
+  def smoothedMixWeights(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("cnt").cast("double") / col("total"))
+      .withColumn("w", sqrt(col("share")))
+    val z = w.agg(Exact.dsum(col("w")).as("z"))
+    w.crossJoin(broadcast(z))
+      .withColumn("prob", col("w") / col("z"))
+      .drop("total", "z")
+  }
+
   /** PII patterns for [[redactPii]] — deliberately restricted to
     * constructs Java regex (Spark) and RE2 (DuckDB, Go tooling)
     * interpret identically: ASCII classes, bounded repetition, `\b` —

@@ -379,6 +379,32 @@ object CorpusQueries extends QueryGroup {
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
       FROM seeded ORDER BY doc_id"""))
 
+  /** Temperature-smoothed corpus mix (TextOps.smoothedMixWeights):
+    * per-source sampling probabilities ∝ share^0.5 — the multilingual
+    * exponent-smoothing recipe at α = 0.5, where the exponent is an
+    * IEEE-exact sqrt and the normalizer a decimal-exact sum, so the
+    * probabilities hash-match the oracle bit-for-bit. */
+  private val q124 = Q(
+    "q124_smoothed_mix",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.smoothedMixWeights(docs(s, dir), Seq($"source"))
+        .select($"source", $"cnt", $"share", $"w", $"prob")
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      w AS (
+        SELECT source, CAST(cnt AS BIGINT) AS cnt,
+          CAST(cnt AS DOUBLE) / t.total AS share,
+          sqrt(CAST(cnt AS DOUBLE) / t.total) AS w
+        FROM c, t),
+      z AS (SELECT ${graft.ops.Exact.sqlSum("w")} AS z FROM w)
+      SELECT source, cnt, share, w.w AS w, w.w / z.z AS prob
+      FROM w, z ORDER BY source"""))
+
   def queries: Seq[Q] =
-    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123)
+    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124)
 }

@@ -170,6 +170,19 @@ class PipelineSpec extends SparkSpec {
     assert(txt.contains("\"units\": \"degC\""), txt)
   }
 
+  test("writeDrs sidecar escapes control characters in attribute values") {
+    val df = Seq((1L, 2.0)).toDF("t", "value")
+    val dir = Files.createTempDirectory("drs").toString
+    val out = Sink.writeDrs(df, dir,
+      Sink.DrsKey("CMIP6", "ACME", "SPARK1", "histor", "r1i1p1f1",
+        "Amon", "tas", "gn", "v1"),
+      Map("comment" -> "line one\nline two\ttabbed"))
+    val sidecar = Files.readString(
+      java.nio.file.Paths.get(s"$out/_attrs.json"))
+    assert(!sidecar.contains('\n') && !sidecar.contains('\t'), sidecar)
+    assert(sidecar.contains("line one\\nline two\\ttabbed"), sidecar)
+  }
+
   test("writeCmorTable escapes control characters (valid JSON, json.dump parity)") {
     val vars = Seq(("tas", "mon", "atmos", "K", "line one\nline two\ttabbed"))
       .toDF("cmor_var", "frequency", "modeling_realm", "units", "comment")

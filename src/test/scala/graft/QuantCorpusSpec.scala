@@ -232,6 +232,20 @@ class QuantCorpusSpec extends SparkSpec {
       (2L, 2L, false), (3L, 0L, true), (4L, 2L, true)))
   }
 
+  test("smoothedMixWeights boosts rare sources (α=0.5) and probs sum to 1") {
+    val df = (Seq.fill(9)("big") ++ Seq.fill(1)("small")).toDF("b")
+    val out = TextOps.smoothedMixWeights(df, Seq($"b"))
+      .orderBy($"b").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(4)))
+    // shares 0.9/0.1 → sqrt-smoothed probs 0.75/0.25: the rare source
+    // samples at 2.5× its raw share, order preserved
+    assert(out.map(_._1).toSeq == Seq("big", "small"))
+    assert(math.abs(out(0)._3 - 0.75) < 1e-5 && math.abs(out(1)._3 - 0.25) < 1e-5)
+    assert(out(1)._3 > out(1)._2 && out(0)._3 < out(0)._2)
+    // z is the decimal-rounded sum (scale 6), so Σprob ≈ 1 at that scale
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-5)
+  }
+
   test("mixWeights: uniform buckets rate 1.0, oversized bucket downsampled") {
     val df = (Seq.fill(6)("big") ++ Seq.fill(2)("small")).toDF("b")
     val out = TextOps.mixWeights(df, Seq($"b"))
