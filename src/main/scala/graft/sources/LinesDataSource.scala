@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * that needs only `line` deserializes only `line` (the reader
   * materializes just the pruned fields; `path` strings and line
   * numbers are never allocated when unused — visible as the narrowed
-  * ReadSchema in explain).
+  * ReadSchema in explain). Predicates on `path`
+  * (equality/prefix/suffix/contains) push down to the FILE LISTING —
+  * pruned files are never scheduled, the file-source analog of
+  * partition pruning (LinesSourceSpec pins the partition count).
   *
   * Usage: `spark.read.format("graft.sources.LinesDataSource")
   * .load(dir)` — reads every regular file under `dir` (one level). */
@@ -62,17 +66,56 @@ private[sources] class LinesTable(path: String) extends Table with SupportsRead 
 }
 
 private[sources] class LinesScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = LinesDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new LinesScan(path, required)
+
+  /** File pruning at PLANNING time — the file-source analog of
+    * partition pruning: `path` is constant per input partition, so a
+    * predicate on it decides whole files before any is opened. Only
+    * path predicates a file listing can answer exactly are accepted
+    * (equality, prefix/suffix/contains); everything else stays a
+    * residual for Spark. At 100 TB this is the difference between
+    * "open every file and filter rows" and "never schedule the task". */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("path", _: String)     => true
+      case StringStartsWith("path", _)    => true
+      case StringEndsWith("path", _)      => true
+      case StringContains("path", _)      => true
+      case _                              => false
+    }
+    pushed = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LinesScan(path, required, pushed)
 }
 
-private[sources] class LinesScan(path: String, required: StructType)
-    extends Scan with Batch {
+private[sources] class LinesScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Surfaces the pushed path predicates and pruned schema in
+    * explain() — the audit trail for "did the filter reach the
+    * listing", same convention as the parquet scan's detail. */
+  override def description(): String =
+    s"lines($path) PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  private def keep(abs: String): Boolean = pushed.forall {
+    case EqualTo("path", v: String)      => abs == v
+    case StringStartsWith("path", v)     => abs.startsWith(v)
+    case StringEndsWith("path", v)       => abs.endsWith(v)
+    case StringContains("path", v)       => abs.contains(v)
+    case _                               => true
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -85,6 +128,7 @@ private[sources] class LinesScan(path: String, required: StructType)
         // sidecars, so a directory written by another Spark job reads
         // back as data only
         .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .filter(f => keep(f.getAbsolutePath)) // pushed-path file pruning
         .sortBy(_.getName) // deterministic order
     files.map(f => LinesPartition(f.getAbsolutePath): InputPartition)
   }
