@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import java.util.OptionalLong
+
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -98,7 +100,8 @@ private[sources] class LinesScanBuilder(path: String)
 }
 
 private[sources] class LinesScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -117,20 +120,36 @@ private[sources] class LinesScan(path: String, required: StructType,
     case _                               => true
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The files that survive hidden-file skipping and pushed-path
+    * pruning — shared by partition planning and statistics so both
+    * describe the same scan. */
+  private lazy val plannedFiles: Array[java.io.File] = {
     val dir = new java.io.File(path)
-    val files =
-      if (dir.isFile) Array(dir)
-      else Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile)
-        // the Hadoop hidden-file convention (same rule as Spark's own
-        // InMemoryFileIndex): skip `_SUCCESS` markers and `.crc`
-        // sidecars, so a directory written by another Spark job reads
-        // back as data only
-        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
-        .filter(f => keep(f.getAbsolutePath)) // pushed-path file pruning
-        .sortBy(_.getName) // deterministic order
-    files.map(f => LinesPartition(f.getAbsolutePath): InputPartition)
+    if (dir.isFile) Array(dir)
+    else Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+      // the Hadoop hidden-file convention (same rule as Spark's own
+      // InMemoryFileIndex): skip `_SUCCESS` markers and `.crc`
+      // sidecars, so a directory written by another Spark job reads
+      // back as data only
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+      .filter(f => keep(f.getAbsolutePath)) // pushed-path file pruning
+      .sortBy(_.getName) // deterministic order
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedFiles.map(f => LinesPartition(f.getAbsolutePath): InputPartition)
+
+  /** Post-pruning byte size from the listing (no file is opened).
+    * Without this a DSv2 source reports `defaultSizeInBytes` (huge),
+    * so a 2 KB config-file table could never auto-broadcast — with it
+    * the planner treats a small lines table like any small dimension:
+    * broadcast side of the join, no shuffle. Row count is left empty;
+    * line counting would require reading the data at planning time. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = plannedFiles.map(_.length()).sum
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
