@@ -564,6 +564,18 @@ object TextOps {
       .drop("total", "z")
   }
 
+  /** URL structure for crawl policies: scheme-authority host extraction
+    * and a registered-domain-ish key (host minus one leading `www.`).
+    * Pure regexp projections (RE2/Java-common constructs, map-only);
+    * the crawl-frequency policies compose them with the deterministic
+    * reservoir ([[Sampling.hashTopKPerStratum]], q125). */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Host minus one leading `www.` — the per-site cap key. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(urlHost(url), "^www\\.", "")
+
   /** PII patterns for [[redactPii]] — deliberately restricted to
     * constructs Java regex (Spark) and RE2 (DuckDB, Go tooling)
     * interpret identically: ASCII classes, bounded repetition, `\b` —

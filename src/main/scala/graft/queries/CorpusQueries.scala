@@ -405,6 +405,47 @@ object CorpusQueries extends QueryGroup {
       SELECT source, cnt, share, w.w AS w, w.w / z.z AS prob
       FROM w, z ORDER BY source"""))
 
+  /** Per-domain crawl cap (TextOps.urlDomain ∘
+    * Sampling.hashTopKPerStratum): deterministic URLs seeded from
+    * doc_id land in 7 domains, the host comes out of the URL by
+    * regexp, `www.` strips to the cap key, and each domain keeps its
+    * 10 hash-first documents — the crawl-frequency policy every
+    * web-corpus build applies so no site dominates the mix. One
+    * shuffle on the domain key with the rank limit pushed map-side
+    * (WindowGroupLimit, as q70). */
+  private val q125 = Q(
+    "q125_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      val seeded = docs(s, dir).select($"doc_id",
+        concat(lit("https://www.site"), ($"doc_id" % 7).cast("string"),
+          lit(".example.com/page/"), $"doc_id").as("url"))
+      val withDomain = seeded.withColumn("domain", TextOps.urlDomain($"url"))
+      graft.ops.Sampling.hashTopKPerStratum(
+          withDomain, $"domain", $"url", $"doc_id", k = 10)
+        .select($"doc_id", $"domain", $"rank")
+        .orderBy($"domain", $"rank")
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+          '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      d AS (
+        SELECT doc_id, url,
+          regexp_replace(
+            regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+            '^www[.]', '') AS domain
+        FROM seeded),
+      ranked AS (
+        SELECT doc_id, domain,
+          CAST(ROW_NUMBER() OVER (PARTITION BY domain
+            ORDER BY ${TextOps.h64Sql("url")}, doc_id) AS INT) AS rank
+        FROM d)
+      SELECT doc_id, domain, rank FROM ranked
+      WHERE rank <= 10 ORDER BY domain, rank"""))
+
   def queries: Seq[Q] =
-    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124)
+    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125)
 }

@@ -147,6 +147,22 @@ class TextOpsSpec extends SparkSpec {
     assert(oneShot == iterative)
   }
 
+  test("urlHost/urlDomain extract the authority and strip one leading www") {
+    val df = Seq(
+      "https://www.example.co.uk/path?q=1",
+      "http://sub.www.site.org/x",
+      "ftp://files.example.com",
+      "not a url").toDF("url")
+    val out = df.select(TextOps.urlHost($"url").as("h"),
+        TextOps.urlDomain($"url").as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) == (("www.example.co.uk", "example.co.uk")))
+    // only a LEADING www. strips — an interior label is part of the key
+    assert(out(1) == (("sub.www.site.org", "sub.www.site.org")))
+    assert(out(2) == (("files.example.com", "files.example.com")))
+    assert(out(3) == (("", ""))) // no scheme → no host, empty not null
+  }
+
   test("redactPii scrubs every occurrence, counts match, clean text untouched") {
     val df = Seq(
       (1L, "mail a@b.co and c.d@e.org call 555-123-4567 at 10.0.0.1 or 10.0.0.2"),
