@@ -120,7 +120,7 @@ object Sketch {
     val counters = cms.select(col("j").as("__cms_j"),
       col("c").as("__cms_c"), col("cnt").as("__cms_cnt"))
     p.join(broadcast(counters), Seq("__cms_j", "__cms_c"), "left")
-      .groupBy((col("__cms_rid") +: probes.columns.map(col)): _*)
+      .groupBy((col("__cms_rid") +: probes.columns.toIndexedSeq.map(col)): _*)
       .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("est"))
       .drop("__cms_rid")
   }

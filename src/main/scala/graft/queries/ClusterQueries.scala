@@ -204,5 +204,75 @@ object ClusterQueries extends QueryGroup {
       SELECT qid, nid, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77)
+  /** Quality-priority dedup (the policy refinement over q62's
+    * keep-lowest-id): within each near-dup cluster keep the LONGEST
+    * document (n_chars desc, doc_id tiebreak) — the "keep the best
+    * version" rule real corpus builds use instead of keep-first.
+    * Cluster labels come from the same one-shuffle block-local
+    * union-find as q62; the keeper is one keyed top-1 window, and the
+    * verdict joins back on the cluster id. */
+  private val q126 = Q(
+    "q126_quality_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val tr = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
+          .as("block"),
+        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val edges = TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.9)
+        .select($"d1", $"d2")
+      val nodes = docs.select($"doc_id".as("node"))
+      val docBlocks = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"), ($"n_chars" / 100).cast("int").cast("string"))
+          .as("block"))
+      val clustered = TextOps.blockLocalComponents(edges, docBlocks, nodes)
+        .select($"node".as("doc_id"), $"cluster")
+      val sized = clustered
+        .join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      val keeper = graft.ops.Relational.topOnePerGroup(sized,
+          Seq($"cluster"), Seq($"n_chars".desc, $"doc_id".asc))
+        .select($"cluster", $"doc_id".as("keep_id"))
+      sized.join(keeper, Seq("cluster"))
+        .select($"doc_id", $"cluster", ($"doc_id" === $"keep_id").as("kept"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      e AS (
+        SELECT d1, d2
+        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      sym AS (SELECT d1 AS s, d2 AS t FROM e
+              UNION SELECT d2, d1 FROM e),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.s, r.label FROM reach r JOIN sym s ON r.node = s.t),
+      cl AS (SELECT node AS doc_id, MIN(label) AS cluster
+             FROM reach GROUP BY node),
+      sized AS (
+        SELECT cl.doc_id, cl.cluster, d.n_chars
+        FROM cl JOIN documents d USING (doc_id)),
+      keep AS (
+        SELECT cluster, doc_id AS keep_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+            ORDER BY n_chars DESC, doc_id) AS rn
+          FROM sized) WHERE rn = 1)
+      SELECT s.doc_id, s.cluster, (s.doc_id = k.keep_id) AS kept
+      FROM sized s JOIN keep k ON s.cluster = k.cluster
+      ORDER BY s.doc_id"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126)
 }

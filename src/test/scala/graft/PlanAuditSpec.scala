@@ -234,6 +234,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("q123 PII scrub is map-only: one exchange, for the presentation sort") {
+    val p = planOf("q123_pii_redaction")
+    // counts and redaction are per-row regexp expressions; the only
+    // shuffle a scrubbing pass may have is the final orderBy
+    assert(nodeCount(p, "Exchange") == 1, p)
+  }
+
+  test("q124 smoothed mix rides broadcast totals, no global window") {
+    val p = planOf("q124_smoothed_mix")
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q125 domain cap pushes the rank limit into the shuffle (WindowGroupLimit)") {
+    val p = planOf("q125_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q115 count-min probes ride a broadcast of the bounded counter table") {
     val p = planOf("q115_count_min")
     assert(p.contains("BroadcastHashJoin"), p)
