@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def bucketOf(c: Column, w: Long): Column = {
+  private[graft] def bucketOf(c: Column, w: Long): Column = {
     // exact long floor division: `div` truncates toward zero, so shift
     // negative non-multiples down one bucket — no double detour, so the
     // bucket id is exact over the whole Long range (a double division

@@ -231,6 +231,25 @@ class OpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("RangeJoin.bucketOf equals BigInt floor division across the Long range") {
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(42)
+    val edge = Seq(Long.MaxValue, Long.MinValue + 8, 0L, -1L, 1L,
+      (1L << 53) + 1, -(1L << 53) - 1, (1L << 62) + 7, -(1L << 62) - 7)
+    val vals = edge ++ Seq.fill(500)(rnd.nextLong())
+    for (w <- Seq(1L, 7L, 16L, 86400L)) {
+      val got = vals.toDF("v")
+        .select(RangeJoin.bucketOf($"v", w)).as[Long].collect().toSeq
+      // floor(v / w) in unbounded integers: drop v to the largest
+      // multiple of w at or below it, then divide exactly
+      val want = vals.map { v =>
+        val b = BigInt(v)
+        ((b - (((b % w) + w) % w)) / w).toLong
+      }
+      assert(got == want, s"w=$w")
+    }
+  }
+
   test("RangeJoin.intervalOverlap emits each overlapping pair exactly once") {
     import graft.ops.RangeJoin
     // a and b overlap across MANY shared buckets (w = 2) — the

@@ -253,6 +253,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q126 quality dedup: keeper window keyed on cluster, no cartesian") {
+    val p = planOf("q126_quality_dedup")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the rank-1 keeper filter pushes into the shuffle as a map-side
+    // partial limit — the window is keyed, never a global sort
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q115 count-min probes ride a broadcast of the bounded counter table") {
     val p = planOf("q115_count_min")
     assert(p.contains("BroadcastHashJoin"), p)
