@@ -29,9 +29,14 @@ object TextOps {
 
   /** Deterministic 60-bit hash of a string, identical across engines:
     * the top 15 hex digits of md5, read as an integer. (Murmur/xxhash
-    * built-ins differ between engines; md5 is specified everywhere.) */
+    * built-ins differ between engines; md5 is specified everywhere.)
+    * Computed by the native [[graft.plans.Md5Prefix60]] expression —
+    * bit-identical to `conv(substring(md5(x), 1, 15), 16, 10)`
+    * (OpsSpec pins the equivalence) without the per-row hex-string
+    * allocation and conv re-parse of the built-in chain. */
   def h64(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.Md5Prefix60(
+      org.apache.spark.sql.GraftSqlBridge.expression(c.cast("binary")), 0))
 
   /** The oracle twin of [[h64]] (DuckDB syntax). */
   def h64Sql(expr: String): String =
@@ -54,7 +59,8 @@ object TextOps {
   /** Second independent 60-bit hash from the same md5 digest (hex chars
     * 16..30) — one digest feeds the whole Kirsch-Mitzenmacher family. */
   def h64b(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 16, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.Md5Prefix60(
+      org.apache.spark.sql.GraftSqlBridge.expression(c.cast("binary")), 15))
 
   /** The oracle twin of [[h64b]] (DuckDB syntax). */
   def h64bSql(expr: String): String =

@@ -160,6 +160,20 @@ class OpsSpec extends SparkSpec {
     assert(h == 648541476951500027L) // 0x900150983cd24f: first 15 hex of md5("abc")
   }
 
+  test("native Md5Prefix60 is bit-identical to the portable conv(substr(md5)) chain") {
+    val rnd = new scala.util.Random(7)
+    val strs = Seq("", "a", "abc", "é中😀") ++
+      Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(50)).mkString)
+    val df = strs.toDF("s")
+    val got = df.select(TextOps.h64($"s"), TextOps.h64b($"s"))
+      .as[(Long, Long)].collect().toSeq
+    val want = df.select(
+        expr("CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 15), 16, 10) AS BIGINT)"),
+        expr("CAST(conv(substring(md5(CAST(s AS BINARY)), 16, 15), 16, 10) AS BIGINT)"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("Ewma.ema folds in (t, tie) order, seeded with the first value") {
     import graft.ops.Ewma
     val df = Seq(
