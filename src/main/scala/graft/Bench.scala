@@ -85,7 +85,10 @@ object Bench {
   private val scaleTierQueries = Seq(
     "q106_pq_ann", "q110_dup_spans", "q109_pq_ivf", "q112_pq_residual_ivf",
     "q114_range_join", "q107_semantic_dedup", "q81_contamination",
-    "q47_minhash_lsh", "q62_dedup_clusters", "q84_regrid_coarsen")
+    "q47_minhash_lsh", "q62_dedup_clusters", "q84_regrid_coarsen",
+    // r6 verdict: the int8-IVF trade (codes-only reads) and the recall
+    // audit must show their scaling, not just their sf0.1 medians
+    "q104_quantized_ivf", "q121_ann_recall")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -188,7 +191,7 @@ object Bench {
           Tables(spark, scaleDir, t).write.format("noop").mode("overwrite").save())
         val heavy = named.filter(q => scaleTierQueries.contains(q._1))
         val sruns = timePasses(spark, scaleDir, heavy, passes)
-        s""","scale":{"dir":"$scaleDir","copies":$scaleCopies,""" +
+        s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
           s""""spread":${spreadJson(heavy, sruns)},""" +
           s""""runs":${runsJson(heavy, sruns)}}"""
       } catch { case e: Throwable =>

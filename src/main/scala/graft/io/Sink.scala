@@ -21,9 +21,12 @@ object Sink {
 
   /** Full JSON string escape — control characters included, so a
     * newline/tab inside any attribute value (cell_methods, comment)
-    * can't produce an invalid document (json.dump parity). Shared by
-    * every JSON-emitting writer here. */
-  private def jsonEscape(s: String): String = s.flatMap {
+    * can't produce an invalid document. Valid-JSON (parse-equivalent)
+    * parity with Python's json.dump: non-ASCII stays raw UTF-8 here
+    * while json.dump's ensure_ascii default would \\uXXXX-escape it,
+    * so documents are equivalent, not byte-identical. Shared by every
+    * JSON-emitting writer here (and Bench's sidecar). */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
     case '"'          => "\\\""
     case '\\'         => "\\\\"
     case '\n'         => "\\n"

@@ -359,17 +359,35 @@ object Similarity {
     *
     * Scale shape: pair generation is an equi-join on the cell id, so
     * the work is O(Σ|cell|²) not O(n²), and K (the cell count) is the
-    * knob that bounds cell size; the drop set is a distinct + left
-    * join, all keyed on the vector id. The assignment sub-plan is
-    * deliberately NOT cached: its three consumers each re-run the
-    * map-only K-wide sweep (no shuffle, embarrassingly parallel)
-    * rather than pinning a corpus-sized frame in executor memory.
+    * knob that bounds MEAN cell size — but cell size follows the data,
+    * and one hot cell (a dense topic cluster at 100 TB) is a straggler
+    * task with quadratic fan-out. `maxCell` caps that: a cell wider
+    * than maxCell is sub-blocked on a secondary deterministic hash of
+    * the vector id into ceil(|cell|/maxCell) sub-blocks, so pair
+    * generation is O(Σ |cell|·min(|cell|, ~maxCell)) — the same
+    * hot-bucket bound as the LSH band cap (TextOps.capHotBands).
+    * Pairs across sub-blocks of a capped cell are not compared (a
+    * documented recall trade, exactly like LSH banding itself); cells
+    * within the cap — every cell at oracle scale — are unaffected, so
+    * results below the cap are identical to the uncapped plan.
+    *
+    * The assignment sub-plan is deliberately NOT cached: its consumers
+    * each re-run the map-only K-wide sweep (no shuffle, embarrassingly
+    * parallel) rather than pinning a corpus-sized frame in executor
+    * memory; the per-cell width table is K rows and broadcast.
     * Output: (id, cid, dropped). */
-  def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
+      maxCell: Int = 256): DataFrame = {
     val assign = ivfAssign(vecs, centroids).select(col("id"), col("cid"))
-    val pairs = blockedCosinePairs(vecs,
-        assign.select(col("id"), col("cid").as("block")),
-        prefilterAbove = Some(tau))
+    val widths = assign.groupBy(col("cid"))
+      .agg(ceil(count(lit(1)) / lit(maxCell.toDouble)).cast("int").as("__nsub"))
+    val blocks = assign.join(broadcast(widths), Seq("cid"))
+      .select(col("id"), struct(
+        col("cid"),
+        when(col("__nsub") <= 1, lit(0)).otherwise(
+          pmod(TextOps.h64(col("id").cast("string")), col("__nsub")).cast("int"))
+          .as("sub")).as("block"))
+    val pairs = blockedCosinePairs(vecs, blocks, prefilterAbove = Some(tau))
       .filter(col("cosine") >= tau)
     val dropped = pairs.select(col("id2").as("id")).distinct()
       .withColumn("__drop", lit(true))
@@ -532,8 +550,16 @@ object Similarity {
     * across engines. Output: (id, cid, remb: Array[Double]); the
     * assignment is [[ivfAssign]]'s provably exact top-1 and the
     * centroid join a broadcast. */
-  def pqResiduals(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val assign = ivfAssign(vecs, centroids).select(col("id"), col("cid"))
+  def pqResiduals(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    pqResiduals(vecs, centroids,
+      ivfAssign(vecs, centroids).select(col("id"), col("cid")))
+
+  /** [[pqResiduals]] with a precomputed (id, cid) assignment — callers
+    * that already materialized the IVF assignment (an index-build
+    * artifact shared across PQ variants) pass it here instead of paying
+    * the centroid sweep again. */
+  def pqResiduals(vecs: DataFrame, centroids: DataFrame,
+      assign: DataFrame): DataFrame = {
     vecs.join(assign, Seq("id"))
       .join(broadcast(centroids.select(col("cid"), col("cemb"))), Seq("cid"))
       .select(col("id"), col("cid"), expr(

@@ -243,14 +243,25 @@ object SimilarityQueries extends QueryGroup {
           Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0)
         .select($"id", $"q8")
-      val all = vecs(s, dir).join(qz, Seq("id"))
-      val cents = all.filter($"id" < 16)
+      // the float store stays (id, emb, norm2) — the q8 codes must NOT
+      // ride the assignment sweep or the re-rank (r6 regression: joining
+      // qz into the floats doubled ivfAssign's cost for nothing)
+      val flo = vecs(s, dir)
+      val cents = flo.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
       // inverted-list layout: the cell id attaches to the int8 codes at
-      // index-build time, search reads the code store alone (as q109/q112)
+      // index-BUILD time and the store is materialized once (an eager
+      // localCheckpoint = the index-build step; at 100 TB this is the
+      // written parquet artifact) — search reads the code store alone,
+      // never re-deriving the assignment per query batch (as q109/q112).
+      // localCheckpoint, NOT persist: persist registers in the session
+      // cache manager and its InMemoryRelation would silently splice
+      // into every OTHER query whose plan contains the same sub-tree
       val codes = qz
-        .join(Similarity.ivfAssign(all, cents).select($"id", $"cid"), Seq("id"))
-      Similarity.quantizedIvfTopK(codes, all, cents, all.filter($"id" < 10),
+        .join(Similarity.ivfAssign(flo, cents).select($"id", $"cid"), Seq("id"))
+        .localCheckpoint()
+      val queries = flo.join(qz, Seq("id")).filter($"id" < 10)
+      Similarity.quantizedIvfTopK(codes, flo, cents, queries,
           nprobe = 2, m = 20, k = 3)
         .orderBy($"id1", $"rank")
     },
@@ -629,16 +640,24 @@ object SimilarityQueries extends QueryGroup {
       val queries = all.filter($"id" < 10)
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      // the exact top-3 and the IVF assignment are each consumed by all
+      // three ladders — materialize both once (eager localCheckpoint;
+      // tiny frames: q·3 pair rows and n (id, cid) rows) so the
+      // brute-force sweep and the centroid assignment run once per
+      // audit instead of once per ladder. localCheckpoint, NOT persist:
+      // a persisted sub-plan would splice into other queries' plans via
+      // the session cache manager
       val exact = Similarity.bruteForceTopK(all, queries, k = 3)
-        .select($"id1", $"id2")
+        .select($"id1", $"id2").localCheckpoint()
       // q104's path: int8 sweep behind the IVF cell filter
       val qz = Similarity.quantizeInt8(
           Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0).select($"id", $"q8")
-      val allq = all.join(qz, Seq("id"))
       val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
-      val a = Similarity.quantizedIvfTopK(qz.join(assign, Seq("id")), allq,
-        cents, allq.filter($"id" < 10), nprobe = 2, m = 20, k = 3)
+        .localCheckpoint()
+      val a = Similarity.quantizedIvfTopK(qz.join(assign, Seq("id")), all,
+        cents, all.join(qz, Seq("id")).filter($"id" < 10),
+        nprobe = 2, m = 20, k = 3)
       // q109's path: IVF-PQ, cell ids attached at index time
       val cb = Similarity.pqCodebook(all.filter($"id" < 16), m = 8, dim = 64)
       val pcodes = Similarity.pqEncode(all, cb, m = 8, dim = 64)
@@ -646,7 +665,7 @@ object SimilarityQueries extends QueryGroup {
       val b = Similarity.pqIvfTopK(pcodes, all, cb, cents, queries,
         nprobe = 2, m = 8, dim = 64, mShort = 20, k = 3)
       // q112's path: residual IVF-PQ (seeds 16..31, disjoint from cents)
-      val resid = Similarity.pqResiduals(all, cents)
+      val resid = Similarity.pqResiduals(all, cents, assign)
       val seeds = resid.filter($"id" >= 16 && $"id" < 32)
         .select($"id", $"remb".as("emb"))
       val rcb = Similarity.pqCodebook(seeds, m = 8, dim = 64)

@@ -128,13 +128,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
-  test("q104 int8 sweep reads codes only behind the IVF cell filter") {
+  test("q104 int8 sweep reads the materialized code store behind the IVF cell filter") {
     val p = planOf("q104_quantized_ivf")
-    // the only nested-loop joins are the two K-wide centroid sweeps
-    // (corpus assignment and query cell-ranking); the corpus code store
-    // is consumed exclusively through equi joins below the shortlist
-    // rank — a third nested loop would mean the sweep went q × n flat
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 2, p)
+    // the (id, cid, q8) inverted-list store is an index-BUILD artifact:
+    // it is materialized once (localCheckpoint — at 100 TB the written
+    // parquet store) and surfaces in the search plan as an RDD scan,
+    // so the corpus assignment sweep never re-runs per query batch.
+    // The single remaining nested loop is the query-side K-wide cell
+    // ranking; the code store is consumed exclusively through equi
+    // joins below the shortlist rank — a second nested loop would mean
+    // the sweep went q × n flat
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 1, p)
     assert(nodeCount(p, "CartesianProduct") == 0, p)
     assert(p.contains("WindowGroupLimit"), p)
   }
@@ -223,14 +228,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q107 semantic dedup pairs only within cells (equi joins, centroid sweeps only)") {
+  test("q107 semantic dedup pairs only within capped cells (equi joins, centroid sweeps only)") {
     val p = planOf("q107_semantic_dedup")
     // the only nested loops are the K-wide centroid assignment sweep,
-    // re-executed once per consumer of the assignment (both pair sides
-    // and the verdict join — map-only recompute, chosen over caching a
-    // corpus-sized frame); pair generation itself is an equi-join on
-    // the cell id, never an n × n loop
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 3, p)
+    // re-executed once per consumer of the assignment (each pair side's
+    // block key + width lookup, and the verdict join — map-only
+    // recompute, chosen over caching a corpus-sized frame); pair
+    // generation itself is an equi-join on the (cell, sub-block) key,
+    // never an n × n loop, and the per-cell width table rides a
+    // broadcast, so the skew cap adds no shuffle
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 5, p)
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
@@ -299,6 +306,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(h"), p)
     assert(!p.contains("hashpartitioning(s#") &&
       !p.contains("hashpartitioning(ts"), p)
+  }
+
+  test("dedup family hashes through the native md5_prefix60 kernel, not the hex chain") {
+    // h64/h64b must stay the codegen'd raw-digest expression; a silent
+    // fallback to the portable conv(substring(md5(..))) chain would
+    // re-introduce a per-row hex-string allocation + radix re-parse in
+    // the hottest shuffle-key path of the whole dedup stack
+    for (q <- Seq("q45_fingerprint", "q47_minhash_lsh", "q99_line_dedup",
+                  "q110_dup_spans")) {
+      val p = planOf(q)
+      assert(p.contains("md5_prefix60"), s"$q lost the native hash kernel")
+      assert(!p.contains("conv(substring(md5"), s"$q uses the hex-string chain")
+    }
   }
 
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
