@@ -56,6 +56,22 @@ class OpsSpec extends SparkSpec {
     assert(got(-0.0078125) == -0.007813)
   }
 
+  test("Exact.dsumBounded is bit-identical to dsum within its magnitude bound") {
+    // same scale-6 HALF_UP rounding — precision is headroom, not rounding —
+    // so midpoint ties, negatives, and accumulated sums all agree exactly
+    val xs = Seq(0.0078125, -0.0078125, 99.999999, -99.5, 0.1234565,
+      13.37, 0.0, 42.424242)
+    val df = xs.toDF("x")
+    val (wide, narrow) = df
+      .agg(Exact.dsum($"x").as("w"), Exact.dsumBounded($"x").as("n"))
+      .as[(Double, Double)].head()
+    assert(wide == narrow)
+    val pairs = df.groupBy($"x")
+      .agg(Exact.dsum($"x").as("w"), Exact.dsumBounded($"x").as("n"))
+      .as[(Double, Double, Double)].collect()
+    pairs.foreach { case (_, w, n) => assert(w == n) }
+  }
+
   test("Eos.rho reproduces the JMFWG06 check value") {
     val rho = Seq((25.0, 35.0, 2000.0)).toDF("th", "s", "p")
       .select(Eos.rho($"th", $"s", $"p").as("rho")).as[Double].head()
