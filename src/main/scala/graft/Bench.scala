@@ -148,6 +148,58 @@ object Bench {
       .foreach(t => write(Tables(spark, src, t), t))
   }
 
+  /** Tallies shuffle/spill bytes across completed stages — the scale
+    * signal of the composed-pipeline rehearsal (wall time alone hides a
+    * stage that quietly doubled its shuffle). Listener delivery is
+    * async; [[drain]] gives the bus a moment before reading. */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    @volatile var write = 0L
+    @volatile var read = 0L
+    @volatile var peakStageWrite = 0L
+    @volatile var spill = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val tm = sc.stageInfo.taskMetrics
+      if (tm != null) {
+        write += tm.shuffleWriteMetrics.bytesWritten
+        read += tm.shuffleReadMetrics.totalBytesRead
+        peakStageWrite =
+          math.max(peakStageWrite, tm.shuffleWriteMetrics.bytesWritten)
+        spill += tm.diskBytesSpilled
+      }
+    }
+    def drain(): Unit = Thread.sleep(500)
+  }
+
+  /** End-to-end rehearsal of the composed corpus pipeline
+    * (ops/CorpusPipeline: q76 → q99 → q62 → q126 → q88 as ONE job) on
+    * the scale tier: the per-stage plans are individually audited, but
+    * stage-boundary costs only exist in the composed DAG — this records
+    * the wall time and the shuffle envelope a real run would pay. */
+  private def composedSection(spark: SparkSession, scaleDir: String,
+      passes: Int): String = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val runs = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        graft.ops.CorpusPipeline.build(Tables(spark, scaleDir, "documents"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      tally.drain()
+      val mb = 1024.0 * 1024.0
+      s""","composed":{"stages":"q76>q99>q62>q126>q88",""" +
+        s""""runs":[${runs.map(fmt).mkString(",")}],""" +
+        s""""shuffle_write_mb":${fmt(tally.write / mb / passes)},""" +
+        s""""shuffle_read_mb":${fmt(tally.read / mb / passes)},""" +
+        s""""peak_stage_shuffle_write_mb":${fmt(tally.peakStageWrite / mb)},""" +
+        s""""disk_spill_mb":${fmt(tally.spill / mb / passes)}}"""
+    } catch { case e: Throwable =>
+      s""","composed":{"error":"${e.getClass.getSimpleName}"}"""
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -193,7 +245,8 @@ object Bench {
         val sruns = timePasses(spark, scaleDir, heavy, passes)
         s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
           s""""spread":${spreadJson(heavy, sruns)},""" +
-          s""""runs":${runsJson(heavy, sruns)}}"""
+          s""""runs":${runsJson(heavy, sruns)}}""" +
+          composedSection(spark, scaleDir, passes)
       } catch { case e: Throwable =>
         s""","scale":{"error":"${e.getClass.getSimpleName}"}"""
       }
