@@ -371,14 +371,19 @@ object Similarity {
     * within the cap — every cell at oracle scale — are unaffected, so
     * results below the cap are identical to the uncapped plan.
     *
-    * The assignment sub-plan is deliberately NOT cached: its consumers
-    * each re-run the map-only K-wide sweep (no shuffle, embarrassingly
-    * parallel) rather than pinning a corpus-sized frame in executor
-    * memory; the per-cell width table is K rows and broadcast.
-    * Output: (id, cid, dropped). */
+    * The (id, cid) assignment is materialized once with an eager
+    * localCheckpoint — it is the clustering INDEX, the same build-time
+    * artifact as the ANN family's code stores (at 100 TB: a written
+    * parquet table of 16-byte rows, far cheaper than re-running the
+    * K-wide corpus sweep for each of its five consumers — both pair
+    * sides' block keys, the width table, and the verdict join). The
+    * frame holds only ids, never embeddings, so the pinned size is
+    * |corpus| × 16 B, not corpus-sized. The per-cell width table is
+    * K rows and broadcast. Output: (id, cid, dropped). */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
       maxCell: Int = 256): DataFrame = {
     val assign = ivfAssign(vecs, centroids).select(col("id"), col("cid"))
+      .localCheckpoint()
     val widths = assign.groupBy(col("cid"))
       .agg(ceil(count(lit(1)) / lit(maxCell.toDouble)).cast("int").as("__nsub"))
     val blocks = assign.join(broadcast(widths), Seq("cid"))

@@ -228,16 +228,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q107 semantic dedup pairs only within capped cells (equi joins, centroid sweeps only)") {
+  test("q107 semantic dedup pairs only within capped cells (equi joins over the materialized index)") {
     val p = planOf("q107_semantic_dedup")
-    // the only nested loops are the K-wide centroid assignment sweep,
-    // re-executed once per consumer of the assignment (each pair side's
-    // block key + width lookup, and the verdict join — map-only
-    // recompute, chosen over caching a corpus-sized frame); pair
-    // generation itself is an equi-join on the (cell, sub-block) key,
-    // never an n × n loop, and the per-cell width table rides a
-    // broadcast, so the skew cap adds no shuffle
-    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 5, p)
+    // the (id, cid) assignment is the clustering index, materialized
+    // once at build (localCheckpoint → RDD scan here) — the K-wide
+    // centroid sweep runs exactly once, not once per consumer; pair
+    // generation is an equi-join on the (cell, sub-block) key, never
+    // an n × n loop, and the per-cell width table rides a broadcast,
+    // so the skew cap adds no shuffle
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 0, p)
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
