@@ -47,6 +47,10 @@ object Exact {
     * IEEE double division is deterministic, so both engines agree. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** [[davg]] over a [[dsumBounded]] sum — same bounds contract. */
+  def davgBounded(c: Column, intDigits: Int = 2): Column =
+    dsumBounded(c, intDigits) / count(c)
+
   /** SQL fragments for DuckDB oracles, kept next to the Scala so the two
     * stay in sync. */
   def sqlSum(expr: String): String =

@@ -62,7 +62,8 @@ object ClimateQueries extends QueryGroup {
       import s.implicits._
       grid(s, dir)
         .groupBy($"yr")
-        .agg(ClimateOps.weightedMean($"v", wCol).as("wmean"))
+        // |v·w| ≤ 50·1 — the bounded decimal path keeps buffers long-backed
+        .agg(ClimateOps.weightedMeanBounded($"v", wCol).as("wmean"))
         .orderBy($"yr")
     },
     Some(s"""
@@ -82,8 +83,8 @@ object ClimateQueries extends QueryGroup {
       grid(s, dir)
         .groupBy($"yr", ClimateOps.hemisphere(latCol).as("hemi"))
         .agg(
-          dsum($"v" * wCol).as("wsum"),
-          ClimateOps.extent(wCol, $"v".between(15.0, 40.0)).as("extent"))
+          dsumBounded($"v" * wCol).as("wsum"),
+          ClimateOps.extentBounded(wCol, $"v".between(15.0, 40.0)).as("extent"))
         .orderBy($"yr", $"hemi")
     },
     Some(s"""
@@ -100,7 +101,7 @@ object ClimateQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       ClimateOps.depthIntegral(grid(s, dir), Seq($"yr", $"y", $"x"),
-          $"v", $"lev" * lit(10.0))
+          $"v", $"lev" * lit(10.0), boundDigits = Some(4))
         .orderBy($"yr", $"y", $"x")
     },
     Some(s"""
@@ -139,7 +140,7 @@ object ClimateQueries extends QueryGroup {
         .withColumn("frac", (($"lev" * 7 + $"y" + $"x") % 10).cast("double") / 10.0)
       g.join(broadcast(tiles), Seq("lev", "y", "x"))
         .groupBy($"yr", $"y", $"x")
-        .agg(dsum($"v" * $"frac").as("tile_ave"))
+        .agg(dsumBounded($"v" * $"frac").as("tile_ave"))
         .orderBy($"yr", $"y", $"x")
     },
     Some(s"""
@@ -162,7 +163,7 @@ object ClimateQueries extends QueryGroup {
       grid(s, dir)
         .join(broadcast(classMap), Seq("lev"))
         .groupBy($"yr", $"luclass")
-        .agg(dsum($"v").as("lusum"))
+        .agg(dsumBounded($"v").as("lusum"))
         .orderBy($"yr", $"luclass")
     },
     Some(s"""
@@ -185,7 +186,7 @@ object ClimateQueries extends QueryGroup {
         .when($"x" < 14, lit("indopacific")).otherwise(lit("southern"))
       ClimateOps.basinReplicate(grid(s, dir), basin)
         .groupBy($"yr", $"y", $"basin_out")
-        .agg(dsum($"v").as("zonal_sum"))
+        .agg(dsumBounded($"v").as("zonal_sum"))
         .orderBy($"yr", $"y", $"basin_out")
     },
     Some(s"""
@@ -467,8 +468,10 @@ object ClimateQueries extends QueryGroup {
         ($"l_suppkey" % 20).cast("int").as("y"),
         ($"l_partkey" % 20).cast("int").as("x"),
         $"l_quantity".as("v"))
+      // v ≤ 50 → DECIMAL(8,6) elements keep the 600k-row partial agg
+      // long-backed; the tiny climatology re-agg can stay wide
       val monthly = g.groupBy($"yr", $"mon", $"y", $"x")
-        .agg(sum($"v".cast("decimal(18,6)")).as("__s"),
+        .agg(sum($"v".cast("decimal(8,6)")).cast("decimal(18,6)").as("__s"),
           count($"v").as("__c"))
       val clim = monthly.groupBy($"mon", $"y", $"x")
         .agg((sum($"__s").cast("double") / sum($"__c")).as("cmean"))
@@ -506,7 +509,7 @@ object ClimateQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       val yearly = grid(s, dir)
-        .groupBy($"y", $"x", $"yr").agg(davg($"v").as("ymean"))
+        .groupBy($"y", $"x", $"yr").agg(davgBounded($"v").as("ymean"))
       ClimateOps.olsTrend(yearly, Seq($"y", $"x"), $"yr", $"ymean")
         .orderBy($"y", $"x")
     },
@@ -548,8 +551,7 @@ object ClimateQueries extends QueryGroup {
       grid(s, dir)
         .groupBy($"yr", expr("CAST(y / 2 AS INT)").as("yy"),
           expr("CAST(x / 2 AS INT)").as("xx"))
-        .agg((dsumBounded($"v" * wCol) /
-            dsumBounded(when($"v".isNotNull, wCol))).as("vmean"),
+        .agg(ClimateOps.weightedMeanBounded($"v", wCol).as("vmean"),
           dsumBounded(wCol).as("warea"))
         .orderBy($"yr", $"yy", $"xx")
     },

@@ -631,7 +631,15 @@ object SimilarityQueries extends QueryGroup {
     * gets |approx ∩ exact| / 3 per method. The plan audits freeze the
     * index SHAPES; this freezes the approximation QUALITY — a centroid
     * or codebook regression that still produces well-shaped plans
-    * surfaces here as a recall drop the oracle recomputes. */
+    * surfaces here as a recall drop the oracle recomputes (and an
+    * absolute per-method floor is pinned in QuantCorpusSpec).
+    *
+    * Cost envelope: the shared exact top-3 and IVF assignment are
+    * materialized once (localCheckpoint) and reused by all three
+    * ladders; what remains is intrinsic — the audit RUNS three full
+    * index builds (int8 quantize, PQ encode, residual PQ encode) plus
+    * the brute-force baseline in one action (~4 s at sf0.1, the sum of
+    * its parts), which is the audit's subject, not overhead. */
   private val q121 = Q(
     "q121_ann_recall",
     (s, dir) => {
