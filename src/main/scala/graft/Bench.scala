@@ -219,7 +219,14 @@ object Bench {
     Tables.all.foreach(t =>
       Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save())
     warmupShufflePath(spark, sfDir)
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=q121,q114 times just those queries (prefix
+    // match) — the dev loop for one perf experiment; the full-suite
+    // contract (driver runs with the var unset) is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val named = only.fold(SparkEntry.queries.toSeq.sortBy(_._1))(f =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => f.exists(q._1.startsWith)))
     // output is keyed by the qNN prefix; a collision would silently
     // merge two queries' timings into one JSON key
     val prefixes = named.map(_._1.takeWhile(_ != '_'))
@@ -255,7 +262,8 @@ object Bench {
     // stay compact — medians only, keyed by qNN prefix.
     val detail = runsJson(named, runs)
     val spread = spreadJson(named, runs)
-    try {
+    // a filtered dev run must not overwrite the driver's full sidecar
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(s"""{"passes":$passes,"sf":"$sfDir","spread":$spread,""" +
         s""""runs":$detail$scaleSection}""")

@@ -634,17 +634,24 @@ object SimilarityQueries extends QueryGroup {
     * surfaces here as a recall drop the oracle recomputes (and an
     * absolute per-method floor is pinned in QuantCorpusSpec).
     *
-    * Cost envelope: the shared exact top-3 and IVF assignment are
-    * materialized once (localCheckpoint) and reused by all three
-    * ladders; what remains is intrinsic — the audit RUNS three full
-    * index builds (int8 quantize, PQ encode, residual PQ encode) plus
-    * the brute-force baseline in one action (~4 s at sf0.1, the sum of
-    * its parts), which is the audit's subject, not overhead. */
+    * Cost envelope: the shared float store, exact top-3 and IVF
+    * assignment are each materialized once (localCheckpoint) and
+    * reused by all three ladders; what remains is intrinsic — the
+    * audit RUNS three full index builds (int8 quantize, PQ encode,
+    * residual PQ encode) plus the brute-force baseline in one action
+    * (~4 s at sf0.1, vs ~6.4 s as the sum of the solo queries), which
+    * is the audit's subject, not overhead. Checkpointing the
+    * per-ladder frames (q8 codes, residuals) was measured SLOWER —
+    * the eager materialization barrier costs more than the one
+    * recompute it saves. */
   private val q121 = Q(
     "q121_ann_recall",
     (s, dir) => {
       import s.implicits._
-      val all = vecs(s, dir)
+      // the float store feeds every ladder (assigns, codebook seeds,
+      // encodes, residuals, re-ranks) — materialize the parquet read +
+      // norm computation once instead of ~8× across the audit's DAG
+      val all = vecs(s, dir).localCheckpoint()
       val queries = all.filter($"id" < 10)
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
