@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus selection — the two published recipes a
+  * large-scale LM data pipeline runs after the rule-based filters
+  * (quality q43, repetition q78) and before mixing (q101/q124):
+  *
+  *  - [[lmScore]]: CCNet-style n-gram LM perplexity (Wenzek et al.
+  *    2019). Train a bigram LM with add-one smoothing over a capped
+  *    vocabulary on the corpus itself, score every document by its
+  *    mean negative log-likelihood, and flag the high-perplexity
+  *    (boilerplate/gibberish) tail.
+  *  - [[dsirLogWeights]]: Data Selection via Importance Resampling
+  *    (Xie et al. 2023). Hash bigram features into a fixed number of
+  *    buckets, fit smoothed bucket distributions for a target slice
+  *    and the raw corpus, and weight every document by its summed
+  *    bucket log-likelihood ratio — positive log-weight means the doc
+  *    looks more like the target than the corpus at large.
+  *
+  * Scale design: both models are BOUNDED by construction — the LM
+  * vocabulary is a top-K cut (the unigram table broadcasts; the bigram
+  * table is a standard shuffle join at worst), and the DSIR model is
+  * exactly 2·B counters regardless of corpus size (that fixed size is
+  * the point of hashed features — the model broadcasts at any corpus
+  * scale, so scoring is one map-side join per doc-bucket row). Doc
+  * scores aggregate per doc_id; nothing is ever driver-collected.
+  *
+  * Cross-engine determinism: ln() differs in the last ulp between
+  * libms, so every transcendental is rounded to 6 decimals per row
+  * (the q59 convention) and summed with the exact-decimal pattern
+  * ([[Exact.dsumBounded]]); the vocabulary cut uses a total order
+  * (count desc, token asc — the q72/q100 convention).
+  */
+object LmScore {
+
+  /** Per-document bigram-LM scores over whitespace tokens.
+    *
+    * Model: vocabulary = top `vocabK` tokens by corpus frequency
+    * (count desc, token asc); everything else maps to `<unk>`. The
+    * bigram probability is add-one smoothed over the mapped stream:
+    * p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + vocabK + 1).
+    *
+    * Output: (doc, n_bigrams, nll, ppl, decision) — nll is the mean
+    * negative log-likelihood (natural log), ppl = round(exp(nll), 6),
+    * decision flags ppl > `pplFlag`. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    */
+  def lmScore(docs: DataFrame, idCol: Column, textCol: Column,
+      vocabK: Int, pplFlag: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(idCol.as("doc"),
+      posexplode(TextOps.tokens(textCol)).as(Seq("pos", "w")))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w".asc).limit(vocabK)
+      .select($"w", lit(1).as("__v"))
+    val mapped = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select($"doc", $"pos",
+        when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
+    val big = mapped
+      .withColumn("mw2",
+        lead($"mw", 1).over(Window.partitionBy($"doc").orderBy($"pos")))
+      .filter($"mw2".isNotNull)
+      .select($"doc", $"mw", $"mw2")
+    val c1 = mapped.groupBy($"mw").agg(count(lit(1)).as("c1"))
+    val c2 = big.groupBy($"mw", $"mw2").agg(count(lit(1)).as("c2"))
+    val smooth = vocabK + 1
+    // |lp| <= ln(c1 + smooth) — double digits at any corpus size
+    val scored = big.join(c2, Seq("mw", "mw2")).join(broadcast(c1), Seq("mw"))
+      .withColumn("lp", round(log(($"c2" + 1).cast("double") /
+        ($"c1" + lit(smooth)).cast("double")), 6))
+    scored.groupBy($"doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Exact.dsumBounded($"lp", 2).as("__slp"))
+      .withColumn("nll", -$"__slp" / $"n_bigrams".cast("double"))
+      .withColumn("ppl", round(exp($"nll"), 6))
+      .select($"doc", $"n_bigrams", $"nll", $"ppl",
+        when($"ppl" > pplFlag, "flagged").otherwise("kept").as("decision"))
+  }
+
+  /** Oracle twin of [[lmScore]] (DuckDB CTE fragment ending in a
+    * SELECT of (doc, n_bigrams, nll, ppl, decision); caller appends
+    * ordering). `docExpr`/`textExpr` are SQL expressions over the
+    * `documents` view. */
+  def lmScoreSql(docExpr: String, textExpr: String, vocabK: Int,
+      pplFlag: Double): String = {
+    val smooth = vocabK + 1
+    s"""
+    toks AS (
+      SELECT $docExpr AS doc,
+        generate_subscripts(string_split_regex(trim($textExpr), '\\s+'), 1) AS pos,
+        unnest(string_split_regex(trim($textExpr), '\\s+')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+      ORDER BY cnt DESC, w LIMIT $vocabK),
+    mapped AS (
+      SELECT t.doc, t.pos,
+        CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS mw
+      FROM toks t LEFT JOIN vocab v ON t.w = v.w),
+    bigs AS (
+      SELECT doc, mw, mw2 FROM (
+        SELECT doc, mw,
+          LEAD(mw) OVER (PARTITION BY doc ORDER BY pos) AS mw2
+        FROM mapped) WHERE mw2 IS NOT NULL),
+    c1 AS (SELECT mw, CAST(COUNT(*) AS BIGINT) AS c1 FROM mapped GROUP BY mw),
+    c2 AS (SELECT mw, mw2, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM bigs GROUP BY mw, mw2),
+    lp AS (
+      SELECT b.doc,
+        ROUND(LN(CAST(c2.c2 + 1 AS DOUBLE) /
+                 CAST(c1.c1 + $smooth AS DOUBLE)), 6) AS lp
+      FROM bigs b
+      JOIN c2 ON b.mw = c2.mw AND b.mw2 = c2.mw2
+      JOIN c1 ON b.mw = c1.mw),
+    lmscore AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        -${Exact.sqlSum("lp")} / CAST(COUNT(*) AS DOUBLE) AS nll
+      FROM lp GROUP BY doc),
+    lmout AS (
+      SELECT doc, n_bigrams, nll, ROUND(EXP(nll), 6) AS ppl,
+        CASE WHEN ROUND(EXP(nll), 6) > ${pplFlag}e0
+             THEN 'flagged' ELSE 'kept' END AS decision
+      FROM lmscore)"""
+  }
+
+  /** Per-document DSIR importance log-weights over hashed bigram
+    * features.
+    *
+    * `isTarget` marks the rows whose feature distribution defines the
+    * target; the source distribution is the whole corpus. Each bigram
+    * hashes ([[TextOps.h64]]) into one of `buckets` counters; both
+    * distributions are add-one smoothed. Per doc:
+    * logw = Σ_b cnt(doc, b) · round(ln(p_t(b) / p_s(b)), 6), and
+    * decision `selected` ⟺ logw > 0 (more target-like than the
+    * corpus) — a map-side predicate, deliberately NOT a global top-N
+    * rank, which would be a single-partition sort at scale. Docs with
+    * fewer than two tokens have no features and are absent.
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val feats = docs
+      .withColumn("__ts", TextOps.tokens(textCol))
+      .select(idCol.as("doc"), isTarget.as("__tgt"),
+        explode(TextOps.shingles("__ts", 2)).as("sh"))
+      .select($"doc", $"__tgt", (TextOps.h64($"sh") % buckets).as("b"))
+    val totals = feats.agg(
+      count(lit(1)).cast("double").as("ns"),
+      count(when($"__tgt", 1)).cast("double").as("nt"))
+    val src = feats.groupBy($"b").agg(count(lit(1)).as("cs"))
+    val tgt = feats.filter($"__tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
+    val model = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"b", round(log(
+        ((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"nt" + lit(buckets))) /
+          (($"cs" + 1).cast("double") / ($"ns" + lit(buckets)))), 6).as("lr"))
+    val perDoc = feats.groupBy($"doc", $"b").agg(count(lit(1)).as("cnt"))
+    perDoc.join(broadcast(model), Seq("b"))
+      .groupBy($"doc")
+      .agg(sum($"cnt").as("n_feats"),
+        // plain dsum, not the bounded fast path: a single (doc, bucket)
+        // cell of a very long doc can push |cnt·lr| past any small bound
+        Exact.dsum($"cnt".cast("double") * $"lr").as("logw"))
+      .select($"doc", $"n_feats", $"logw",
+        when($"logw" > 0.0, "selected").otherwise("rest").as("decision"))
+  }
+
+  /** Oracle twin of [[dsirLogWeights]] (DuckDB CTE fragment ending in
+    * `dsirout`(doc, n_feats, logw, selected)). `tgtExpr` is the target
+    * predicate over the `documents` view. */
+  def dsirLogWeightsSql(docExpr: String, textExpr: String,
+      tgtExpr: String, buckets: Int): String = s"""
+    dtk AS (SELECT $docExpr AS doc, $tgtExpr AS tgt,
+              string_split_regex(trim($textExpr), '\\s+') AS ts
+            FROM documents),
+    f AS (
+      SELECT doc, tgt, ${TextOps.h64Sql("sh")} % $buckets AS b
+      FROM (SELECT doc, tgt,
+              unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1])) AS sh
+            FROM dtk)),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns,
+                   CAST(COUNT(CASE WHEN tgt THEN 1 END) AS DOUBLE) AS nt
+            FROM f),
+    src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cs FROM f GROUP BY b),
+    tgtc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+             FROM f WHERE tgt GROUP BY b),
+    model AS (
+      SELECT s.b,
+        ROUND(LN((CAST(COALESCE(tg.ct, 0) + 1 AS DOUBLE) / (tot.nt + $buckets)) /
+                 (CAST(s.cs + 1 AS DOUBLE) / (tot.ns + $buckets))), 6) AS lr
+      FROM src s LEFT JOIN tgtc tg ON s.b = tg.b CROSS JOIN tot),
+    pd AS (SELECT doc, b, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM f GROUP BY doc, b),
+    dsirout AS (
+      SELECT pd.doc, CAST(SUM(pd.cnt) AS BIGINT) AS n_feats,
+        ${Exact.sqlSum("CAST(pd.cnt AS DOUBLE) * m.lr")} AS logw,
+        CASE WHEN ${Exact.sqlSum("CAST(pd.cnt AS DOUBLE) * m.lr")} > 0.0e0
+             THEN 'selected' ELSE 'rest' END AS decision
+      FROM pd JOIN model m ON pd.b = m.b
+      GROUP BY pd.doc)"""
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Relational, TextOps}
+import graft.ops.{LmScore, Relational, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -450,6 +450,50 @@ object CorpusQueries extends QueryGroup {
       SELECT doc_id, domain, rank FROM ranked
       WHERE rank <= 10 ORDER BY domain, rank"""))
 
+  /** CCNet-style bigram-LM perplexity filter (Wenzek et al. 2019,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): the LM is trained on the corpus itself over a
+    * top-50 vocabulary, every doc is scored by mean bigram NLL, and
+    * the high-perplexity tail is flagged. Model joins are broadcast
+    * (vocab and the unigram table are capped at 51 rows); the bigram
+    * table rides a standard shuffle join. */
+  private val q127 = Q(
+    "q127_lm_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      LmScore.lmScore(docs(s, dir), $"doc_id", $"text",
+          vocabK = 50, pplFlag = 32.0)
+        .select($"doc".as("doc_id"), $"n_bigrams", $"nll", $"ppl",
+          $"decision")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${LmScore.lmScoreSql("doc_id", "text", 50, 32.0)}
+      SELECT doc AS doc_id, n_bigrams, nll, ppl, decision
+      FROM lmout ORDER BY doc_id"""))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-bigram bucket
+    * distributions for the English slice vs the whole corpus; docs
+    * scoring above the corpus baseline are marked selected. The model
+    * is 256 buckets regardless of corpus size — the fixed-size-model
+    * property that makes the method a one-broadcast map-side score at
+    * 100 TB. */
+  private val q128 = Q(
+    "q128_dsir_weights",
+    (s, dir) => {
+      import s.implicits._
+      LmScore.dsirLogWeights(docs(s, dir), $"doc_id", $"text",
+          $"lang" === "en", buckets = 256)
+        .select($"doc".as("doc_id"), $"n_feats", $"logw", $"decision")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${LmScore.dsirLogWeightsSql("doc_id", "text", "lang = 'en'", 256)}
+      SELECT doc AS doc_id, n_feats, logw, decision
+      FROM dsirout ORDER BY doc_id"""))
+
   def queries: Seq[Q] =
-    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125)
+    Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
+      q127, q128)
 }
