@@ -260,6 +260,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q127 LM scoring broadcasts the capped model tables, no cartesian") {
+    val p = planOf("q127_lm_perplexity")
+    // vocab (top-K) and the unigram table are bounded — both must ride
+    // broadcast joins; only the bigram table may shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q128 DSIR model join is a broadcast; only the totals row nest-loops") {
+    val p = planOf("q128_dsir_weights")
+    // the 2·B-counter model broadcasts (the fixed-model-size property
+    // that makes DSIR a map-side score at any corpus scale); the
+    // single-row totals frame is the one BroadcastNestedLoopJoin
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
   test("q126 quality dedup: keeper window keyed on cluster, no cartesian") {
     val p = planOf("q126_quality_dedup")
     assert(nodeCount(p, "CartesianProduct") == 0, p)
