@@ -67,4 +67,32 @@ object Sampling {
              WHEN ${TextOps.h64Sql(keyExpr)} % $den < ${train + valSlots}
                THEN 'val'
              ELSE 'test' END"""
+
+  // h64 spans [0, 2^60); +1 / (2^60 + 1) maps it into (0, 1] — the
+  // deterministic stand-in for A-ES's uniform draw
+  private val HashSpace = "1152921504606846977.0e0" // 2^60 + 1
+
+  /** Weighted sample without replacement, k rows ∝ `weight`
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): each row
+    * draws u = uniform(0,1] keyed on its content hash and ranks by
+    * u^(1/w) — computed as skey = ln(u)/w, the monotone form that
+    * avoids pow()'s cross-engine wobble — and the k largest keys win.
+    * Hash-derived u makes the sample rerun/parallelism-stable and
+    * engine-reproducible like every sampler here; skey is rounded to
+    * 6 decimals (the q59 transcendental convention) with the row key
+    * as tie-break, so the cut is a total order. orderBy+limit compiles
+    * to TakeOrderedAndProject — per-partition top-k plus one k-row
+    * merge, never a global sort. Weights must be > 0. */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    val u = (TextOps.h64(key) + 1).cast("double") / expr(HashSpace)
+    df.withColumn("skey", round(log(u) / weight.cast("double"), 6))
+      .orderBy(col("skey").desc, key.asc)
+      .limit(k)
+  }
+
+  /** SQL twin of [[weightedHashSample]]'s sampling key. */
+  def weightedHashSampleSql(keyExpr: String, weightExpr: String): String =
+    s"ROUND(LN(CAST(${TextOps.h64Sql(keyExpr)} + 1 AS DOUBLE) / $HashSpace)" +
+      s" / CAST($weightExpr AS DOUBLE), 6)"
 }

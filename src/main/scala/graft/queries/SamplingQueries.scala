@@ -260,5 +260,29 @@ object SamplingQueries extends QueryGroup {
       FROM documents d JOIN th ON d.source = th.source
       ORDER BY doc_id"""))
 
-  def queries: Seq[Q] = Seq(q69, q70, q71, q72, q76, q117, q118, q119)
+  /** Weighted sample without replacement: 100 documents drawn ∝
+    * n_chars (longer docs more likely — the "sample by token budget"
+    * variant of corpus subsampling), via the deterministic A-ES key.
+    * The plan is TakeOrderedAndProject: per-partition top-k, one
+    * 100-row merge, no global sort, no shuffle of the losers. */
+  private val q129 = Q(
+    "q129_weighted_sample",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.weightedHashSample(
+          Tables(s, dir, "documents").select($"doc_id", $"n_chars"),
+          $"doc_id".cast("string"), $"n_chars", k = 100)
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, n_chars, skey FROM (
+        SELECT doc_id, n_chars,
+          ${Sampling.weightedHashSampleSql(
+            "CAST(doc_id AS VARCHAR)", "n_chars")} AS skey
+        FROM documents
+        ORDER BY skey DESC, CAST(doc_id AS VARCHAR) LIMIT 100)
+      ORDER BY doc_id"""))
+
+  def queries: Seq[Q] =
+    Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129)
 }

@@ -268,6 +268,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "CartesianProduct") == 0, p)
   }
 
+  test("q129 weighted sample is TakeOrderedAndProject — no global sort, no window") {
+    val p = planOf("q129_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(nodeCount(p, "Window") == 0, p)
+  }
+
   test("q128 DSIR model join is a broadcast; only the totals row nest-loops") {
     val p = planOf("q128_dsir_weights")
     // the 2·B-counter model broadcasts (the fixed-model-size property

@@ -164,4 +164,29 @@ class SkewSketchSpec extends SparkSpec {
     val pre = graft.ops.Bloom.prefilter(big, small, "k", "s", 1000L).count()
     assert(pre >= exact.size && pre < 5000L / 2, s"prefiltered to $pre")
   }
+
+  test("weightedHashSample: deterministic, k-capped, weight-dominant row always wins") {
+    import graft.ops.Sampling
+    val base = spark.range(0, 100).toDF("id")
+      .select($"id".cast("string").as("id"), lit(1.0).as("w"))
+    // one row with overwhelming weight: ln(u)/w ≈ 0 beats every
+    // unit-weight key (u < 1 almost surely ⇒ skey strictly negative)
+    val docs = base.union(Seq(("whale", 1.0e12)).toDF("id", "w"))
+    val top = Sampling.weightedHashSample(docs, $"id", $"w", k = 10)
+    val rows = top.as[(String, Double, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.exists(_._1 == "whale"), "heavy row missing from sample")
+    // rerun- and partitioning-stable (the whole point of hash keying)
+    val again = Sampling.weightedHashSample(
+      docs.repartition(7), $"id", $"w", k = 10)
+      .as[(String, Double, Double)].collect()
+    assert(rows.toSet == again.toSet)
+    // equal weights degrade to the pure-hash reservoir order
+    val eq = Sampling.weightedHashSample(base, $"id", $"w", k = 5)
+      .select($"id").as[String].collect().toSet
+    val byHash = base
+      .orderBy(graft.ops.TextOps.h64($"id").desc, $"id".asc).limit(5)
+      .select($"id").as[String].collect().toSet
+    assert(eq == byHash)
+  }
 }
