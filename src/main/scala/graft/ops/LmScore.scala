@@ -144,23 +144,10 @@ object LmScore {
       isTarget: Column, buckets: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val feats = docs
-      .withColumn("__ts", TextOps.tokens(textCol))
-      .select(idCol.as("doc"), isTarget.as("__tgt"),
-        explode(TextOps.shingles("__ts", 2)).as("sh"))
-      .select($"doc", $"__tgt", (TextOps.h64($"sh") % buckets).as("b"))
-    val totals = feats.agg(
-      count(lit(1)).cast("double").as("ns"),
-      count(when($"__tgt", 1)).cast("double").as("nt"))
-    val src = feats.groupBy($"b").agg(count(lit(1)).as("cs"))
-    val tgt = feats.filter($"__tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
-    val model = src.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select($"b", round(log(
-        ((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"nt" + lit(buckets))) /
-          (($"cs" + 1).cast("double") / ($"ns" + lit(buckets)))), 6).as("lr"))
+    val feats = features(docs, idCol, textCol, isTarget, buckets)
     val perDoc = feats.groupBy($"doc", $"b").agg(count(lit(1)).as("cnt"))
-    perDoc.join(broadcast(model), Seq("b"))
+    perDoc.join(broadcast(dsirModel(docs, idCol, textCol, isTarget, buckets)),
+        Seq("b"))
       .groupBy($"doc")
       .agg(sum($"cnt").as("n_feats"),
         // plain dsum, not the bounded fast path: a single (doc, bucket)
@@ -168,6 +155,41 @@ object LmScore {
         Exact.dsum($"cnt".cast("double") * $"lr").as("logw"))
       .select($"doc", $"n_feats", $"logw",
         when($"logw" > 0.0, "selected").otherwise("rest").as("decision"))
+  }
+
+  /** The trained DSIR model on its own: (b, lr) — exactly the bounded
+    * `buckets`-row frame [[dsirLogWeights]] broadcasts, exposed so a
+    * consumer can train once on a batch corpus and score elsewhere
+    * (e.g. [[graft.streaming.StreamDsir]] scoring a document stream
+    * map-side against a frozen model). */
+  def dsirModel(docs: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val feats = features(docs, idCol, textCol, isTarget, buckets)
+    val totals = feats.agg(
+      count(lit(1)).cast("double").as("ns"),
+      count(when($"__tgt", 1)).cast("double").as("nt"))
+    val src = feats.groupBy($"b").agg(count(lit(1)).as("cs"))
+    val tgt = feats.filter($"__tgt").groupBy($"b").agg(count(lit(1)).as("ct"))
+    src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select($"b", round(log(
+        ((coalesce($"ct", lit(0L)) + 1).cast("double") / ($"nt" + lit(buckets))) /
+          (($"cs" + 1).cast("double") / ($"ns" + lit(buckets)))), 6).as("lr"))
+  }
+
+  /** Hashed-bigram feature rows (doc, __tgt, b) shared by the model fit
+    * and the per-doc scoring. */
+  private def features(docs: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("__ts", TextOps.tokens(textCol))
+      .select(idCol.as("doc"), isTarget.as("__tgt"),
+        explode(TextOps.shingles("__ts", 2)).as("sh"))
+      .select($"doc", $"__tgt", (TextOps.h64($"sh") % buckets).as("b"))
   }
 
   /** Oracle twin of [[dsirLogWeights]] (DuckDB CTE fragment ending in
