@@ -607,4 +607,63 @@ object TextOps {
       .withColumn("redacted",
         regexp_replace(regexp_replace(regexp_replace(text,
           EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>"))
+
+  /** Canonical URL form — the normalization a crawl pipeline applies
+    * before URL-level dedup, so trivially-distinct spellings of one
+    * resource collapse to one fetch/one kept doc:
+    * scheme and host lowercase; one leading `www.` dropped; the
+    * scheme's default port (`:80`/`:443`) dropped; the fragment
+    * dropped; tracking parameters (`utm_*`, `fbclid`, `gclid`)
+    * removed with `?`/`&` separators re-tidied; trailing path slashes
+    * trimmed (root stays `/`, an empty path becomes `/`). The path
+    * and remaining query keep their case and order (both are
+    * semantically significant). Entirely map-side regex — RE2/Java
+    * common subset like [[redactPii]], no backtracking risk. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw =
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val noWww = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val rest =
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val pathTrim = regexp_replace(path, "(.)/+$", "$1")
+    val path2 = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    // pad with & so every param (first included) has a leading &, strip
+    // tracking params each with their &, then trim the padding back off
+    val qPad = concat(lit("&"),
+      regexp_extract(rest, "\\?(.*)$", 1), lit("&"))
+    val qClean = regexp_replace(qPad,
+      "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    val qTrim = regexp_replace(qClean, "^&+|&+$", "")
+    concat(scheme, lit("://"), host, path2,
+      when(qTrim === "", lit("")).otherwise(concat(lit("?"), qTrim)))
+  }
+
+  /** Oracle twin of [[canonicalizeUrl]] (DuckDB syntax: RE2 `\1`
+    * backreference, explicit `g` flags). */
+  def canonicalizeUrlSql(u: String): String = {
+    val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostRaw =
+      s"lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    val noWww = s"regexp_replace($hostRaw, '^www\\.', '')"
+    val host = s"""CASE WHEN $scheme = 'http'
+        THEN regexp_replace($noWww, ':80$$', '')
+      WHEN $scheme = 'https' THEN regexp_replace($noWww, ':443$$', '')
+      ELSE $noWww END"""
+    val rest =
+      s"regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+    val path = s"regexp_extract($rest, '^([^?]*)', 1)"
+    val pathTrim = s"regexp_replace($path, '(.)/+$$', '\\1')"
+    val path2 = s"CASE WHEN $pathTrim = '' THEN '/' ELSE $pathTrim END"
+    val qPad = s"('&' || regexp_extract($rest, '\\?(.*)$$', 1) || '&')"
+    val qClean = s"regexp_replace($qPad, " +
+      "'&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g')"
+    val qTrim = s"regexp_replace($qClean, '^&+|&+$$', '', 'g')"
+    s"""($scheme || '://' || $host || $path2 ||
+      CASE WHEN $qTrim = '' THEN '' ELSE '?' || $qTrim END)"""
+  }
 }

@@ -493,7 +493,73 @@ object CorpusQueries extends QueryGroup {
       SELECT doc AS doc_id, n_feats, logw, decision
       FROM dsirout ORDER BY doc_id"""))
 
+  /** URL canonicalization + URL-level dedup — the crawl-frontier stage
+    * that collapses trivially-distinct spellings of one resource
+    * before fetching/keeping: five deterministic raw-URL styles per
+    * doc (mixed-case scheme/host + default port + fragment, plain,
+    * trailing slash + port, `www.` + fbclid, utm_* suffix) all
+    * canonicalize to one form; dedup keeps the smallest doc_id per
+    * canonical URL. Map-side regex then ONE shuffle for the group-by;
+    * at crawl scale the canonical string would be the shard key. */
+  private val q130 = Q(
+    "q130_url_canonical_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val h = ($"doc_id" % 7).cast("string")
+      val p = ($"doc_id" % 20).cast("string")
+      val d = $"doc_id".cast("string")
+      val url = when($"doc_id" % 5 === 0,
+          concat(lit("HTTPS://WWW.Site"), h, lit(".Example.COM:443/page/"),
+            p, lit("?id="), p, lit("#frag")))
+        .when($"doc_id" % 5 === 1,
+          concat(lit("https://site"), h, lit(".example.com/page/"),
+            p, lit("?id="), p))
+        .when($"doc_id" % 5 === 2,
+          concat(lit("https://site"), h, lit(".example.com:443/page/"),
+            p, lit("/?id="), p))
+        .when($"doc_id" % 5 === 3,
+          concat(lit("https://www.site"), h, lit(".example.com/page/"),
+            p, lit("?fbclid=x"), d, lit("&id="), p))
+        .otherwise(
+          concat(lit("https://site"), h, lit(".example.com/page/"),
+            p, lit("?id="), p, lit("&utm_campaign=a"), d))
+      docs(s, dir)
+        .select($"doc_id", TextOps.canonicalizeUrl(url).as("canon_url"))
+        .groupBy($"canon_url")
+        .agg(min($"doc_id").as("kept_doc"), count(lit(1)).as("n_dupes"))
+        .orderBy($"canon_url")
+    },
+    Some(s"""
+      WITH seeded AS (
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.Example.COM:443/page/' || CAST(doc_id % 20 AS VARCHAR) ||
+              '?id=' || CAST(doc_id % 20 AS VARCHAR) || '#frag'
+            WHEN 1 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/page/' || CAST(doc_id % 20 AS VARCHAR) ||
+              '?id=' || CAST(doc_id % 20 AS VARCHAR)
+            WHEN 2 THEN 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com:443/page/' || CAST(doc_id % 20 AS VARCHAR) ||
+              '/?id=' || CAST(doc_id % 20 AS VARCHAR)
+            WHEN 3 THEN 'https://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/page/' || CAST(doc_id % 20 AS VARCHAR) ||
+              '?fbclid=x' || CAST(doc_id AS VARCHAR) ||
+              '&id=' || CAST(doc_id % 20 AS VARCHAR)
+            ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+              '.example.com/page/' || CAST(doc_id % 20 AS VARCHAR) ||
+              '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
+              '&utm_campaign=a' || CAST(doc_id AS VARCHAR)
+          END AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, ${TextOps.canonicalizeUrlSql("url")} AS canon_url
+        FROM seeded)
+      SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS kept_doc,
+        CAST(COUNT(*) AS BIGINT) AS n_dupes
+      FROM canon GROUP BY canon_url ORDER BY canon_url"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128)
+      q127, q128, q130)
 }

@@ -178,4 +178,34 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1).getString(3) == "clean text no pii 123-45")
     assert((out(1).getInt(0), out(1).getInt(1), out(1).getInt(2)) == ((0, 0, 0)))
   }
+
+  test("canonicalizeUrl collapses spelling variants and keeps meaning") {
+    val variants = Seq(
+      "HTTPS://WWW.Site3.Example.COM:443/page/7?id=7#frag",
+      "https://site3.example.com/page/7?id=7",
+      "https://site3.example.com:443/page/7/?id=7",
+      "https://www.site3.example.com/page/7?fbclid=x99&id=7",
+      "https://site3.example.com/page/7?id=7&utm_campaign=a42",
+      "https://site3.example.com/page/7?utm_source=f&id=7&utm_medium=g")
+    val canon = variants.toDF("u")
+      .select(TextOps.canonicalizeUrl($"u")).as[String].collect().toSet
+    assert(canon == Set("https://site3.example.com/page/7?id=7"), canon)
+
+    val semantics = Seq(
+      // non-default port, path case, param order: all significant
+      "http://a.com:8080/X" -> "http://a.com:8080/X",
+      "http://a.com:80/X" -> "http://a.com/X",
+      "https://a.com/p?b=2&a=1" -> "https://a.com/p?b=2&a=1",
+      // all-tracking query drops entirely; empty path becomes /
+      "https://a.com?utm_a=1&utm_b=2" -> "https://a.com/",
+      "https://a.com/" -> "https://a.com/",
+      // http keeps :443 (not its default); www strips once
+      "http://www.a.com:443/p" -> "http://a.com:443/p")
+    val got = semantics.map(_._1).toDF("u")
+      .select($"u", TextOps.canonicalizeUrl($"u")).as[(String, String)]
+      .collect().toMap
+    semantics.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)} (want $want)")
+    }
+  }
 }
