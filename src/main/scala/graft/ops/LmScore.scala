@@ -54,9 +54,19 @@ object LmScore {
     import s.implicits._
     val toks = docs.select(idCol.as("doc"),
       posexplode(TextOps.tokens(textCol)).as(Seq("pos", "w")))
+    // The model tables are all BOUNDED (vocab ≤ K, unigrams ≤ K+1,
+    // bigrams ≤ (K+1)²) while every derivation of them scans the whole
+    // corpus — materialize each once (eager localCheckpoint, the q121
+    // convention) so training is three linear passes and scoring one,
+    // instead of re-deriving the vocabulary under every consumer
+    // (unchecked, this plan scanned the corpus six times). The
+    // corpus-sized token/bigram streams are deliberately NOT
+    // materialized: storing them would cost more than the one extra
+    // window pass they save.
     val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"w".asc).limit(vocabK)
       .select($"w", lit(1).as("__v"))
+      .localCheckpoint()
     val mapped = toks.join(broadcast(vocab), Seq("w"), "left")
       .select($"doc", $"pos",
         when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
@@ -66,9 +76,14 @@ object LmScore {
       .filter($"mw2".isNotNull)
       .select($"doc", $"mw", $"mw2")
     val c1 = mapped.groupBy($"mw").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val c2 = big.groupBy($"mw", $"mw2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val smooth = vocabK + 1
     // |lp| <= ln(c1 + smooth) — double digits at any corpus size
+    // c2 is left unhinted: bounded by observed bigrams (≤ (K+1)²), it
+    // auto-broadcasts when small but may legitimately shuffle at a
+    // production vocab; c1 (≤ K+1 rows) always broadcasts
     val scored = big.join(c2, Seq("mw", "mw2")).join(broadcast(c1), Seq("mw"))
       .withColumn("lp", round(log(($"c2" + 1).cast("double") /
         ($"c1" + lit(smooth)).cast("double")), 6))
