@@ -88,7 +88,10 @@ object Bench {
     "q47_minhash_lsh", "q62_dedup_clusters", "q84_regrid_coarsen",
     // r6 verdict: the int8-IVF trade (codes-only reads) and the recall
     // audit must show their scaling, not just their sf0.1 medians
-    "q104_quantized_ivf", "q121_ann_recall")
+    "q104_quantized_ivf", "q121_ann_recall",
+    // r7: the LM filter is the newest >2s query — its token-window
+    // shuffle and bigram-model join are the data-dependent parts
+    "q127_lm_perplexity")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
