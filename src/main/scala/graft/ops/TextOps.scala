@@ -617,8 +617,11 @@ object TextOps {
     * removed with `?`/`&` separators re-tidied; trailing path slashes
     * trimmed (root stays `/`, an empty path becomes `/`). The path
     * and remaining query keep their case and order (both are
-    * semantically significant). Entirely map-side regex — RE2/Java
-    * common subset like [[redactPii]], no backtracking risk. */
+    * semantically significant). A string with no scheme://host
+    * passes through unchanged — a crawl frontier drops such rows
+    * rather than inventing a canonical form for them. Entirely
+    * map-side regex — RE2/Java common subset like [[redactPii]], no
+    * backtracking risk. */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostRaw =
@@ -639,8 +642,9 @@ object TextOps {
     val qClean = regexp_replace(qPad,
       "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
     val qTrim = regexp_replace(qClean, "^&+|&+$", "")
-    concat(scheme, lit("://"), host, path2,
-      when(qTrim === "", lit("")).otherwise(concat(lit("?"), qTrim)))
+    when(hostRaw === "", url).otherwise(
+      concat(scheme, lit("://"), host, path2,
+        when(qTrim === "", lit("")).otherwise(concat(lit("?"), qTrim))))
   }
 
   /** Oracle twin of [[canonicalizeUrl]] (DuckDB syntax: RE2 `\1`
@@ -663,7 +667,8 @@ object TextOps {
     val qClean = s"regexp_replace($qPad, " +
       "'&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g')"
     val qTrim = s"regexp_replace($qClean, '^&+|&+$$', '', 'g')"
-    s"""($scheme || '://' || $host || $path2 ||
-      CASE WHEN $qTrim = '' THEN '' ELSE '?' || $qTrim END)"""
+    s"""CASE WHEN $hostRaw = '' THEN $u ELSE
+      ($scheme || '://' || $host || $path2 ||
+        CASE WHEN $qTrim = '' THEN '' ELSE '?' || $qTrim END) END"""
   }
 }

@@ -76,6 +76,25 @@ class LmScoreSpec extends SparkSpec {
     }
   }
 
+  test("lmScore and dsir yield empty output on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(LmScore.lmScore(empty, $"doc_id", $"text", 5, 1.0).count() == 0)
+    assert(LmScore.dsirLogWeights(empty, $"doc_id", $"text",
+      lit(true), 16).count() == 0)
+  }
+
+  test("dsir with an empty target slice still scores (pure smoothing)") {
+    // nt = 0: every bucket's target prob is the smoothing floor
+    // 1/(0+B); weights are finite and negative for observed buckets
+    val docs = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val out = LmScore.dsirLogWeights(docs, $"doc_id", $"text",
+        lit(false), 64)
+      .as[(Long, Long, Double, String)].collect()
+    assert(out.length == 2)
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite))
+    assert(out.forall(_._4 == "rest"))
+  }
+
   test("lmScore and dsir are invariant to input partitioning") {
     val docs = (1L to 40L)
       .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} tail"))

@@ -200,7 +200,10 @@ class TextOpsSpec extends SparkSpec {
       "https://a.com?utm_a=1&utm_b=2" -> "https://a.com/",
       "https://a.com/" -> "https://a.com/",
       // http keeps :443 (not its default); www strips once
-      "http://www.a.com:443/p" -> "http://a.com:443/p")
+      "http://www.a.com:443/p" -> "http://a.com:443/p",
+      // no scheme://host: passes through untouched, never "://..."
+      "not a url" -> "not a url",
+      "" -> "")
     val got = semantics.map(_._1).toDF("u")
       .select($"u", TextOps.canonicalizeUrl($"u")).as[(String, String)]
       .collect().toMap
