@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{LmScore, Relational, TextOps}
+import graft.ops.{Exact, LmScore, Relational, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -559,7 +559,88 @@ object CorpusQueries extends QueryGroup {
         CAST(COUNT(*) AS BIGINT) AS n_dupes
       FROM canon GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** The published filter stack composed as ONE decision table: C4-ish
+    * quality gates (token count, mean token length), Gopher repetition
+    * fractions, and the CCNet perplexity filter, each attributed as
+    * its own flag column plus a precedence-ordered final decision —
+    * the audit artifact a dataset card reports ("N docs dropped by
+    * rule R"). Every rule is an operator verified on its own (q43/q78/
+    * q127); this proves they compose: one pass per rule family, three
+    * left joins on doc_id, no rule recomputing another's inputs. */
+  private val q131 = Q(
+    "q131_filter_stack",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val tokenRows = d.select($"doc_id".as("doc"),
+        explode(TextOps.tokens($"text")).as("token"))
+      val quality = TextOps.qualityScore(tokenRows, Seq("the", "a", "of", "and"))
+        .select($"doc", $"n_tokens", $"mean_token_len")
+      val ngr = d.withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id".as("doc"), explode(TextOps.shingles("ts", 2)).as("s"))
+      val rep = TextOps.repetitionStats(ngr)
+        .select($"doc", $"dup_frac", $"top_frac")
+      val lm = LmScore.lmScore(d, $"doc_id", $"text",
+          vocabK = 50, pplFlag = 32.0)
+        .select($"doc", $"ppl")
+      quality.join(rep, Seq("doc"), "left").join(lm, Seq("doc"), "left")
+        .select($"doc".as("doc_id"),
+          when($"n_tokens" < 20, 1).otherwise(0).as("f_short"),
+          when($"mean_token_len" < 3.5, 1).otherwise(0).as("f_lowq"),
+          when(coalesce($"dup_frac" > 0.5 || $"top_frac" > 0.18,
+            lit(false)), 1).otherwise(0).as("f_rep"),
+          when(coalesce($"ppl" > 32.0, lit(false)), 1).otherwise(0)
+            .as("f_ppl"))
+        .withColumn("decision",
+          when($"f_short" === 1, "short")
+            .when($"f_lowq" === 1, "low_quality")
+            .when($"f_rep" === 1, "repetition")
+            .when($"f_ppl" === 1, "perplexity")
+            .otherwise("kept"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${LmScore.lmScoreSql("doc_id", "text", 50, 32.0)},
+      qtok AS (
+        SELECT doc_id AS doc,
+          unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents),
+      qual AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ${Exact.sqlSum("CAST(length(token) AS DOUBLE)")} / COUNT(*)
+            AS mean_token_len
+        FROM qtok GROUP BY doc),
+      fngr AS (
+        SELECT doc_id AS doc,
+          unnest(list_transform(generate_series(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1])) AS s
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents)),
+      fcnt AS (SELECT doc, s, CAST(COUNT(*) AS BIGINT) AS c
+               FROM fngr GROUP BY doc, s),
+      frep AS (
+        SELECT doc, 1.0e0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+          CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+        FROM fcnt GROUP BY doc),
+      stack AS (
+        SELECT q.doc,
+          CASE WHEN q.n_tokens < 20 THEN 1 ELSE 0 END AS f_short,
+          CASE WHEN q.mean_token_len < 3.5e0 THEN 1 ELSE 0 END AS f_lowq,
+          CASE WHEN COALESCE(r.dup_frac > 0.5e0 OR r.top_frac > 0.18e0,
+            false) THEN 1 ELSE 0 END AS f_rep,
+          CASE WHEN COALESCE(l.ppl > 32.0e0, false) THEN 1 ELSE 0 END AS f_ppl
+        FROM qual q
+        LEFT JOIN frep r ON q.doc = r.doc
+        LEFT JOIN lmout l ON q.doc = l.doc)
+      SELECT doc AS doc_id, f_short, f_lowq, f_rep, f_ppl,
+        CASE WHEN f_short = 1 THEN 'short'
+             WHEN f_lowq = 1 THEN 'low_quality'
+             WHEN f_rep = 1 THEN 'repetition'
+             WHEN f_ppl = 1 THEN 'perplexity'
+             ELSE 'kept' END AS decision
+      FROM stack ORDER BY doc_id"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130)
+      q127, q128, q130, q131)
 }

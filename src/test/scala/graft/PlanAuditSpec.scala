@@ -274,6 +274,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Window") == 0, p)
   }
 
+  test("q130 URL dedup is map-side regex + one agg shuffle (2 exchanges, no join)") {
+    val p = planOf("q130_url_canonical_dedup")
+    // canonicalization must stay in the scan stage: group-by + the
+    // presentation sort are the only exchanges, and nothing joins
+    assert(nodeCount(p, "Exchange") == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q128 DSIR model join is a broadcast; only the totals row nest-loops") {
     val p = planOf("q128_dsir_weights")
     // the 2·B-counter model broadcasts (the fixed-model-size property
