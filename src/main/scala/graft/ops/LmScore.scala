@@ -48,43 +48,55 @@ object LmScore {
     * decision flags ppl > `pplFlag`. Documents with fewer than two
     * tokens have no bigrams and are absent from the output.
     */
-  def lmScore(docs: DataFrame, idCol: Column, textCol: Column,
-      vocabK: Int, pplFlag: Double): DataFrame = {
+  /** The trained LM's three bounded frames: `vocab` (w, __v — ≤ K
+    * rows), `c1` (mw, c1 — ≤ K+1), `c2` (mw, mw2, c2 — observed
+    * bigrams, ≤ (K+1)²). All checkpointed — train once, score
+    * anywhere, including [[graft.streaming.StreamLm]]. */
+  final case class LmModelFrames(vocab: DataFrame, c1: DataFrame,
+      c2: DataFrame)
+
+  /** Fit the capped-vocabulary bigram model on a batch corpus.
+    *
+    * The model tables are all BOUNDED (vocab ≤ K, unigrams ≤ K+1,
+    * bigrams ≤ (K+1)²) while every derivation of them scans the whole
+    * corpus — materialize each once (eager localCheckpoint, the q121
+    * convention) so training is three linear passes and scoring one,
+    * instead of re-deriving the vocabulary under every consumer
+    * (unchecked, the q127 plan scanned the corpus six times). The
+    * corpus-sized token/bigram streams are deliberately NOT
+    * materialized: storing them would cost more than the one extra
+    * window pass they save. */
+  def lmModel(docs: DataFrame, idCol: Column, textCol: Column,
+      vocabK: Int): LmModelFrames = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs.select(idCol.as("doc"),
-      posexplode(TextOps.tokens(textCol)).as(Seq("pos", "w")))
-    // The model tables are all BOUNDED (vocab ≤ K, unigrams ≤ K+1,
-    // bigrams ≤ (K+1)²) while every derivation of them scans the whole
-    // corpus — materialize each once (eager localCheckpoint, the q121
-    // convention) so training is three linear passes and scoring one,
-    // instead of re-deriving the vocabulary under every consumer
-    // (unchecked, this plan scanned the corpus six times). The
-    // corpus-sized token/bigram streams are deliberately NOT
-    // materialized: storing them would cost more than the one extra
-    // window pass they save.
+    val toks = lmTokens(docs, idCol, textCol)
     val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"w".asc).limit(vocabK)
       .select($"w", lit(1).as("__v"))
       .localCheckpoint()
-    val mapped = toks.join(broadcast(vocab), Seq("w"), "left")
-      .select($"doc", $"pos",
-        when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
-    val big = mapped
-      .withColumn("mw2",
-        lead($"mw", 1).over(Window.partitionBy($"doc").orderBy($"pos")))
-      .filter($"mw2".isNotNull)
-      .select($"doc", $"mw", $"mw2")
+    val mapped = lmMapped(toks, vocab)
     val c1 = mapped.groupBy($"mw").agg(count(lit(1)).as("c1"))
       .localCheckpoint()
-    val c2 = big.groupBy($"mw", $"mw2").agg(count(lit(1)).as("c2"))
+    val c2 = lmBigrams(mapped).groupBy($"mw", $"mw2")
+      .agg(count(lit(1)).as("c2"))
       .localCheckpoint()
+    LmModelFrames(vocab, c1, c2)
+  }
+
+  def lmScore(docs: DataFrame, idCol: Column, textCol: Column,
+      vocabK: Int, pplFlag: Double): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = lmModel(docs, idCol, textCol, vocabK)
+    val big = lmBigrams(lmMapped(lmTokens(docs, idCol, textCol), m.vocab))
     val smooth = vocabK + 1
     // |lp| <= ln(c1 + smooth) — double digits at any corpus size
     // c2 is left unhinted: bounded by observed bigrams (≤ (K+1)²), it
     // auto-broadcasts when small but may legitimately shuffle at a
     // production vocab; c1 (≤ K+1 rows) always broadcasts
-    val scored = big.join(c2, Seq("mw", "mw2")).join(broadcast(c1), Seq("mw"))
+    val scored = big.join(m.c2, Seq("mw", "mw2"))
+      .join(broadcast(m.c1), Seq("mw"))
       .withColumn("lp", round(log(($"c2" + 1).cast("double") /
         ($"c1" + lit(smooth)).cast("double")), 6))
     scored.groupBy($"doc")
@@ -94,6 +106,29 @@ object LmScore {
       .withColumn("ppl", round(exp($"nll"), 6))
       .select($"doc", $"n_bigrams", $"nll", $"ppl",
         when($"ppl" > pplFlag, "flagged").otherwise("kept").as("decision"))
+  }
+
+  private def lmTokens(docs: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    docs.select(idCol.as("doc"),
+      posexplode(TextOps.tokens(textCol)).as(Seq("pos", "w")))
+
+  private def lmMapped(toks: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .select($"doc", $"pos",
+        when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
+  }
+
+  private def lmBigrams(mapped: DataFrame): DataFrame = {
+    val s = mapped.sparkSession
+    import s.implicits._
+    mapped
+      .withColumn("mw2",
+        lead($"mw", 1).over(Window.partitionBy($"doc").orderBy($"pos")))
+      .filter($"mw2".isNotNull)
+      .select($"doc", $"mw", $"mw2")
   }
 
   /** Oracle twin of [[lmScore]] (DuckDB CTE fragment ending in a

@@ -274,6 +274,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Window") == 0, p)
   }
 
+  test("q131 filter stack: rule families join on doc id, no cartesian") {
+    val p = planOf("q131_filter_stack")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the LM's bounded model joins stay broadcast inside the stack
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q130 URL dedup is map-side regex + one agg shuffle (2 exchanges, no join)") {
     val p = planOf("q130_url_canonical_dedup")
     // canonicalization must stay in the scan stage: group-by + the
