@@ -95,4 +95,31 @@ object Sampling {
   def weightedHashSampleSql(keyExpr: String, weightExpr: String): String =
     s"ROUND(LN(CAST(${TextOps.h64Sql(keyExpr)} + 1 AS DOUBLE) / $HashSpace)" +
       s" / CAST($weightExpr AS DOUBLE), 6)"
+
+  /** Per-row replica count that realizes a fractional epoch factor
+    * deterministically: `epochs` = how many times this row's source
+    * should appear per natural pass (a mixing target ÷ natural share).
+    * Every row gets floor(epochs) replicas, and the fractional
+    * remainder is realized by the rows whose content hash lands in the
+    * first frac·den slots of hash space — so a source at epochs = 2.3
+    * emits each doc 2×, plus a deterministic, rerun-stable 30% of docs
+    * a 3rd time, and a source at epochs = 0.7 keeps a 70% subsample
+    * (the operator up- AND down-samples toward the target mix). The
+    * fraction is quantized to 1/den (round-half-up on both engines) so
+    * the threshold is integer-exact. Pure per-row arithmetic: the
+    * materialization step is a map-side explode, no shuffle. */
+  def epochReps(epochs: Column, key: Column, den: Int = 1000000): Column = {
+    val whole = floor(epochs).cast("long")
+    val fracSlots = round((epochs - floor(epochs)) * den).cast("long")
+    whole + when(pmod(TextOps.h64(key), lit(den.toLong)) < fracSlots, 1L)
+      .otherwise(0L)
+  }
+
+  /** SQL twin of [[epochReps]] (DuckDB syntax). */
+  def epochRepsSql(epochsExpr: String, keyExpr: String,
+      den: Int = 1000000): String =
+    s"""CAST(floor($epochsExpr) AS BIGINT)
+       + CASE WHEN ${TextOps.h64Sql(keyExpr)} % $den <
+           CAST(round(($epochsExpr - floor($epochsExpr)) * $den) AS BIGINT)
+         THEN 1 ELSE 0 END"""
 }

@@ -640,7 +640,60 @@ object CorpusQueries extends QueryGroup {
              ELSE 'kept' END AS decision
       FROM stack ORDER BY doc_id"""))
 
+  /** Deterministic epoch mixing (Sampling.epochReps ∘
+    * smoothedMixWeights): the temperature-smoothed language mix (q124's
+    * α = 0.5 recipe over the skewed `lang` column) becomes per-language
+    * epoch factors — target probability ÷ natural share — and each doc
+    * is materialized floor(epochs) times plus a hash-selected fraction,
+    * the step that turns a mixing TABLE into the mixed DATASET. The
+    * dominant language downsamples (epochs < 1), rare languages
+    * upsample; both run as one broadcast join of the 5-row mix table
+    * plus a map-side explode — no data-sized shuffle until the
+    * verification groupBy. The membership checksum hashes every
+    * (lang, doc, replica) row, so the oracle must replicate the exact
+    * per-replica expansion. */
+  private val q133 = Q(
+    "q133_epoch_mix",
+    (s, dir) => {
+      import s.implicits._
+      val mix = TextOps.smoothedMixWeights(docs(s, dir), Seq($"lang"))
+        .select($"lang", ($"prob" / $"share").as("epochs"))
+      val withReps = docs(s, dir).join(broadcast(mix), Seq("lang"))
+        .withColumn("reps", graft.ops.Sampling.epochReps($"epochs",
+          concat_ws(":", $"lang", $"doc_id")))
+      withReps
+        .withColumn("rep",
+          explode(when($"reps" >= 1, sequence(lit(1L), $"reps"))))
+        .groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          min($"epochs").as("epochs"),
+          sum(pmod(TextOps.h64(
+            concat_ws(":", $"lang", $"doc_id", $"rep")),
+            lit(1000000007L))).as("membership"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      w AS (SELECT lang, cnt, CAST(cnt AS DOUBLE) / t.total AS share,
+              sqrt(CAST(cnt AS DOUBLE) / t.total) AS w FROM c, t),
+      z AS (SELECT ${Exact.sqlSum("w")} AS z FROM w),
+      m AS (SELECT lang, share, (w.w / z.z) / share AS epochs FROM w, z),
+      d AS (SELECT dd.doc_id, m.lang, m.epochs,
+              ${graft.ops.Sampling.epochRepsSql("epochs",
+                "m.lang || ':' || dd.doc_id")} AS reps
+            FROM documents dd JOIN m ON dd.lang = m.lang),
+      u AS (SELECT lang, doc_id, epochs,
+              unnest(generate_series(1, CAST(reps AS INT))) AS rep FROM d)
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_rows, MIN(epochs) AS epochs,
+             CAST(SUM(${TextOps.h64Sql(
+               "lang || ':' || doc_id || ':' || rep")}
+               % 1000000007) AS BIGINT) AS membership
+      FROM u GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131)
+      q127, q128, q130, q131, q133)
 }

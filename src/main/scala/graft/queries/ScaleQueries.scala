@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Exact, Sketch, Skew, TextOps}
+import graft.ops.{Exact, Shard, Sketch, Skew, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Scale-path batch: the rewrites that keep hot keys and distinct
@@ -120,5 +120,46 @@ object ScaleQueries extends QueryGroup {
       FROM ph LEFT JOIN cms ON cms.j = ph.j AND cms.c = ph.c
       GROUP BY ph.word ORDER BY ph.word"""))
 
-  def queries: Seq[Q] = Seq(q73, q74, q91, q115)
+  /** Balanced training shards (ops/Shard): rank documents by token
+    * count descending via the counting-sort histogramRank — never a
+    * whole-frame window — and deal them serpentine over 8 shards. The
+    * output proves the balance (shard token totals within one doc of
+    * each other) and pins exact membership with a hash checksum, so
+    * the oracle's textbook row_number() formulation must place every
+    * doc identically. */
+  private val q132 = Q(
+    "q132_balanced_shards",
+    (s, dir) => {
+      import s.implicits._
+      val sized = Tables(s, dir, "documents")
+        .select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+      Shard.histogramRank(sized, $"n_tokens", bucketAsc = false,
+          Seq($"doc_id".asc), "rnk")
+        .withColumn("shard", Shard.serpentineShard($"rnk", 8))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"),
+          sum(pmod(TextOps.h64(concat_ws(":", $"doc_id", $"rnk")),
+            lit(1000000007L))).as("membership"))
+        .orderBy($"shard")
+    },
+    Some(s"""
+      WITH sized AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS n_tokens
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rnk
+        FROM sized)
+      SELECT ${Shard.serpentineShardSql("rnk", 8)} AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(SUM(${TextOps.h64Sql("doc_id || ':' || rnk")}
+               % 1000000007) AS BIGINT) AS membership
+      FROM ranked GROUP BY 1 ORDER BY shard"""))
+
+  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132)
 }

@@ -360,6 +360,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q132 histogram rank broadcasts offsets; data never sort-merges or globally sorts") {
+    // the counting-sort rank's contract: the histogram prefix-sum is the
+    // only unpartitioned pass (metadata-sized), the bucket offsets come
+    // back to the data through a broadcast join, and the document rows
+    // themselves are never ordered by a whole-frame window or sort
+    val p = planOf("q132_balanced_shards")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one single-partition exchange: the bucket histogram
+    assert("Arguments: SinglePartition".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q133 epoch mix: 5-row mix table broadcasts, replication is map-side") {
+    val p = planOf("q133_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the explode (per-replica Generate) sits directly on the join output
+    // — no data-sized shuffle between the scan and the replication
+    assert(nodeCount(p, "Generate") == 1, p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
