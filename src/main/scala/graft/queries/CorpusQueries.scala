@@ -693,7 +693,39 @@ object CorpusQueries extends QueryGroup {
                % 1000000007) AS BIGINT) AS membership
       FROM u GROUP BY lang ORDER BY lang"""))
 
+  /** BPE tokenizer training, the corpus-scale step (ops/Bpe): the
+    * word-frequency table is the one corpus-sized aggregation; adjacent
+    * character-pair counts over that vocab — weighted by word frequency
+    * — are what every merge iteration ranks. The top-20 pair table
+    * under the deterministic total order (count desc, pair lexicographic)
+    * is exactly the data the first merge selects from; the iterative
+    * merge loop itself (inherently sequential, vocab-sized per step) is
+    * pinned against a naive reference implementation in BpeSpec. */
+  private val q134 = Q(
+    "q134_bpe_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = docs(s, dir)
+        .select(explode(TextOps.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      graft.ops.Bpe.pairCounts(vocab,
+          graft.ops.Bpe.charSymbols($"word"), $"cnt")
+        .select($"left".as("l"), $"right".as("r"), $"cnt")
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                 FROM documents),
+      v AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+      s AS (SELECT cnt, string_split(word, '') AS chars FROM v
+            WHERE len(string_split(word, '')) >= 2),
+      p AS (SELECT cnt, unnest(generate_series(1, len(chars) - 1)) AS i, chars
+            FROM s)
+      SELECT chars[i] AS l, chars[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM p GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 20"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131, q133)
+      q127, q128, q130, q131, q133, q134)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE training against a naive single-machine reference implementation. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Straight-line reference: the textbook algorithm over a Map. */
+  private def naiveTrain(vocab: Map[String, Long],
+      k: Int): (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var syms: Map[String, (Long, Vector[String])] =
+      vocab.map { case (w, c) => w -> (c, w.split("").toVector) }
+    val merges = Seq.newBuilder[(String, String)]
+    var stop = false
+    for (_ <- 1 to k if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.values.foreach { case (c, ss) =>
+        ss.sliding(2).filter(_.size == 2).foreach { p =>
+          val key = (p(0), p(1))
+          counts(key) = counts.getOrElse(key, 0L) + c
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        // count desc, then pair lexicographic — the op's total order
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += ((l, r))
+        syms = syms.map { case (w, (c, ss)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.size) {
+            if (i + 1 < ss.size && ss(i) == l && ss(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> (c, out.result())
+        }
+      }
+    }
+    (merges.result(), syms.map { case (w, (_, ss)) => w -> ss })
+  }
+
+  // the Sennrich et al. example vocabulary
+  private val sennrich = Map(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("train matches the naive reference on the Sennrich vocabulary") {
+    val df = sennrich.toSeq.toDF("word", "cnt")
+    val (merges, syms) = Bpe.train(df, k = 6)
+    val (expMerges, expSyms) = naiveTrain(sennrich, k = 6)
+    assert(merges == expMerges, s"got $merges expected $expMerges")
+    val got = syms.select($"word", $"symbols")
+      .as[(String, Seq[String])].collect().toMap
+    assert(got == expSyms)
+    // the canonical first merges of the example: (e,s) 9×, then (es,t) 9×
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")))
+  }
+
+  test("train is partitioning-invariant and overlap-safe") {
+    val words = Seq(("aaaa", 3L), ("aab", 2L), ("baa", 4L))
+    for (parts <- Seq(1, 4)) {
+      val df = words.toDF("word", "cnt").repartition(parts)
+      val (merges, syms) = Bpe.train(df, k = 2)
+      val (expMerges, expSyms) = naiveTrain(words.toMap, k = 2)
+      assert(merges == expMerges, s"parts=$parts")
+      val got = syms.select($"word", $"symbols")
+        .as[(String, Seq[String])].collect().toMap
+      // "aaaa" under (a,a) must scan left-to-right: [aa, aa], never [a, aa, a]
+      assert(got == expSyms, s"parts=$parts")
+    }
+  }
+
+  test("train stops early when no pair repeats") {
+    val df = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
+    val (merges, _) = Bpe.train(df, k = 10)
+    // every pair occurs once; merges still happen (count 1 is valid) but
+    // single-char words end the loop
+    assert(merges.size <= 2)
+    val (single, _) = Bpe.train(Seq(("a", 5L)).toDF("word", "cnt"), k = 3)
+    assert(single.isEmpty)
+  }
+}
