@@ -99,6 +99,36 @@ object Sink {
     dir
   }
 
+  /** Write a corpus as `nShards` balanced training shards: documents
+    * get their serpentine shard (ops/Shard — counting-sort rank over
+    * `sizeCol` descending, `idCol` tiebreak), land in `shard=K`
+    * partition directories a data-parallel trainer streams one-per-rank,
+    * and a `_manifest.json` sidecar records per-shard doc/size totals —
+    * the dataset-card numbers a training run reads before it starts.
+    * The manifest aggregation collects `nShards` rows (the metadata-
+    * sized Sink collect class); the assignment recomputes for the stats
+    * pass rather than caching a corpus-sized frame. */
+  def writeShards(docs: DataFrame, idCol: String, sizeCol: String,
+      root: String, nShards: Int): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val assigned = graft.ops.Shard.histogramRank(docs, col(sizeCol),
+        bucketAsc = false, Seq(col(idCol).asc), "__rnk")
+      .withColumn("shard",
+        graft.ops.Shard.serpentineShard(col("__rnk"), nShards))
+      .drop("__rnk")
+    assigned.write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(root)
+    val stats = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(sizeCol)).as("sum_size"))
+      .orderBy(col("shard")).collect()
+    val json = stats.map(r =>
+        s"""{"shard": ${r.getLong(0)}, "n_docs": ${r.getLong(1)},""" +
+          s""" "sum_size": ${r.getLong(2)}}""")
+      .mkString("[", ", ", "]")
+    Files.writeString(Paths.get(root, "_manifest.json"), json)
+    root
+  }
+
   /** Mapping-template CSV emission (mopdb_utils.py write_map_template
     * 744-798): the `;`-separated template with the reference's literal
     * warning-section banners, fed by

@@ -26,37 +26,49 @@ final case class LmOut(doc: Long, nBigrams: Long, nll: Double, ppl: Double,
   */
 object StreamLm {
 
+  /** The per-doc scoring kernel, shared with [[StreamFilterStack]]:
+    * Some((covered bigrams, nll, ppl)) or None when the batch operator
+    * would emit no row (< 2 tokens, or no model-covered bigram). */
+  private[streaming] def pplOf(ts: Array[String], vocab: Set[String],
+      c1: Map[String, Long], c2: Map[(String, String), Long],
+      vocabK: Int): Option[(Long, Double, Double)] = {
+    if (ts.length < 2) None
+    else {
+      val smooth = vocabK + 1
+      val mw = ts.map(w => if (vocab(w)) w else "<unk>")
+      var n = 0L
+      var sum = BigDecimal(0)
+      mw.iterator.sliding(2).withPartial(false).foreach { pair =>
+        (c2.get((pair(0), pair(1))), c1.get(pair(0))) match {
+          case (Some(cc2), Some(cc1)) =>
+            n += 1
+            sum += BigDecimal(
+              math.log((cc2 + 1).toDouble / (cc1 + smooth).toDouble))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          case _ => () // unseen bigram: the batch inner-join drop
+        }
+      }
+      if (n == 0) None
+      else {
+        val nll = -sum.toDouble / n.toDouble
+        val ppl = BigDecimal(math.exp(nll))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((n, nll, ppl))
+      }
+    }
+  }
+
   def score(stream: Dataset[DocEvent], vocab: Set[String],
       c1: Map[String, Long], c2: Map[(String, String), Long],
       vocabK: Int, pplFlag: Double): Dataset[LmOut] = {
     require(vocabK > 0, s"vocabK must be positive, got $vocabK")
-    val smooth = vocabK + 1
     implicit val outEnc = Encoders.product[LmOut]
     stream.flatMap { e =>
-      val ts = e.text.trim.split("\\s+")
-      if (ts.length < 2) Iterator.empty
-      else {
-        val mw = ts.map(w => if (vocab(w)) w else "<unk>")
-        var n = 0L
-        var sum = BigDecimal(0)
-        mw.iterator.sliding(2).withPartial(false).foreach { pair =>
-          (c2.get((pair(0), pair(1))), c1.get(pair(0))) match {
-            case (Some(cc2), Some(cc1)) =>
-              n += 1
-              sum += BigDecimal(
-                math.log((cc2 + 1).toDouble / (cc1 + smooth).toDouble))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            case _ => () // unseen bigram: the batch inner-join drop
-          }
-        }
-        if (n == 0) Iterator.empty
-        else {
-          val nll = -sum.toDouble / n.toDouble
-          val ppl = BigDecimal(math.exp(nll))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      pplOf(e.text.trim.split("\\s+"), vocab, c1, c2, vocabK) match {
+        case None => Iterator.empty
+        case Some((n, nll, ppl)) =>
           val decision = if (ppl > pplFlag) "flagged" else "kept"
           Iterator.single(LmOut(e.doc, n, nll, ppl, decision))
-        }
       }
     }
   }

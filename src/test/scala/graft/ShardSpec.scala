@@ -69,6 +69,32 @@ class ShardSpec extends SparkSpec {
     assert(down._3 >= 2000 * 0.4 && down._3 <= 2000 * 0.6)
   }
 
+  test("writeShards lays out shard=K dirs and an accurate manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = items.select($"id".as("doc_id"), $"size")
+    graft.io.Sink.writeShards(docs, "doc_id", "size", dir, 4)
+    val dirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    // manifest totals must match the written data exactly (underscore
+    // prefix hides the sidecar from Spark listings — read it directly)
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_manifest.json"))
+    val manifest =
+      """\{"shard": (\d+), "n_docs": (\d+), "sum_size": (\d+)\}""".r
+        .findAllMatchIn(text)
+        .map(m => (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+        .toSeq.sortBy(_._1)
+    val actual = back.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), sum($"size").as("s"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(manifest == actual)
+    assert(manifest.map(_._3).sum ==
+      items.agg(sum($"size")).as[Long].collect().head)
+  }
+
   test("epochReps is partitioning-invariant (hash-keyed, not rand)") {
     val mk = (parts: Int) => spark.range(0, 500).toDF("id")
       .repartition(parts)
