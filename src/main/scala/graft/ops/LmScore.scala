@@ -276,4 +276,110 @@ object LmScore {
              THEN 'selected' ELSE 'rest' END AS decision
       FROM pd JOIN model m ON pd.b = m.b
       GROUP BY pd.doc)"""
+
+  /** Multinomial Naive Bayes quality classifier — the
+    * fastText-classifier stage of published pipelines (CCNet trains
+    * one on "looks like Wikipedia"; GPT-3/LLaMA on curated-vs-crawl),
+    * here trained on caller-supplied heuristic labels: distill the
+    * rule gates into a word-level scorer that generalizes past the
+    * exact rule boundaries.
+    *
+    * Model: vocabulary = top `vocabK` corpus tokens (count desc,
+    * token asc), rest → `<unk>`; per-class add-one-smoothed token
+    * likelihoods over the (K+1)-word event space. A doc's score is the
+    * add-one-smoothed class-prior log-odds plus the sum of per-token
+    * log-likelihood ratios; label `good` ⟺ score > 0.
+    *
+    * Scale: the model is ≤ K+1 rows of (token, llr) plus two scalars —
+    * bounded by construction, broadcast at any corpus size; training
+    * is two linear passes (vocab cut, class counts) and scoring one
+    * map-side broadcast join + per-doc agg. Determinism: one ln per
+    * model row rounded to 6 (q59 convention; the ratio is formed in
+    * IEEE doubles identically in both engines), decimal-exact doc
+    * sums, total-order vocab cut.
+    *
+    * Output: (doc, n_tokens, score, label) — one row per doc with ≥ 1
+    * token (empty text still tokenizes to one empty token, as in the
+    * quality stack). */
+  def nbScore(docs: DataFrame, idCol: Column, textCol: Column,
+      isPos: Column, vocabK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val smooth = vocabK + 1
+    val labeled = docs.select(idCol.as("doc"), textCol.as("__text"),
+      isPos.cast("boolean").as("__pos"))
+    val toks = labeled.select($"doc", $"__pos",
+      explode(TextOps.tokens($"__text")).as("w"))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w".asc).limit(vocabK)
+      .select($"w", lit(1).as("__v")).localCheckpoint()
+    val mapped = toks.join(broadcast(vocab), Seq("w"), "left")
+      .select($"doc", $"__pos",
+        when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
+    // class-conditional counts over the mapped event space: ≤ K+1 rows
+    val classCnt = mapped.groupBy($"mw")
+      .agg(sum(when($"__pos", 1L).otherwise(0L)).as("cp"),
+        sum(when(!$"__pos", 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint()
+    val totals = classCnt.agg(sum($"cp").as("tp"), sum($"cn").as("tn"))
+    val llr = classCnt.crossJoin(broadcast(totals))
+      .select($"mw", round(log(
+        (($"cp" + 1).cast("double") * ($"tn" + smooth).cast("double")) /
+          (($"cn" + 1).cast("double") * ($"tp" + smooth).cast("double"))),
+        6).as("llr"))
+    val prior = labeled.agg(
+        sum(when($"__pos", 1L).otherwise(0L)).as("np"),
+        sum(when(!$"__pos", 1L).otherwise(0L)).as("nn"))
+      .select(round(log(($"np" + 1).cast("double") /
+        ($"nn" + 1).cast("double")), 6).as("prior"))
+    mapped.join(broadcast(llr), Seq("mw"))
+      .groupBy($"doc")
+      .agg(count(lit(1)).as("n_tokens"), Exact.dsum($"llr").as("__s"))
+      .crossJoin(broadcast(prior))
+      .select($"doc", $"n_tokens", ($"prior" + $"__s").as("score"),
+        when(($"prior" + $"__s") > 0, "good").otherwise("bad").as("label"))
+  }
+
+  /** Oracle twin of [[nbScore]] (DuckDB CTE fragment ending in
+    * `nbout(doc, n_tokens, score, label)`). `labelExpr` is a boolean
+    * SQL expression over the `documents` view columns. */
+  def nbScoreSql(docExpr: String, textExpr: String, labelExpr: String,
+      vocabK: Int): String = {
+    val smooth = vocabK + 1
+    s"""
+    nbt AS (
+      SELECT $docExpr AS doc, $labelExpr AS pos,
+        unnest(string_split_regex(trim($textExpr), '\\s+')) AS w
+      FROM documents),
+    nbvocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM nbt GROUP BY w)
+      ORDER BY cnt DESC, w LIMIT $vocabK),
+    nbmapped AS (
+      SELECT t.doc, t.pos,
+        CASE WHEN v.w IS NULL THEN '<unk>' ELSE t.w END AS mw
+      FROM nbt t LEFT JOIN nbvocab v ON t.w = v.w),
+    nbcnt AS (
+      SELECT mw,
+        CAST(COUNT(CASE WHEN pos THEN 1 END) AS BIGINT) AS cp,
+        CAST(COUNT(CASE WHEN NOT pos THEN 1 END) AS BIGINT) AS cn
+      FROM nbmapped GROUP BY mw),
+    nbtot AS (SELECT SUM(cp) AS tp, SUM(cn) AS tn FROM nbcnt),
+    nbllr AS (
+      SELECT mw, ROUND(LN(
+        (CAST(cp + 1 AS DOUBLE) * CAST(tn + $smooth AS DOUBLE)) /
+        (CAST(cn + 1 AS DOUBLE) * CAST(tp + $smooth AS DOUBLE))), 6) AS llr
+      FROM nbcnt CROSS JOIN nbtot),
+    nbprior AS (
+      SELECT ROUND(LN(
+        CAST(COUNT(CASE WHEN pos THEN 1 END) + 1 AS DOUBLE) /
+        CAST(COUNT(CASE WHEN NOT pos THEN 1 END) + 1 AS DOUBLE)), 6) AS pri
+      FROM (SELECT DISTINCT doc, pos FROM nbt)),
+    nbout AS (
+      SELECT m.doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        p.pri + ${Exact.sqlSum("l.llr")} AS score,
+        CASE WHEN p.pri + ${Exact.sqlSum("l.llr")} > 0.0e0
+             THEN 'good' ELSE 'bad' END AS label
+      FROM nbmapped m JOIN nbllr l ON m.mw = l.mw CROSS JOIN nbprior p
+      GROUP BY m.doc, p.pri)"""
+  }
 }

@@ -725,7 +725,37 @@ object CorpusQueries extends QueryGroup {
       SELECT chars[i] AS l, chars[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS cnt
       FROM p GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 20"""))
 
+  /** Naive Bayes quality classifier (LmScore.nbScore): distill the C4
+    * length gates (n_tokens ≥ 20, mean token length ≥ 3.5 — the q131
+    * f_short/f_lowq rules) into a word-level scorer, the
+    * fastText-classifier stage of CCNet/GPT-3-style pipelines. The
+    * heuristic labels train per-class token likelihoods over a top-50
+    * vocab; every doc then scores prior log-odds + Σ token LLR. The
+    * model is ≤ 51 rows + 2 scalars at ANY corpus size — the
+    * classifier generalizes the rules without their hard boundaries,
+    * and scoring is one broadcast join. */
+  private val q135 = Q(
+    "q135_nb_quality",
+    (s, dir) => {
+      import s.implicits._
+      def ts = TextOps.tokens($"text")
+      val isPos = (size(ts) >= 20) and
+        (aggregate(transform(ts, t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / size(ts).cast("double") >= 3.5)
+      LmScore.nbScore(docs(s, dir), $"doc_id", $"text", isPos, vocabK = 50)
+        .orderBy($"doc")
+    },
+    Some {
+      val tsSql = "string_split_regex(trim(text), '\\s+')"
+      val labelSql = s"""(len($tsSql) >= 20 AND
+        CAST(list_sum(list_transform($tsSql, t -> length(t))) AS DOUBLE)
+        / CAST(len($tsSql) AS DOUBLE) >= 3.5e0)"""
+      s"""
+      WITH ${LmScore.nbScoreSql("doc_id", "text", labelSql, 50)}
+      SELECT doc, n_tokens, score, label FROM nbout ORDER BY doc"""
+    })
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131, q133, q134)
+      q127, q128, q130, q131, q133, q134, q135)
 }

@@ -109,4 +109,30 @@ class LmScoreSpec extends SparkSpec {
     assert(lmRows(docs) == lmRows(docs.repartition(13)))
     assert(dsRows(docs) == dsRows(docs.repartition(13)))
   }
+
+  test("nbScore separates classes by vocabulary and generalizes past labels") {
+    // good docs speak "signal"; bad docs speak "noise"; labels are a
+    // per-doc flag the classifier must distill into word likelihoods
+    val docs = ((1L to 10L).map(i => (i, "signal clean prose text here", true)) ++
+      (11L to 20L).map(i => (i, "noise spam junk garbage here", false)) ++
+      // held-out docs: label says bad (excluded from pos class) but the
+      // VOCABULARY is good-class — a word-level model must score it good
+      Seq((21L, "signal clean prose text extra", false)))
+      .toDF("doc_id", "text", "pos")
+    val out = LmScore.nbScore(docs, $"doc_id", $"text", $"pos", vocabK = 20)
+      .as[(Long, Long, Double, String)].collect().map(r => r._1 -> r._4).toMap
+    (1L to 10L).foreach(i => assert(out(i) == "good", s"doc $i"))
+    (11L to 20L).foreach(i => assert(out(i) == "bad", s"doc $i"))
+    assert(out(21L) == "good", "held-out doc with good vocabulary")
+  }
+
+  test("nbScore is invariant to input partitioning") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w${i % 2} tail"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      LmScore.nbScore(df, $"doc_id", $"text", $"doc_id" % 3 === 0, 5)
+        .as[(Long, Long, Double, String)].collect().toSet
+    assert(rows(docs) == rows(docs.repartition(13)))
+  }
 }
