@@ -73,6 +73,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("symbols split per code point — multibyte text trains correctly") {
+    val words = Map("日本語" -> 4L, "日本酒" -> 2L, "語学" -> 1L)
+    val (merges, syms) = Bpe.train(words.toSeq.toDF("word", "cnt"), k = 2)
+    val (expMerges, expSyms) = naiveTrain(words, k = 2)
+    assert(merges == expMerges)
+    // the dominant pair is (日, 本) with weight 6
+    assert(merges.head == (("日", "本")))
+    val got = syms.select($"word", $"symbols")
+      .as[(String, Seq[String])].collect().toMap
+    assert(got == expSyms)
+  }
+
   test("train stops early when no pair repeats") {
     val df = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
     val (merges, _) = Bpe.train(df, k = 10)

@@ -381,6 +381,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Generate") == 1, p)
   }
 
+  test("q134 BPE pair counts: map-side pair generation, agg shuffles, top-k without global sort") {
+    val p = planOf("q134_bpe_pairs")
+    // exactly two Generates — the token explode feeding the word-freq
+    // agg and the pair explode over symbols — the count reduces through
+    // partial aggregation, and the top-20 cut is TakeOrderedAndProject:
+    // per-partition top-k, never a full sort
+    assert(nodeCount(p, "Generate") == 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q135 NB classifier: bounded model broadcasts back; token rows never sort-merge") {
+    val p = planOf("q135_nb_quality")
+    // vocab (≤ K), llr table (≤ K+1), and the prior scalar all come
+    // back to the data through broadcasts; the checkpointed model
+    // frames surface as ExistingRDD scans
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
