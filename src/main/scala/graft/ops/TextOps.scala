@@ -496,6 +496,44 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Rule-based line scrub — the jusText/RefinedWeb line-wise
+    * boilerplate filter, the RULE sibling of the frequency-based
+    * [[lineDedupe]]: a line is boilerplate by its own shape (too short
+    * without terminal punctuation, digit-dominated, link-dominated),
+    * no corpus statistics involved — so classification is PURE
+    * map-side arithmetic; the only shuffle is the per-doc reassembly
+    * groupBy. Input: (doc_id, line_no, lw: array<string>) — the
+    * caller's line segmentation. Output: (doc_id, kept_lines,
+    * dropped_lines, clean_text) with kept lines rejoined in order
+    * (empty string when everything dropped).
+    *
+    * All three rules compare exact integer-count ratios (one IEEE
+    * division each), engine-portable regexes only, and the
+    * degenerate empty line (length 0) pins digit_ratio to 0 rather
+    * than relying on either engine's NaN comparison order. */
+  def lineRuleScrub(lines: DataFrame, minWords: Long = 3,
+      digitMax: Double = 0.3, linkMax: Double = 0.5): DataFrame = {
+    val line = array_join(col("lw"), " ")
+    val nWords = size(col("lw")).cast("long")
+    val nLink = size(expr("filter(lw, w -> w LIKE '%http%' OR w LIKE 'www.%')"))
+      .cast("long")
+    val endsPunct = element_at(col("lw"), -1).rlike("[.!?\"]$")
+    val digitRatio = when(length(line) > 0,
+      length(regexp_replace(line, "[^0-9]", "")).cast("double") /
+        length(line).cast("double")).otherwise(lit(0.0))
+    val linkFrac = nLink.cast("double") / nWords.cast("double")
+    val dropLine = (nWords < minWords && !endsPunct) ||
+      digitRatio > digitMax || linkFrac > linkMax
+    lines.withColumn("__line", line).withColumn("__drop", dropLine)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(!col("__drop"), 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("dropped_lines"),
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+             CASE WHEN NOT __drop THEN struct(line_no, __line) END)),
+             x -> x.__line)""")).as("clean_text"))
+  }
+
   /** Repeated-passage detection — the exact-substring-dedup shape of
     * Lee et al. '22 ("Deduplicating Training Data Makes Language
     * Models Better") at w-token shingle granularity: every w-token

@@ -755,7 +755,58 @@ object CorpusQueries extends QueryGroup {
       SELECT doc, n_tokens, score, label FROM nbout ORDER BY doc"""
     })
 
+  /** Rule-based line scrub (TextOps.lineRuleScrub): the jusText/
+    * RefinedWeb line-wise boilerplate pass over the q99 10-word-line
+    * segmentation — short lines without terminal punctuation,
+    * digit-dominated lines, and link-dominated lines drop on their own
+    * shape, no corpus stats. Classification is entirely map-side; the
+    * one shuffle is the per-doc reassembly. The rule sibling of q99's
+    * frequency scrub — a real pipeline runs both. */
+  private val q136 = Q(
+    "q136_line_rules",
+    (s, dir) => {
+      import s.implicits._
+      val lines = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id", posexplode(expr(
+          """transform(sequence(0, (size(words) - 1) div 10),
+             n -> slice(words, n * 10 + 1, 10))"""))
+          .as(Seq("line_no", "lw")))
+      TextOps.lineRuleScrub(lines).orderBy($"doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      l AS (
+        SELECT doc_id, i // 10 AS line_no,
+               string_agg(word, ' ' ORDER BY i) AS line,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CASE WHEN word LIKE '%http%' OR word LIKE 'www.%'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_link,
+               regexp_matches(arg_max(word, i), '[.!?"]$') AS ends_punct
+        FROM w GROUP BY doc_id, i // 10),
+      flagged AS (
+        SELECT *,
+          ((n_words < 3 AND NOT ends_punct)
+           OR (CASE WHEN length(line) > 0
+                 THEN CAST(length(regexp_replace(line, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / CAST(length(line) AS DOUBLE)
+                 ELSE 0.0e0 END) > 0.3e0
+           OR CAST(n_link AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.5e0)
+            AS drop_line
+        FROM l)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN NOT drop_line THEN 1 ELSE 0 END) AS BIGINT)
+          AS kept_lines,
+        CAST(SUM(CASE WHEN drop_line THEN 1 ELSE 0 END) AS BIGINT)
+          AS dropped_lines,
+        COALESCE(string_agg(line, ' ' ORDER BY line_no)
+          FILTER (WHERE NOT drop_line), '') AS clean_text
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131, q133, q134, q135)
+      q127, q128, q130, q131, q133, q134, q135, q136)
 }

@@ -211,4 +211,25 @@ class TextOpsSpec extends SparkSpec {
       assert(got(in) == want, s"$in -> ${got(in)} (want $want)")
     }
   }
+
+  test("lineRuleScrub: each rule fires on its own shape, survivors rejoin in order") {
+    val lines = Seq(
+      // doc 1: short no-punct dropped; short WITH punct kept; normal kept
+      (1L, 0L, Seq("ok", "line")),                       // drop: 2 words, no punct
+      (1L, 1L, Seq("so", "be.")),                        // keep: punct saves it
+      (1L, 2L, Seq("a", "normal", "line", "of", "text")),
+      // doc 2: digit-dominated and link-dominated both drop
+      (2L, 0L, Seq("1234", "5678", "90")),               // digits > 30%
+      (2L, 1L, Seq("http://x.com", "www.y.com", "ok")),  // links > 50%
+      (2L, 2L, Seq("plain", "words", "survive", "here")),
+      // doc 3: everything drops -> empty clean_text
+      (3L, 0L, Seq("no", "x")))
+      .toDF("doc_id", "line_no", "lw")
+    val got = graft.ops.TextOps.lineRuleScrub(lines)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, "so be. a normal line of text")))
+    assert(got(2L) == ((1L, 2L, "plain words survive here")))
+    assert(got(3L) == ((0L, 1L, "")))
+  }
 }
