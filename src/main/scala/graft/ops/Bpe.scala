@@ -56,6 +56,18 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** Apply a FROZEN ordered merge list to a word — the tokenizer
+    * APPLICATION step: train once ([[train]]), encode everywhere. The
+    * fold chain is built at plan time (one [[applyMerge]] per rule),
+    * so encoding is pure per-row map work with the merge table baked
+    * into the plan — nothing joins, nothing shuffles, and a 100 TB
+    * encode pass is embarrassingly parallel. Returns the symbol
+    * array after all merges, applied in training order. */
+  def encode(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSymbols(word)) { case (syms, (l, r)) =>
+      applyMerge(syms, l, r)
+    }
+
   /** Learn `k` merge rules from a (word, cnt) vocabulary. Returns the
     * ordered merge list and the final symbol table
     * (word, cnt, symbols). Stops early when no pair repeats. Each

@@ -301,8 +301,17 @@ object LmScore {
     * Output: (doc, n_tokens, score, label) — one row per doc with ≥ 1
     * token (empty text still tokenizes to one empty token, as in the
     * quality stack). */
-  def nbScore(docs: DataFrame, idCol: Column, textCol: Column,
-      isPos: Column, vocabK: Int): DataFrame = {
+  /** The trained NB model's bounded frames: `vocab` (w, __v — ≤ K
+    * rows), `llr` (mw, llr — ≤ K+1 rows), `prior` (one scalar row).
+    * Train once, score anywhere — including
+    * [[graft.streaming.StreamNb]]. */
+  final case class NbModelFrames(vocab: DataFrame, llr: DataFrame,
+      prior: DataFrame)
+
+  /** Fit the NB classifier on a labeled batch corpus (see [[nbScore]]
+    * for the model definition). */
+  def nbModel(docs: DataFrame, idCol: Column, textCol: Column,
+      isPos: Column, vocabK: Int): NbModelFrames = {
     val s = docs.sparkSession
     import s.implicits._
     val smooth = vocabK + 1
@@ -332,10 +341,23 @@ object LmScore {
         sum(when(!$"__pos", 1L).otherwise(0L)).as("nn"))
       .select(round(log(($"np" + 1).cast("double") /
         ($"nn" + 1).cast("double")), 6).as("prior"))
-    mapped.join(broadcast(llr), Seq("mw"))
+    NbModelFrames(vocab, llr, prior)
+  }
+
+  def nbScore(docs: DataFrame, idCol: Column, textCol: Column,
+      isPos: Column, vocabK: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = nbModel(docs, idCol, textCol, isPos, vocabK)
+    val toks = docs.select(idCol.as("doc"),
+      explode(TextOps.tokens(textCol)).as("w"))
+    val mapped = toks.join(broadcast(m.vocab), Seq("w"), "left")
+      .select($"doc",
+        when($"__v".isNotNull, $"w").otherwise(lit("<unk>")).as("mw"))
+    mapped.join(broadcast(m.llr), Seq("mw"))
       .groupBy($"doc")
       .agg(count(lit(1)).as("n_tokens"), Exact.dsum($"llr").as("__s"))
-      .crossJoin(broadcast(prior))
+      .crossJoin(broadcast(m.prior))
       .select($"doc", $"n_tokens", ($"prior" + $"__s").as("score"),
         when(($"prior" + $"__s") > 0, "good").otherwise("bad").as("label"))
   }

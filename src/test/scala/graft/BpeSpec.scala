@@ -85,6 +85,46 @@ class BpeSpec extends SparkSpec {
     assert(got == expSyms)
   }
 
+  test("encode applies a frozen merge list exactly like training did") {
+    // encode(word, merges) over the training words must reproduce the
+    // final symbol table train() returned — same fold, frozen rules
+    val df = sennrich.toSeq.toDF("word", "cnt")
+    val (merges, syms) = Bpe.train(df, k = 6)
+    val expect = syms.select($"word", $"symbols")
+      .as[(String, Seq[String])].collect().toMap
+    val got = df.select($"word", Bpe.encode($"word", merges).as("symbols"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got == expect)
+    // unseen words encode too: prefixes/suffixes of trained merges apply
+    val unseen = Seq(("lowest", 1L), ("newer", 1L), ("xyz", 1L))
+      .toDF("word", "cnt")
+      .select($"word", Bpe.encode($"word", merges).as("symbols"))
+      .as[(String, Seq[String])].collect().toMap
+    val (_, refSyms) = naiveTrainEncode(
+      Map("lowest" -> 1L, "newer" -> 1L, "xyz" -> 1L), merges)
+    assert(unseen == refSyms)
+  }
+
+  /** Apply a fixed merge list with the naive fold (no training). */
+  private def naiveTrainEncode(words: Map[String, Long],
+      merges: Seq[(String, String)]): (Unit, Map[String, Seq[String]]) = {
+    val out = words.map { case (w, _) =>
+      var ss: Vector[String] = w.split("").toVector
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.size) {
+          if (i + 1 < ss.size && ss(i) == l && ss(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += ss(i); i += 1 }
+        }
+        ss = b.result()
+      }
+      w -> (ss: Seq[String])
+    }
+    ((), out)
+  }
+
   test("train stops early when no pair repeats") {
     val df = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
     val (merges, _) = Bpe.train(df, k = 10)
