@@ -192,7 +192,7 @@ object Bench {
       }
       tally.drain()
       val mb = 1024.0 * 1024.0
-      s""","composed":{"stages":"q76>q99>q62>q126>q88",""" +
+      s""","composed":{"stages":"q76>q99>q62>q126>q88>q132",""" +
         s""""runs":[${runs.map(fmt).mkString(",")}],""" +
         s""""shuffle_write_mb":${fmt(tally.write / mb / passes)},""" +
         s""""shuffle_read_mb":${fmt(tally.read / mb / passes)},""" +

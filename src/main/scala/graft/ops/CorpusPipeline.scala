@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The composed corpus-construction pipeline: the five individually
+/** The composed corpus-construction pipeline: six individually
   * oracle-verified stages chained as ONE declarative job —
   *
   *   corpus build (q76)   quality gates + keep-first near-dup
@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *   → quality keep (q126) longest document per cluster
   *   → chunking (q88)     32-token windows, stride 16,
   *                        content-addressed chunks
+  *   → sharding (q132)    serpentine deal over the counting-sort
+  *                        rank — 8 balanced training shards
   *
   * — the shape a real training-data run executes. Composing matters
   * beyond the per-stage audits: stage boundaries here are plain
@@ -26,7 +28,8 @@ import org.apache.spark.sql.functions._
   *
   * Input `docs`: (doc_id, text, source, n_chars) — the documents
   * table. Output: one row per 32-token chunk of each kept document's
-  * cleaned text: (doc_id, chunk_id, chunk_len, chunk_hash).
+  * cleaned text, with its training shard:
+  * (doc_id, chunk_id, chunk_len, chunk_hash, shard).
   */
 object CorpusPipeline {
 
@@ -78,7 +81,7 @@ object CorpusPipeline {
 
     // stage 5 — chunking (q88): 32-token windows with stride 16, each
     // chunk content-addressed by the cross-engine hash
-    keepers
+    val chunks = keepers
       .select(col("doc_id"), TextOps.tokens(col("clean_text")).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") >= 1)
@@ -89,5 +92,14 @@ object CorpusPipeline {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).as("chunk_len"),
         TextOps.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
+
+    // stage 6 — balanced training shards (q132): serpentine deal over
+    // the counting-sort rank (bucket = chunk_len, ≤ 33 distinct values)
+    // so the 8 shard token totals stay within one chunk of each other
+    Shard.histogramRank(chunks, col("chunk_len"), bucketAsc = false,
+        Seq(col("doc_id").asc, col("chunk_id").asc), "__rnk")
+      .withColumn("shard", Shard.serpentineShard(col("__rnk"), 8)
+        .cast("int"))
+      .drop("__rnk")
   }
 }

@@ -28,8 +28,13 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("composed pipeline: gates, cluster-keep, and chunk shape hold end-to-end") {
     val docs = mkDocs
-    val out = CorpusPipeline.build(docs)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val rows = CorpusPipeline.build(docs).collect()
+    val out = rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // stage 6: every chunk carries a shard in [0, 8), and with fewer
+    // chunks than shards the serpentine first pass keeps them distinct
+    val shards = rows.map(_.getInt(4))
+    assert(shards.forall(s => s >= 0 && s < 8))
+    if (rows.length <= 8) assert(shards.distinct.length == rows.length)
     // the survivor set must agree with the stage ops run solo: kept by
     // the quality gates AND inside the deterministic 50% hash sample
     val sampledKept = Sampling.hashRateSample(
