@@ -93,6 +93,11 @@ class ShardSpec extends SparkSpec {
     assert(manifest == actual)
     assert(manifest.map(_._3).sum ==
       items.agg(sum($"size")).as[Long].collect().head)
+    // the shard=K layout must give partition-PRUNED reads: a trainer
+    // rank pulling its shard reads 1/N of the files, not a filter scan
+    val plan = back.filter($"shard" === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"), plan)
   }
 
   test("epochReps is partitioning-invariant (hash-keyed, not rand)") {
