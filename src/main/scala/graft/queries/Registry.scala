@@ -34,6 +34,7 @@ object Registry {
     SamplingQueries,
     ScaleQueries,
     CorpusQueries,
+    RetrievalQueries,
     CmorQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)

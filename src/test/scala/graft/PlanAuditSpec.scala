@@ -402,6 +402,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q137 BM25: query terms and index scalars broadcast into the postings") {
+    val p = planOf("q137_bm25_topk")
+    // qterms (8 rows), dfreq (vocab-sized) and the 1-row stats frame
+    // must all ride broadcasts — scoring cost follows matched postings,
+    // never a corpus-wide shuffle per query
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q139 incremental dedup: band equi-join only, no cartesian, no full self-join") {
+    val p = planOf("q139_incremental_dedup")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the is_new filter must reach below the candidate join so the new
+    // side of the band join is batch-sized, not corpus-sized
+    assert(p.contains("is_new"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops.{Retrieval, TextOps}
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring math, RRF fusion, and incremental LSH candidate
+  * generation (the new-batch-vs-frozen-corpus contract). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokRows(docs: Seq[(Long, String)]) =
+    docs.toDF("doc_id", "text").select($"doc_id".as("doc"),
+      explode(TextOps.tokens($"text")).as("token"))
+
+  test("bm25 matches a hand-computed score on a 3-doc corpus") {
+    // corpus: dl = 4, 2, 3; avgdl = 3; "cat" appears in docs 1 (tf 2) and 2 (tf 1)
+    val tok = tokRows(Seq(
+      (1L, "cat cat dog fish"),
+      (2L, "cat bird"),
+      (3L, "dog fish bird")))
+    val (postings, dfreq, stats) = Retrieval.bm25Index(tok)
+    val scored = Retrieval.bm25Scores(postings, dfreq, stats,
+        Seq((0L, "cat")).toDF("qid", "token"))
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    // idf = ln(1 + (3 - 2 + 0.5) / (2 + 0.5)) = ln(1.6)
+    val idf = math.log(1.6)
+    def bm(tf: Long, dl: Long): Double =
+      math.rint(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / 3.0)) * 1e6) / 1e6
+    assert(scored.keySet == Set(1L, 2L))
+    assert(math.abs(scored(1L) - bm(2, 4)) < 1e-9)
+    assert(math.abs(scored(2L) - bm(1, 2)) < 1e-9)
+  }
+
+  test("bm25 ranks a rare term above a common one at equal tf") {
+    // "rare" in 1 of 4 docs, "common" in all 4 — idf must dominate
+    val tok = tokRows(Seq(
+      (1L, "rare common pad"),
+      (2L, "common pad pad"),
+      (3L, "common pad pad"),
+      (4L, "common pad pad")))
+    val (postings, dfreq, stats) = Retrieval.bm25Index(tok)
+    val s = Retrieval.bm25Scores(postings, dfreq, stats,
+        Seq((0L, "rare"), (1L, "common")).toDF("qid", "token"))
+      .as[(Long, Long, Double)].collect()
+    val rareOn1 = s.find(r => r._1 == 0L && r._2 == 1L).get._3
+    val commonOn1 = s.find(r => r._1 == 1L && r._2 == 1L).get._3
+    assert(rareOn1 > commonOn1)
+  }
+
+  test("rrfFuse sums reciprocal ranks over the rankings that retrieved") {
+    val a = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "doc", "rank")
+    val b = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("qid", "doc", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b))
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    def rr(rank: Int) = math.rint(1.0 / (60 + rank) * 1e9) / 1e9
+    assert(math.abs(fused(11L) - (rr(2) + rr(1))) < 1e-12) // consensus doc
+    assert(math.abs(fused(10L) - rr(1)) < 1e-12) // one-ranker doc
+    assert(math.abs(fused(12L) - rr(2)) < 1e-12)
+    // the consensus doc must outrank both single-ranker docs
+    assert(fused(11L) > fused(10L) && fused(11L) > fused(12L))
+  }
+
+  test("jaccardQbe computes |Q∩D| / |Q∪D| over distinct token sets") {
+    val dt = tokRows(Seq(
+      (0L, "a b c"),
+      (1L, "a b d"),
+      (2L, "x y z"))).distinct()
+    val qd = Seq(Tuple1(0L)).toDF("qid")
+    val j = Retrieval.jaccardQbe(dt, qd)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    assert(math.abs(j(1L) - 0.5) < 1e-9) // {a,b} / {a,b,c,d}
+    assert(!j.contains(2L)) // no shared token -> no pair generated
+  }
+
+  test("incremental LSH candidates never pair two old docs") {
+    // one shared signature across four docs: 1,2 old; 3,4 new
+    val bands = Seq(
+      (1L, 0, 42L, false), (2L, 0, 42L, false),
+      (3L, 0, 42L, true), (4L, 0, 42L, true))
+      .toDF("doc", "band", "sig", "is_new")
+    val pairs = Retrieval.incrementalLshCandidates(bands)
+      .as[(Long, Long)].collect().toSet
+    // new x old (both directions collapse to new-first), new x new once
+    assert(pairs == Set((3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L), (3L, 4L)))
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 1L)))
+  }
+
+  test("incremental candidates equal the full join restricted to new docs") {
+    // randomized-ish corpus: docs 0..19, text repeats in pairs so LSH fires
+    val docs = (0L until 20L).map(i => (i, s"w${i / 2} x y z w${i / 2}"))
+    val sh = docs.toDF("doc_id", "text")
+      .withColumn("ts", TextOps.tokens($"text"))
+      .select($"doc_id", explode(TextOps.shingles("ts", 2)).as("s"))
+      .distinct()
+    val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 4)
+    val full = TextOps.lshCandidates(mh, r = 2)
+      .as[(Long, Long)].collect().toSet
+    val bands = TextOps.bandSignatures(mh, r = 2)
+      .withColumn("is_new", col("doc") % 2 === 1)
+    val inc = Retrieval.incrementalLshCandidates(bands)
+      .as[(Long, Long)].collect().toSet
+    // normalize into (min,max) pairs; the incremental set must be exactly
+    // the full pairs touching at least one new doc
+    val incNorm = inc.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val expect = full.filter { case (a, b) => a % 2 == 1 || b % 2 == 1 }
+    assert(incNorm == expect)
+    assert(inc.forall { case (d1, _) => d1 % 2 == 1 }) // d1 always new
+  }
+}
