@@ -91,7 +91,10 @@ object Bench {
     "q104_quantized_ivf", "q121_ann_recall",
     // r7: the LM filter is the newest >2s query — its token-window
     // shuffle and bigram-model join are the data-dependent parts
-    "q127_lm_perplexity")
+    "q127_lm_perplexity",
+    // r7: incremental dedup is the daily-ingest shape — its minhash +
+    // band-join cost must track the batch split, not the corpus size
+    "q139_incremental_dedup")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has

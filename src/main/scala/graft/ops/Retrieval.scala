@@ -63,15 +63,24 @@ object Retrieval {
     * exactly — order-free and bit-identical to the SQL twin
     * ([[bm25Sql]]). Output: (qid, doc, score).
     */
+  /** `maxDf`: drop query terms whose posting list spans more than that
+    * many documents BEFORE the postings join — the retrieval twin of
+    * [[TextOps.capHotBands]]. A stop-term in a query ("the") would
+    * otherwise drag a corpus-sized posting list through the join while
+    * its idf contributes almost nothing; eliding it bounds per-query
+    * cost at any corpus scale (standard stopword elision in inverted
+    * indexes). The cut is on the frozen index's df, so it is
+    * deterministic and oracle-expressible (`... WHERE df <= maxDf`). */
   def bm25Scores(postings: DataFrame, dfreq: DataFrame, stats: DataFrame,
-      queryTerms: DataFrame): DataFrame = {
+      queryTerms: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val contrib = idf * (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val dfk = maxDf.map(m => dfreq.filter(col("df") <= m)).getOrElse(dfreq)
     postings
       .join(broadcast(queryTerms), Seq("token"))
-      .join(broadcast(dfreq), Seq("token"))
+      .join(broadcast(dfk), Seq("token"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("doc"), round(contrib, 6).as("c"))
       .groupBy(col("qid"), col("doc"))

@@ -412,6 +412,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "SortMergeJoin") == 0, p)
   }
 
+  test("q138 hybrid RRF: fusion inputs are top-k frames, no cartesian anywhere") {
+    val p = planOf("q138_hybrid_rrf")
+    // three rankers (dense cosine, BM25 QBE, Jaccard QBE) + fusion —
+    // every pair space is an equi-join (component index, token); the
+    // only nest-loop is the brute-force ranker's broadcast query side
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // rank<=k limits push into the shuffles (one per ranker at least)
+    assert(nodeCount(p, "WindowGroupLimit") >= 3, p)
+  }
+
   test("q139 incremental dedup: band equi-join only, no cartesian, no full self-join") {
     val p = planOf("q139_incremental_dedup")
     assert(nodeCount(p, "CartesianProduct") == 0, p)

@@ -48,6 +48,26 @@ class RetrievalSpec extends SparkSpec {
     assert(rareOn1 > commonOn1)
   }
 
+  test("maxDf elides stop-terms before the postings join") {
+    // "the" is in all 4 docs; "rare" in one — a query mixing both must
+    // score on "rare" alone once the stop-term is elided
+    val tok = tokRows(Seq(
+      (1L, "the rare cat"),
+      (2L, "the dog"),
+      (3L, "the dog"),
+      (4L, "the dog")))
+    val (postings, dfreq, stats) = Retrieval.bm25Index(tok)
+    val qt = Seq((0L, "the"), (0L, "rare")).toDF("qid", "token")
+    val capped = Retrieval.bm25Scores(postings, dfreq, stats, qt,
+        maxDf = Some(3L))
+      .as[(Long, Long, Double)].collect()
+    // only doc 1 has a surviving query term; docs 2-4 matched only "the"
+    assert(capped.map(_._2).toSet == Set(1L))
+    val uncapped = Retrieval.bm25Scores(postings, dfreq, stats, qt)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("rrfFuse sums reciprocal ranks over the rankings that retrieved") {
     val a = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "doc", "rank")
     val b = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("qid", "doc", "rank")
