@@ -148,6 +148,20 @@ object Retrieval {
           .as("jaccard"))
   }
 
+  /** DPR-style hard-negative mining: from a scored retrieval run
+    * (qid, doc, score), drop the pairs present in `positives`
+    * (qid, doc) — the labeled relevant set, in practice near-dups or
+    * click data — and re-rank what remains per query. The result is
+    * the top-k docs that score like positives but aren't: the
+    * contrastive-training negatives. Both inputs are retrieval-sized
+    * (scored is already per-query bounded); the anti-join is the only
+    * added work. */
+  def hardNegatives(scored: DataFrame, positives: DataFrame,
+      k: Int): DataFrame =
+    Relational.topKPerGroup(
+      scored.join(positives, Seq("qid", "doc"), "left_anti"),
+      Seq(col("qid")), Seq(col("score").desc, col("doc").asc), k)
+
   /** Incremental banded-LSH candidates: pairs sharing a band signature
     * where at least one side is in the new batch. `bands` is
     * (doc, band, sig, is_new); the old side is the frozen index. The

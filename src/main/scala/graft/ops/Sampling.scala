@@ -122,4 +122,51 @@ object Sampling {
        + CASE WHEN ${TextOps.h64Sql(keyExpr)} % $den <
            CAST(round(($epochsExpr - floor($epochsExpr)) * $den) AS BIGINT)
          THEN 1 ELSE 0 END"""
+
+  /** Greedy best-first corpus selection under a token budget ("fill
+    * num/den of the corpus' tokens with the highest-quality docs")
+    * WITHOUT a global sort — the counting-sort trick of ops/Shard
+    * applied to budgeted selection. Docs histogram-bucket by quality
+    * (bin = floor(quality · granularity)); per-bin token totals and a
+    * descending prefix sum (a bins-sized window) locate the cutoff:
+    * bins strictly above it fit the budget whole and are taken with a
+    * map-side filter against a broadcast scalar; only the single
+    * boundary bin pays an ordered prefix-sum window (partitioned by
+    * the bin, so no global single-partition sort), filling the
+    * remaining budget greedily by (quality desc, doc). At 100 TB the
+    * expensive total order is confined to one histogram bin — a
+    * bounded corpus fraction when the granularity matches the score's
+    * spread. Input: (doc, quality, n_tokens); output: the selected
+    * subset, same columns. Budget = Σ n_tokens · num div den
+    * (integer-exact both engines).
+    */
+  def tokenBudgetSelect(docs: DataFrame, num: Int, den: Int,
+      granularity: Double = 10.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val b = docs.withColumn("__bin",
+      floor(col("quality") * lit(granularity)).cast("long"))
+    val binsum = b.groupBy(col("__bin")).agg(sum(col("n_tokens")).as("__bt"))
+    val cum = binsum.withColumn("__cum",
+      sum(col("__bt")).over(w.orderBy(col("__bin").desc)))
+    val budget = docs.agg(
+      expr("sum(n_tokens) * " + num + " div " + den).as("__budget"))
+    val cut = cum.crossJoin(broadcast(budget))
+      .agg(min(when(col("__cum") <= col("__budget"), col("__bin")))
+          .as("__cutbin"),
+        max(when(col("__cum") > col("__budget"), col("__bin"))).as("__pbin"))
+    val selFull = b.crossJoin(broadcast(cut))
+      .filter(col("__bin") >= col("__cutbin"))
+    val spent = selFull.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("__spent"))
+    val part = b.crossJoin(broadcast(cut))
+      .filter(col("__bin") === col("__pbin"))
+      .withColumn("__run", sum(col("n_tokens")).over(
+        w.partitionBy(col("__bin"))
+          .orderBy(col("quality").desc, col("doc").asc)))
+      .crossJoin(broadcast(spent))
+      .crossJoin(broadcast(budget))
+      .filter(col("__run") <= col("__budget") - col("__spent"))
+    selFull.select(col("doc"), col("quality"), col("n_tokens"))
+      .unionAll(part.select(col("doc"), col("quality"), col("n_tokens")))
+  }
 }

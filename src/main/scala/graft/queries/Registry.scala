@@ -35,6 +35,7 @@ object Registry {
     ScaleQueries,
     CorpusQueries,
     RetrievalQueries,
+    AssemblyQueries,
     CmorQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)

@@ -431,6 +431,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("is_new"), p)
   }
 
+  test("q142 token budget: ordered prefix window only inside the boundary bin") {
+    val p = planOf("q142_token_budget")
+    // the cutoff scalars broadcast back (no data-sized join), and the
+    // greedy prefix sum is keyed by the bin — the corpus-wide frame
+    // never flows through an unpartitioned running-sum window (the only
+    // unpartitioned windows are over the bins-sized histogram)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("windowspecdefinition(__bin"), p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q141 hard negatives: anti-join on (qid, doc), no cartesian") {
+    val p = planOf("q141_hard_negatives")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")

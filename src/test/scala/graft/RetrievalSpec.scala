@@ -93,6 +93,53 @@ class RetrievalSpec extends SparkSpec {
     assert(!j.contains(2L)) // no shared token -> no pair generated
   }
 
+  test("hardNegatives drops positives and re-ranks the remainder densely") {
+    val scored = Seq(
+      (0L, 10L, 5.0), (0L, 11L, 4.0), (0L, 12L, 3.0), (0L, 13L, 2.0),
+      (1L, 10L, 9.0), (1L, 11L, 8.0))
+      .toDF("qid", "doc", "score")
+    // doc 10 is a positive for query 0 only — it must survive for query 1
+    val pos = Seq((0L, 10L)).toDF("qid", "doc")
+    val negs = Retrieval.hardNegatives(scored, pos, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(negs == Set(
+      (0L, 11L, 4.0, 1), (0L, 12L, 3.0, 2), // rank 1 starts after the drop
+      (1L, 10L, 9.0, 1), (1L, 11L, 8.0, 2)))
+  }
+
+  test("tokenBudgetSelect takes whole bins above the cut, prefix of the boundary bin") {
+    import graft.ops.Sampling
+    // quality bins (gran 10): 0.9->9, 0.8->8, 0.7->7; 115 tokens total
+    // budget = 115 div 2 = 57: bin 9 fits whole (40), bin 8 is boundary
+    val q = Seq(
+      (1L, 40L, 0.9), (2L, 25L, 0.8), (3L, 10L, 0.8), (4L, 40L, 0.7))
+      .toDF("doc", "n_tokens", "quality")
+    val sel = Sampling.tokenBudgetSelect(q, num = 1, den = 2)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    // remaining budget in bin 8 = 57 - 40 = 17; the prefix sum includes
+    // the current row, so doc 2 (run 25) already exceeds it
+    assert(sel == Set(1L))
+    // a laxer budget (115*3 div 4 = 86) admits bin 8 whole, bin 7 is out
+    val sel2 = Sampling.tokenBudgetSelect(q, num = 3, den = 4)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(sel2 == Set(1L, 2L, 3L)) // spent 75 <= 86; doc 4 (40) exceeds
+  }
+
+  test("tokenBudgetSelect edges: budget below every bin, budget above the corpus") {
+    import graft.ops.Sampling
+    val q = Seq((1L, 30L, 0.5), (2L, 20L, 0.5), (3L, 10L, 0.4))
+      .toDF("doc", "n_tokens", "quality")
+    // budget 6 tokens: no bin fits whole; greedy prefix of the TOP bin
+    // by (quality desc, doc) admits nothing (doc 1's 30 > 6)
+    val tiny = Sampling.tokenBudgetSelect(q, num = 1, den = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(tiny.isEmpty)
+    // budget = everything: all docs selected
+    val all = Sampling.tokenBudgetSelect(q, num = 1, den = 1)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
   test("incremental LSH candidates never pair two old docs") {
     // one shared signature across four docs: 1,2 old; 3,4 new
     val bands = Seq(
