@@ -177,6 +177,33 @@ object Bench {
     def drain(): Unit = Thread.sleep(500)
   }
 
+  /** One extra instrumented pass over the scale-tier queries,
+    * attributing shuffle read/write and spill bytes to each (drained
+    * between queries so async listener delivery can't smear a query's
+    * bytes into its neighbor). Wall time tells you a query got slower;
+    * these tell you WHY at 3× data — a shuffle that grew faster than
+    * the data is the 100 TB red flag even when local wall time hides
+    * it behind fixed costs. Plans are deterministic, so one pass is
+    * representative. */
+  private def scaleShuffleJson(spark: SparkSession, scaleDir: String,
+      named: Seq[(String, (SparkSession, String) => DataFrame)]): String = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    val mb = 1024.0 * 1024.0
+    try {
+      named.map { case (name, fn) =>
+        tally.drain()
+        val w0 = tally.write; val r0 = tally.read; val s0 = tally.spill
+        try fn(spark, scaleDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        tally.drain()
+        s""""$name":{"write_mb":${fmt((tally.write - w0) / mb)},""" +
+          s""""read_mb":${fmt((tally.read - r0) / mb)},""" +
+          s""""spill_mb":${fmt((tally.spill - s0) / mb)}}"""
+      }.mkString("{", ",", "}")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   /** End-to-end rehearsal of the composed corpus pipeline
     * (ops/CorpusPipeline: q76 → q99 → q62 → q126 → q88 as ONE job) on
     * the scale tier: the per-stage plans are individually audited, but
@@ -258,7 +285,8 @@ object Bench {
         val sruns = timePasses(spark, scaleDir, heavy, passes)
         s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
           s""""spread":${spreadJson(heavy, sruns)},""" +
-          s""""runs":${runsJson(heavy, sruns)}}""" +
+          s""""runs":${runsJson(heavy, sruns)},""" +
+          s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}}""" +
           composedSection(spark, scaleDir, passes)
       } catch { case e: Throwable =>
         s""","scale":{"error":"${e.getClass.getSimpleName}"}"""
