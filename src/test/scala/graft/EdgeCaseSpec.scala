@@ -83,6 +83,53 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(String, Double)].toDF("g", "x"), Seq("g"), $"x").count() == 0)
   }
 
+  test("retrieval family survives empty and degenerate input") {
+    import graft.ops.{Retrieval, Sampling}
+    // empty corpus: index frames are empty, scoring yields no rows
+    val noTok = Seq.empty[(Long, String)].toDF("doc", "token")
+    val (p0, d0, s0) = Retrieval.bm25Index(noTok)
+    val qt = Seq((0L, "x")).toDF("qid", "token")
+    assert(Retrieval.bm25Scores(p0, d0, s0, qt).count() == 0)
+    // query term absent from the corpus: the dfreq inner join drops it
+    val tok = Seq((1L, "a"), (1L, "b")).toDF("doc", "token")
+    val (p1, d1, s1) = Retrieval.bm25Index(tok)
+    val unknown = Seq((0L, "zzz")).toDF("qid", "token")
+    assert(Retrieval.bm25Scores(p1, d1, s1, unknown).count() == 0)
+    // empty query set: no pairs, not a crash
+    val noQ = Seq.empty[(Long, String)].toDF("qid", "token")
+    assert(Retrieval.bm25Scores(p1, d1, s1, noQ).count() == 0)
+    // rrfFuse over a single ranking is that ranking's reciprocal ranks
+    val one = Seq((0L, 5L, 1)).toDF("qid", "doc", "rank")
+    val fused = Retrieval.rrfFuse(Seq(one))
+      .as[(Long, Long, Double)].collect()
+    assert(fused.length == 1 &&
+      math.abs(fused(0)._3 - math.rint(1.0 / 61 * 1e9) / 1e9) < 1e-12)
+    // empty selection input: no bins, no budget, no rows, no crash
+    val noDocs = Seq.empty[(Long, Long, Double)]
+      .toDF("doc", "n_tokens", "quality")
+    assert(Sampling.tokenBudgetSelect(noDocs, 1, 2).count() == 0)
+    // hardNegatives with empty positives is plain top-k
+    val sc = Seq((0L, 1L, 2.0), (0L, 2L, 1.0)).toDF("qid", "doc", "score")
+    val noPos = Seq.empty[(Long, Long)].toDF("qid", "doc")
+    assert(Retrieval.hardNegatives(sc, noPos, 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq == Seq((0L, 1L, 2.0, 1)))
+  }
+
+  test("incremental LSH and stream signature survive empty input") {
+    import graft.ops.Retrieval
+    import graft.streaming.StreamIncDedup
+    val noBands = Seq.empty[(Long, Int, Long, Boolean)]
+      .toDF("doc", "band", "sig", "is_new")
+    assert(Retrieval.incrementalLshCandidates(noBands).count() == 0)
+    // all-old bands: the new side is empty, so no candidates
+    val oldOnly = Seq((1L, 0, 7L, false), (2L, 0, 7L, false))
+      .toDF("doc", "band", "sig", "is_new")
+    assert(Retrieval.incrementalLshCandidates(oldOnly).count() == 0)
+    assert(StreamIncDedup.signature("").isEmpty)
+    assert(StreamIncDedup.signature("one two").isEmpty)
+    assert(StreamIncDedup.signature("a b c").length == 8)
+  }
+
   test("as-of join with empty sides") {
     assert(AsOf.backwardJoin(noTrades, oneQuote,
       Seq("sym"), Seq("qsym"), "t", "qt").count() == 0)
