@@ -44,19 +44,24 @@ object Bench {
     * projections). Single-shot timing cannot tell a real regression
     * from a GC/JIT stall on a neighboring query (r3 verdict: 4 phantom
     * regressions) — interleaving decorrelates a transient host stall
-    * from any one query's samples. */
+    * from any one query's samples. Sweep 0 is an UNTIMED warm-up
+    * (discarded): r7's first sweep was host-contaminated (q105 runs
+    * [69.05, 2.47, 0.93]) and with 3 kept passes the outlier sits next
+    * to the median — paying one throwaway sweep keeps a single
+    * disturbed pass out of every reported statistic. */
   private def timePasses(spark: SparkSession, sfDir: String,
       named: Seq[(String, (SparkSession, String) => DataFrame)],
       passes: Int): Array[Vector[Double]] = {
     val runs = Array.fill(named.size)(Vector.empty[Double])
-    for (_ <- 1 to passes; i <- named.indices) {
+    for (p <- 0 to passes; i <- named.indices) {
       val (_, fn) = named(i)
       if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
-        runs(i) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        if (p > 0 || !ok)
+          runs(i) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     }
     runs
@@ -94,7 +99,11 @@ object Bench {
     "q127_lm_perplexity",
     // r7: incremental dedup is the daily-ingest shape — its minhash +
     // band-join cost must track the batch split, not the corpus size
-    "q139_incremental_dedup")
+    "q139_incremental_dedup",
+    // r8 (r7 verdict #7): the three heaviest new queries — filter
+    // stack, RRF fusion, hard-negative mining — get scaling evidence,
+    // not just audited shapes
+    "q131_filter_stack", "q138_hybrid_rrf", "q141_hard_negatives")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -242,6 +251,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC makes TimeEnc's NTZ→TZ cast value-identity regardless of the
+      // host JVM's zone (r7 advice: never rely on the host being UTC)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

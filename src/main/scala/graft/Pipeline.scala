@@ -44,10 +44,16 @@ object Pipeline {
     * columns. Selects only what it needs (column pruning) and applies
     * the time-range predicate (pushdown). */
   def frame(raw: DataFrame, task: Task, keys: Seq[String] = Seq.empty): DataFrame = {
+    // range literals take the time column's own flavor (TIMESTAMP or
+    // TIMESTAMP_NTZ, depending on the parquet writer) — the cast folds
+    // into a literal, so the predicate still pushes to the scan; a
+    // mixed-flavor comparison would die at analysis time instead
+    val timeType = raw.schema("time").dataType
+    def tlit(us: Long) = timestamp_micros(lit(us)).cast(timeType)
     val pruned = raw
       .select((("time" +: keys) ++ task.inputVars).distinct.map(col): _*)
-      .filter(col("time") >= timestamp_micros(lit(task.tstartUs)) &&
-              col("time") < timestamp_micros(lit(task.tendUs)))
+      .filter(col("time") >= tlit(task.tstartUs) &&
+              col("time") < tlit(task.tendUs))
     val vars: Seq[Column] = task.inputVars.map(col)
     val calced =
       if (task.calculation.isEmpty) pruned.withColumn("value", vars.head)

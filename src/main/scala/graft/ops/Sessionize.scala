@@ -29,10 +29,10 @@ object Sessionize {
       value: Column, gapSeconds: Long): DataFrame = {
     val wOrd = Window.partitionBy(user).orderBy(ts, id)
     val ev = df
-      .withColumn("__prev_us", lag(unix_micros(ts), 1).over(wOrd))
+      .withColumn("__prev_us", lag(TimeEnc.usOf(ts), 1).over(wOrd))
       .withColumn("__new",
         when(col("__prev_us").isNull ||
-          unix_micros(ts) - col("__prev_us") > gapSeconds * 1000000L, 1L)
+          TimeEnc.usOf(ts) - col("__prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("__new")).over(

@@ -41,7 +41,7 @@ object TimeResample {
     }
     freq match {
       case Fixed(s) =>
-        val us = unix_micros(t)
+        val us = TimeEnc.usOf(t)
         timestamp_micros(us - pmod(us, lit(s * 1000000L)))
       case Monthly => date_trunc("month", t)
       case Yearly  => date_trunc("year", t)
@@ -50,7 +50,7 @@ object TimeResample {
 
   /** Mid-interval label (reference offset table, calculations.py:111-113). */
   def midLabel(start: Column, freq: Freq): Column = freq match {
-    case Fixed(s) => timestamp_micros(unix_micros(start) + lit(s * 500000L))
+    case Fixed(s) => timestamp_micros(TimeEnc.usOf(start) + lit(s * 500000L))
     case Monthly  => start + expr("INTERVAL 15 DAYS")
     case Yearly   => start + expr("INTERVAL 6 MONTHS")
   }

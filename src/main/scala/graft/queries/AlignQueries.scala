@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Interp
+import graft.ops.{Interp, TimeEnc}
 import graft.ops.Exact._
 import org.apache.spark.sql.functions._
 
@@ -20,14 +20,14 @@ object AlignQueries extends QueryGroup {
       import s.implicits._
       val ev = Tables(s, dir, "events").filter($"user_id" < 30)
       val samples = ev.select($"user_id",
-        (unix_micros($"ts") / lit(1000000.0)).as("coord"), $"value")
+        (TimeEnc.usOf($"ts") / lit(1000000.0)).as("coord"), $"value")
       val targets = ev.select($"user_id").distinct()
         .crossJoin(
           s.range(1).select(explode(sequence(
             lit("2024-01-05 00:00:00").cast("timestamp"),
             lit("2024-01-06 00:00:00").cast("timestamp"),
             expr("INTERVAL 1 HOUR"))).as("gts")).drop("id"))
-        .select($"user_id", (unix_micros($"gts") / lit(1000000.0)).as("coord"),
+        .select($"user_id", (TimeEnc.usOf($"gts") / lit(1000000.0)).as("coord"),
           date_format($"gts", "yyyy-MM-dd HH:mm:ss").as("grid_ts"))
       Interp.nearestToGrid(samples, targets, Seq("user_id"), "coord", "value")
         .select($"user_id", $"grid_ts", $"nearest")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.WindowOps
+import graft.ops.{TimeEnc, WindowOps}
 import graft.ops.Exact._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -319,7 +319,7 @@ object AnalyticsQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       val ev = Tables(s, dir, "events").filter($"user_id" < 300)
-        .select($"user_id", unix_micros($"ts").as("tus"),
+        .select($"user_id", TimeEnc.usOf($"ts").as("tus"),
           $"event_id", $"value")
       graft.ops.Ewma.ema(ev, $"user_id", $"tus", $"event_id", $"value",
           alpha = 0.125)

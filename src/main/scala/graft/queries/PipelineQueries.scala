@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Relational
+import graft.ops.{Relational, TimeEnc}
 import org.apache.spark.sql.functions._
 
 /** Planner / catalog pipeline queries (SURVEY.md §3): DRS-style output
@@ -55,7 +55,7 @@ object PipelineQueries extends QueryGroup {
       val stats = Tables(s, dir, "events")
         .groupBy($"event_type")
         .agg(count(lit(1)).as("nsteps"),
-          unix_micros(min($"ts")).as("t0us"), unix_micros(max($"ts")).as("t1us"))
+          TimeEnc.usOf(min($"ts")).as("t0us"), TimeEnc.usOf(max($"ts")).as("t1us"))
         .withColumn("total_mb", $"nsteps" * lit(0.5))
         .withColumn("nfiles",
           ceil($"total_mb" / lit(maxMb)).cast("int"))
@@ -103,11 +103,12 @@ object PipelineQueries extends QueryGroup {
       import s.implicits._
       val ev = Tables(s, dir, "events")
         .withColumn("prev_us",
-          lag(unix_micros($"ts"), 1).over(
+          lag(TimeEnc.usOf($"ts"), 1).over(
             org.apache.spark.sql.expressions.Window
               .partitionBy($"user_id").orderBy($"ts", $"event_id")))
         .filter($"prev_us".isNotNull)
-        .withColumn("delta_s", expr("(unix_micros(ts) - prev_us) div 1000000"))
+        .withColumn("delta_s",
+          expr("(unix_micros(cast(ts as timestamp)) - prev_us) div 1000000"))
       val counts = ev.groupBy($"user_id", $"delta_s").agg(count(lit(1)).as("n"))
       Relational.topOnePerGroup(counts, Seq($"user_id"),
           Seq($"n".desc, $"delta_s".asc))

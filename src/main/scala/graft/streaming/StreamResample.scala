@@ -41,7 +41,7 @@ object StreamResample {
       .groupBy(window(shifted, s"$seconds seconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("label",
-        timestamp_micros(unix_micros(col("window.start")) + lit(seconds * 500000L)))
+        timestamp_micros(graft.ops.TimeEnc.usOf(col("window.start")) + lit(seconds * 500000L)))
       .drop("window")
   }
 }

@@ -214,6 +214,25 @@ class PipelineSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
   }
 
+  test("driver contract: every registered query executes on the driver testdata") {
+    // r7 lesson: 7 queries crashed at ANALYSIS time on regenerated
+    // testdata (TIMESTAMP_NTZ) while the suite stayed green, because
+    // nothing here ever ran them. Materialize every registered query at
+    // the t1-smoke scale through the noop sink (count() would let
+    // Catalyst prune the very projections that crash) so an
+    // analysis-or-runtime break in ANY query fails `sbt test` instead of
+    // silently dropping out of the round's CORRECTNESS report.
+    val sf = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
+  }
+
   test("catalog check: mappings without a CMOR definition surface") {
     val mdf = Catalog.mappings(spark, maps)
     val cmor = Seq(Catalog.CmorVar("tas", "mon", "atmos", "K",
@@ -245,8 +264,8 @@ class PipelineSpec extends SparkSpec {
     val raw = Tables(spark, "/root/testdata/sf0.001", "events")
       .select($"ts".as("time"), $"value".as("fld_s03i236"),
         ($"value" * 2).as("rain"), ($"value" / 2).as("snow"))
-    val t0 = raw.agg(min(unix_micros($"time"))).as[Long].head()
-    val t1 = raw.agg(max(unix_micros($"time"))).as[Long].head() + 1
+    val t0 = raw.agg(min(graft.ops.TimeEnc.usOf($"time"))).as[Long].head()
+    val t1 = raw.agg(max(graft.ops.TimeEnc.usOf($"time"))).as[Long].head() + 1
 
     val root = Files.createTempDirectory("graft-e2e").toString
     val task = Pipeline.Task(
