@@ -13,6 +13,17 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[apply]] plus a round-robin spread to the session's default
+    * parallelism. A parquet row group is one scan task regardless of
+    * split knobs, so a table that arrives as few row groups pins every
+    * shuffle-free downstream map to a few cores. Callers whose next
+    * stage is heavy PER-ROW work (vector encodes, ADC sweeps, norm
+    * computations) pay this one small shuffle to run it wide — the
+    * same move a 100 TB index build opens with, spreading the corpus
+    * instead of trusting the ingest file layout. */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
     * and truncate to microseconds with integer division — exactly what

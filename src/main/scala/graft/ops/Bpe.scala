@@ -69,13 +69,43 @@ object Bpe {
     }
 
   /** Learn `k` merge rules from a (word, cnt) vocabulary. Returns the
-    * ordered merge list and the final symbol table
-    * (word, cnt, symbols). Stops early when no pair repeats. Each
-    * iteration localCheckpoints the rewritten vocab — the frame is
-    * vocab-sized and feeds every later iteration, exactly the
-    * bounded-many-consumers case where the eager cut pays (and it
-    * stops the logical plan doubling per merge). */
-  def train(vocab: DataFrame, k: Int): (Seq[(String, String)], DataFrame) = {
+    * ordered merge list and the final symbol table (word, cnt, symbols).
+    *
+    * Two execution paths, identical output (BpeSpec asserts parity):
+    *
+    *  - the vocabulary fits the driver (row count ≤ `pullLocalBelow`,
+    *    the common case — Heaps' law keeps even a 100 TB corpus's vocab
+    *    in the 10⁵–10⁶ range, megabytes of (word, cnt) pairs): collect
+    *    it ONCE and run the merge loop in memory with incremental
+    *    pair-count maintenance. k merges cost k argmax scans plus
+    *    rewrites of only the words containing the merged pair — not
+    *    k+1 Spark jobs with a 1-row collect each (the r7 weak spot:
+    *    32k merges = 64k jobs);
+    *  - otherwise the distributed loop ([[trainDistributed]]) runs —
+    *    pair-count + argmax + rewrite per merge over the vocab frame,
+    *    the fallback for a vocabulary that genuinely cannot land on
+    *    one machine. */
+  def train(vocab: DataFrame, k: Int,
+      pullLocalBelow: Long = 4000000L): (Seq[(String, String)], DataFrame) = {
+    val n = vocab.count()
+    if (n <= pullLocalBelow) {
+      val spark = vocab.sparkSession
+      import spark.implicits._
+      val rows = vocab.select(col("word"), col("cnt"))
+        .as[(String, Long)].collect()
+      val (merges, syms) = trainLocal(rows, k)
+      (merges, spark.createDataset(syms.toIndexedSeq)
+        .toDF("word", "cnt", "symbols"))
+    } else trainDistributed(vocab, k)
+  }
+
+  /** The distributed merge loop — pair-count + 1-row argmax + rewrite
+    * per merge, each iteration localCheckpointing the rewritten vocab
+    * (the frame feeds every later iteration; the eager cut stops the
+    * logical plan doubling per merge). Output-identical to
+    * [[trainLocal]]; used when the vocab exceeds the pull-local bound. */
+  private[graft] def trainDistributed(vocab: DataFrame,
+      k: Int): (Seq[(String, String)], DataFrame) = {
     var syms = vocab.select(col("word"), col("cnt"),
       charSymbols(col("word")).as("symbols")).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
@@ -95,5 +125,88 @@ object Bpe {
       i += 1
     }
     (merges.result(), syms)
+  }
+
+  /** In-memory merge loop with incremental pair-count maintenance —
+    * the textbook fast BPE trainer. Pair counts live in a hash map; a
+    * merge rewrites ONLY the words that contain its pair (tracked by a
+    * pair → word-ids index), decrementing the old adjacencies and
+    * incrementing the new, so per-merge cost follows the pair's
+    * support, not the vocabulary. Selection order (count desc, left
+    * asc, right asc) and the left-to-right overlap rule are byte-
+    * identical to the distributed formulation. */
+  private[graft] def trainLocal(vocab: Array[(String, Long)],
+      k: Int): (Seq[(String, String)], Seq[(String, Long, Seq[String])]) = {
+    import scala.collection.mutable
+    val words = vocab.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.split("")) }
+    val cnts = vocab.map(_._2)
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(wi: Int): Unit = {
+      val s = words(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        pairCnt.updateWith(p)(c => Some(c.getOrElse(0L) + cnts(wi)))
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        j += 1
+      }
+    }
+    def dropWord(wi: Int): Unit = {
+      val s = words(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        pairCnt.updateWith(p)(c => c.map(_ - cnts(wi)).filter(_ != 0))
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord)
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      if (pairCnt.isEmpty) done = true
+      else {
+        // argmax under the engine's total order; the map scan is the
+        // per-merge O(#distinct pairs) cost the Spark path pays as a job
+        var best: ((String, String), Long) = null
+        pairCnt.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (e._1._1 < best._1._1 ||
+              (e._1._1 == best._1._1 && e._1._2 < best._1._2)))) best = e
+        }
+        val (l, r) = best._1
+        merges += ((l, r))
+        val fused = l + r
+        val touched = pairWords.remove((l, r)).getOrElse(mutable.Set.empty)
+        touched.foreach { wi =>
+          val s = words(wi)
+          // membership may be stale (the pair was rewritten away by an
+          // overlapping earlier merge of this word) — verify, then
+          // rewrite with the same left-to-right overlap rule
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == l && s(j + 1) == r; j += 1
+          }
+          if (has) {
+            dropWord(wi)
+            val out = mutable.ArrayBuffer.empty[String]
+            s.foreach { x =>
+              if (out.nonEmpty && out.last == l && x == r)
+                out(out.length - 1) = fused
+              else out += x
+            }
+            words(wi) = out
+            addWord(wi)
+          }
+        }
+      }
+      i += 1
+    }
+    (merges.result(),
+      vocab.indices.map(wi => (vocab(wi)._1, cnts(wi), words(wi).toSeq)))
   }
 }

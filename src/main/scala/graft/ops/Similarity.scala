@@ -454,6 +454,21 @@ object Similarity {
     * pipelines gain ~13% end-to-end). */
   def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    GraftFunctions.register(vecs.sparkSession)
+    vecs.crossJoin(broadcast(codebook))
+      .withColumn("codes",
+        call_function("pq_encode", col("emb"), col("cb"), lit(m), lit(dim)))
+      .drop("cb")
+  }
+
+  /** The pure-SQL formulation [[pqEncode]]'s native kernel replaced —
+    * kept as the cross-engine reference (it is what the DuckDB oracles
+    * express) and asserted bit-identical to the native expression in
+    * PqEncodeParitySpec. Interpreted HOF evaluation makes it ~10× the
+    * native kernel's cost; not used in any query path. */
+  private[graft] def pqEncodeSqlRef(vecs: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     // margin: 2 × dsub × 5e-7 decimal rounding + relative double error
     val eps = s"(${dsub}D * 1.0e-6D + 1.0e-5D * (1.0D + array_min(fs).fd))"

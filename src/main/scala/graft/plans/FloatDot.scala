@@ -80,6 +80,8 @@ case class FloatDot(left: Expression, right: Expression)
 /** Runtime registration of the engine's native functions. */
 object GraftFunctions {
   private val builder = (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))
+  private val pqBuilder = (exprs: Seq[Expression]) =>
+    PqEncodeExact(exprs(0), exprs(1), exprs(2), exprs(3))
 
   /** Register into an existing session (idempotent — skips when already
     * present, so per-query re-registration doesn't spam replace WARNs). */
@@ -87,6 +89,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("float_dot")))
       reg.createOrReplaceTempFunction("float_dot", builder, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("pq_encode")))
+      reg.createOrReplaceTempFunction("pq_encode", pqBuilder, "built-in")
   }
 }
 
@@ -98,6 +102,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExact].getName, "pq_encode"),
+      (exprs: Seq[Expression]) =>
+        PqEncodeExact(exprs(0), exprs(1), exprs(2), exprs(3))))
     e.injectOptimizerRule(_ => LowerPow)
     e.injectPlannerStrategy(_ => AsOfStrategy)
   }

@@ -31,7 +31,7 @@ object ClusterQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       graft.plans.GraftFunctions.register(s)
-      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
         $"vec_id", $"embedding")
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
@@ -160,7 +160,7 @@ object ClusterQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       graft.plans.GraftFunctions.register(s)
-      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
         $"vec_id", $"embedding")
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))

@@ -92,7 +92,7 @@ object RetrievalQueries extends QueryGroup {
       val tok = tokenRows(s, dir)
       // dense: exact cosine top-10 (the ANN family's baseline)
       val all = Similarity.withNorms(
-        Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+        Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
       val dense = Similarity.bruteForceTopK(all, all.filter($"id" < 10), k = 10)
         .select($"id1".as("qid"), $"id2".as("doc"), $"rank")
       // sparse A: BM25 query-by-example on the query docs' terms

@@ -81,7 +81,7 @@ object SamplingQueries extends QueryGroup {
     "q71_kmeans_step",
     (s, dir) => {
       import s.implicits._
-      val all = Similarity.withNorms(Tables(s, dir, "embeddings"),
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
         $"vec_id", $"embedding")
       val cents = all.filter($"id" < 16)
         .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))

@@ -16,7 +16,11 @@ object SimilarityQueries extends QueryGroup {
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftFunctions.register(s)
-    Similarity.withNorms(Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+    // spread: the norm projection and every index build downstream are
+    // heavy per-row kernels whose parallelism is otherwise pinned to
+    // the file's row-group count (one, in the driver's testdata)
+    Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
+      $"vec_id", $"embedding")
   }
 
   private val compSql = """
@@ -167,7 +171,7 @@ object SimilarityQueries extends QueryGroup {
     "q97_quantize_int8",
     (s, dir) => {
       import s.implicits._
-      Similarity.quantizeInt8(Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+      Similarity.quantizeInt8(Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0)
         .select($"id", $"scale",
           expr("aggregate(q8, CAST(0 AS BIGINT), (a, c) -> a + CAST(c AS BIGINT))")
@@ -194,7 +198,7 @@ object SimilarityQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       val qz = Similarity.quantizeInt8(
-          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+          Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0)
         .select($"id", $"q8")
       val all = vecs(s, dir).join(qz, Seq("id"))
@@ -240,7 +244,7 @@ object SimilarityQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       val qz = Similarity.quantizeInt8(
-          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+          Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
         .filter($"maxabs" > 0)
         .select($"id", $"q8")
       // the float store stays (id, emb, norm2) — the q8 codes must NOT
@@ -664,9 +668,10 @@ object SimilarityQueries extends QueryGroup {
       // the session cache manager
       val exact = Similarity.bruteForceTopK(all, queries, k = 3)
         .select($"id1", $"id2").localCheckpoint()
-      // q104's path: int8 sweep behind the IVF cell filter
-      val qz = Similarity.quantizeInt8(
-          Tables(s, dir, "embeddings"), $"vec_id", $"embedding")
+      // q104's path: int8 sweep behind the IVF cell filter. Codes come
+      // off the checkpointed store, not a second parquet read — the
+      // audit's one corpus materialization feeds every index build.
+      val qz = Similarity.quantizeInt8(all, $"id", $"emb")
         .filter($"maxabs" > 0).select($"id", $"q8")
       val assign = Similarity.ivfAssign(all, cents).select($"id", $"cid")
         .localCheckpoint()

@@ -125,6 +125,25 @@ class BpeSpec extends SparkSpec {
     ((), out)
   }
 
+  test("pull-local and distributed merge loops are output-identical") {
+    // pseudo-random words over a tiny alphabet so merges overlap and
+    // interact (the stale-membership and overlap-rewrite paths fire)
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 300).map { _ =>
+      val len = 3 + rnd.nextInt(6)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }.distinct.map(w => (w, 1L + rnd.nextInt(9)))
+    val df = words.toDF("word", "cnt")
+    val (ml, sl) = Bpe.train(df, k = 25) // n ≤ threshold → local path
+    val (md, sd) = Bpe.trainDistributed(df, k = 25)
+    assert(ml == md, s"merge lists diverge:\n$ml\n$md")
+    val gl = sl.select($"word", $"symbols")
+      .as[(String, Seq[String])].collect().toMap
+    val gd = sd.select($"word", $"symbols")
+      .as[(String, Seq[String])].collect().toMap
+    assert(gl == gd)
+  }
+
   test("train stops early when no pair repeats") {
     val df = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
     val (merges, _) = Bpe.train(df, k = 10)

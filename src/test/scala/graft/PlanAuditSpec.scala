@@ -90,11 +90,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q97 quantization is map-only: one exchange, for the presentation sort") {
+  test("q97 quantization is map-only between spread and presentation sort") {
     val p = planOf("q97_quantize_int8")
-    // scale + codes + error are all per-row expressions; the only
-    // shuffle a quantization pass may have is the final orderBy
-    assert(nodeCount(p, "Exchange") == 1, p)
+    // scale + codes + error are all per-row expressions; the pass may
+    // shuffle exactly twice — the Tables.spread round-robin that frees
+    // the heavy per-row kernels from the source's row-group parallelism,
+    // and the final orderBy. Anything more is an accidental shuffle.
+    assert(nodeCount(p, "Exchange") == 2, p)
+    assert(p.contains("REPARTITION_BY_NUM"), p)
   }
 
   test("q99 removes boilerplate with an anti join, no line-key window") {
