@@ -35,8 +35,16 @@ object StreamResample {
       case "count" => count(value).as("count")
       case other   => throw new IllegalArgumentException(s"unsupported stat: $other")
     }
-    val src = if (df.isStreaming) df.withWatermark(tsCol.toString, watermark) else df
-    val shifted = tsCol - expr("INTERVAL 1 MICROSECOND")
+    // Event-time watermarks accept only TIMESTAMP
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE for NTZ), so normalize the
+    // event column at entry — value-identity under the pinned-UTC
+    // session, no-op for already-TZ input. StreamResampleSpec runs the
+    // same stream from both encodings and asserts identical buckets.
+    val tsName = tsCol.toString
+    val tdf = df.withColumn(tsName,
+      tsCol.cast(org.apache.spark.sql.types.TimestampType))
+    val src = if (tdf.isStreaming) tdf.withWatermark(tsName, watermark) else tdf
+    val shifted = col(tsName) - expr("INTERVAL 1 MICROSECOND")
     src
       .groupBy(window(shifted, s"$seconds seconds") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -52,4 +52,36 @@ class StreamResampleSpec extends SparkSpec {
       .as[(String, String, Double, Long)].collect().toSeq
     assert(streamOut == batchOut)
   }
+
+  test("streaming resample over an NTZ-encoded source matches the TZ result") {
+    // the r7 break came from the driver's parquet flipping to naive
+    // timestamps; the stateful streaming path (window + watermark +
+    // usOf label) must digest either encoding identically
+    val rows = Seq(
+      ("2024-03-01 11:59:59", "a", 2.0),
+      ("2024-03-01 12:00:00", "a", 4.0),
+      ("2024-03-01 12:00:01", "b", 6.0),
+      ("2024-03-01 13:45:00", "b", 8.0))
+    val base = rows.toDF("t", "k", "v")
+    val results = Seq("timestamp", "timestamp_ntz").map { enc =>
+      val dir = Files.createTempDirectory(s"graft-stream-$enc").toString
+      val encoded = base.withColumn("t", $"t".cast(enc))
+      encoded.write.mode("overwrite").parquet(dir)
+      val in = spark.readStream.schema(encoded.schema).parquet(dir)
+      assert(in.schema("t").dataType.typeName ==
+        (if (enc == "timestamp") "timestamp" else "timestamp_ntz"))
+      val name = s"sr_${enc.replace("_", "")}"
+      val q = StreamResample.resample(in, $"t", Seq($"k"), $"v",
+          seconds = 3600, stats = Seq("sum", "count"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name)
+        .select($"k", date_format($"label", "yyyy-MM-dd HH:mm:ss").as("l"),
+          $"sum".cast("double"), $"count")
+        .orderBy($"k", $"l")
+        .as[(String, String, Double, Long)].collect().toSeq
+    }
+    assert(results.head.nonEmpty && results.head == results.last)
+  }
 }
