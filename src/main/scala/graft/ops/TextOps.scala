@@ -181,6 +181,36 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Asymmetric containment over blocked token sets: for every in-block
+    * pair, C = |A ∩ B| / min(|A|, |B|) — the subset-duplicate signal
+    * symmetric Jaccard misses (a short document quoted whole inside a
+    * long one scores J = |A|/|B| ≈ 0 but C = 1). Output: (d1, d2, i,
+    * containment, subsumed) with `subsumed` the smaller-set doc (ties →
+    * the higher id), the candidate a keep-longest policy drops.
+    *
+    * Same scale contract as [[blockedJaccard]]: candidate generation is
+    * the block×token equi-join, never all-pairs — and because
+    * containment pairs docs of very DIFFERENT lengths, the block key
+    * must not band by length (use source/domain, or swap in the minhash
+    * band join of [[Retrieval.incrementalLshCandidates]] for open-domain
+    * corpora). */
+  def blockedContainment(tokenRows: DataFrame): DataFrame = {
+    val sizes = tokenRows.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = tokenRows.as("a").join(tokenRows.as("b"),
+        col("a.block") === col("b.block") && col("a.token") === col("b.token") &&
+          col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("d1") === col("sa.doc"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc"))
+      .select(col("d1"), col("d2"), col("i"),
+        (col("i").cast("double") / least(col("sa.sz"), col("sb.sz")))
+          .as("containment"),
+        when(col("sa.sz") < col("sb.sz"), col("d1"))
+          .otherwise(col("d2")).as("subsumed"))
+  }
+
   /** Connected components of a block-partitioned edge set, in ONE
     * shuffle. Blocked candidate generation ([[blockedJaccard]]) only
     * ever pairs documents inside a block, so components cannot span
@@ -562,6 +592,36 @@ object TextOps {
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast("double") / col("n_spans").cast("double"))
+  }
+
+  /** Memorization-risk scoring: per-document exposure to HOT spans —
+    * w-token shingles whose total corpus occurrence count (including
+    * within-document repeats, unlike [[dupSpans]]' cross-document
+    * ndocs) reaches `minFreq`. Sequences repeated many times in
+    * training data are the ones a model memorizes verbatim (Lee et
+    * al. '22, Carlini et al. '22); the per-doc hot fraction and peak
+    * span frequency are the triage signals for clipping or
+    * down-weighting boilerplate-heavy documents.
+    *
+    * Scale shape: one corpus pass explodes shingle hashes, the
+    * frequency table is a map-side-combined groupBy on the hash, and
+    * the join back rides the SAME hash partitioning the groupBy
+    * produced — no second shuffle of the frequency side. Output:
+    * (doc, n_spans, n_hot, hot_frac, max_freq). */
+  def hotSpanExposure(docs: DataFrame, doc: Column, text: Column,
+      w: Int, minFreq: Long): DataFrame = {
+    val spans = docs
+      .select(doc.as("doc"), tokens(text).as("ts"))
+      .select(col("doc"), explode(shingles("ts", w)).as("s"))
+      .select(col("doc"), h64(col("s")).as("h"))
+    val freq = spans.groupBy(col("h")).agg(count(lit(1)).as("freq"))
+    spans.join(freq, Seq("h"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("freq") >= minFreq, 1L).otherwise(0L)).as("n_hot"),
+        max(col("freq")).as("max_freq"))
+      .withColumn("hot_frac",
+        col("n_hot").cast("double") / col("n_spans").cast("double"))
   }
 
   /** Static corpus-mixing weights: per-bucket counts, corpus shares,

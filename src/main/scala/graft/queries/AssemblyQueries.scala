@@ -209,5 +209,45 @@ object AssemblyQueries extends QueryGroup {
       SELECT doc, quality, n_tokens FROM sel
       ORDER BY quality DESC, doc"""))
 
-  def queries: Seq[Q] = Seq(q140, q141, q142)
+  /** Curriculum ordering: stage documents short-to-long (the classic
+    * length curriculum), shuffle deterministically inside each stage
+    * (hash order — no RNG state), and assign the global training
+    * position stage-major. The position is Shard.histogramRank's
+    * counting sort — histogram the 4 stages, prefix-sum the tiny
+    * histogram, rank within stages — so no whole-corpus
+    * single-partition window exists in the plan (the oracle's global
+    * ROW_NUMBER is exactly the formulation the operator avoids). */
+  private val q145 = Q(
+    "q145_curriculum_order",
+    (s, dir) => {
+      import s.implicits._
+      val staged = docs(s, dir)
+        .select($"doc_id",
+          size(TextOps.tokens($"text")).cast("long").as("ntok"))
+        .withColumn("stage",
+          when($"ntok" < 50, 0).when($"ntok" < 200, 1)
+            .when($"ntok" < 500, 2).otherwise(3))
+      graft.ops.Shard.histogramRank(staged, $"stage", bucketAsc = true,
+          order = Seq(TextOps.h64($"doc_id".cast("string")).asc, $"doc_id".asc),
+          rankName = "curriculum_pos")
+        .select($"doc_id", $"stage", $"curriculum_pos")
+        .orderBy($"curriculum_pos")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+        FROM documents),
+      st AS (
+        SELECT doc_id,
+          CASE WHEN ntok < 50 THEN 0 WHEN ntok < 200 THEN 1
+               WHEN ntok < 500 THEN 2 ELSE 3 END AS stage
+        FROM d)
+      SELECT doc_id, stage,
+        CAST(ROW_NUMBER() OVER (ORDER BY stage,
+          ${TextOps.h64Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT)
+          AS curriculum_pos
+      FROM st ORDER BY curriculum_pos"""))
+
+  def queries: Seq[Q] = Seq(q140, q141, q142, q145)
 }

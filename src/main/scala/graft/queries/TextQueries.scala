@@ -307,5 +307,71 @@ object TextQueries extends QueryGroup {
       FROM sp JOIN freq f ON sp.h = f.h
       GROUP BY sp.doc ORDER BY sp.doc"""))
 
-  def queries: Seq[Q] = Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110)
+  /** Asymmetric containment dedup (TextOps.blockedContainment): the
+    * subset-duplicate pass — a short document quoted whole inside a
+    * longer one is invisible to symmetric Jaccard (q49) but scores
+    * containment 1. Blocks on source alone, NOT the length band,
+    * because containment pairs documents of very different lengths by
+    * construction. */
+  private val q143 = Q(
+    "q143_containment_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val tr = docs(s, dir)
+        .select($"doc_id".as("doc"), $"source".as("block"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      TextOps.blockedContainment(tr)
+        .filter($"containment" >= 0.9)
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT doc_id AS doc, source AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2)
+      SELECT d1, d2, i,
+        CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+        CASE WHEN sa.n < sb.n THEN d1 ELSE d2 END AS subsumed
+      FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+      WHERE CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.9e0
+      ORDER BY d1, d2"""))
+
+  /** Memorization-risk triage (TextOps.hotSpanExposure): per-document
+    * exposure to 5-token spans the corpus repeats >= 3 times INCLUDING
+    * within-document repeats — the verbatim-memorization signal (Lee
+    * '22, Carlini '22) beside q110's cross-document dup fraction. */
+  private val q144 = Q(
+    "q144_hot_spans",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.hotSpanExposure(docs(s, dir), $"doc_id", $"text",
+          w = 5, minFreq = 3)
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sp AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql(
+          "array_to_string(ts[i:i+4], ' ')")} AS h
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
+        WHERE len(ts) >= 5),
+      freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS freq FROM sp GROUP BY h)
+      SELECT sp.doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN f.freq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        CAST(MAX(f.freq) AS BIGINT) AS max_freq,
+        SUM(CASE WHEN f.freq >= 3 THEN 1 ELSE 0 END) * 1.0e0 / COUNT(*)
+          AS hot_frac
+      FROM sp JOIN freq f ON sp.h = f.h
+      GROUP BY sp.doc ORDER BY sp.doc"""))
+
+  def queries: Seq[Q] =
+    Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144)
 }

@@ -126,6 +126,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 
+  test("blockedContainment: subset pair scores 1 where Jaccard stays low") {
+    val tr = Seq(
+      // doc 1 (4 tokens) is a strict subset of doc 2 (10 tokens):
+      // J = 4/10 = 0.4, containment = 4/4 = 1 — the case q49 misses
+      (1L, "s", Seq("a", "b", "c", "d")),
+      (2L, "s", Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")),
+      // doc 3 shares 1 of its 3 tokens with doc 1 -> containment 1/3
+      (3L, "s", Seq("a", "x", "y")),
+      // doc 4: other block, never paired
+      (4L, "t", Seq("a", "b", "c", "d")))
+      .toDF("doc", "block", "toks")
+      .select($"doc", $"block", explode($"toks").as("token"))
+    val out = TextOps.blockedContainment(tr)
+      .orderBy($"d1", $"d2")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 4L, 1.0, 1L),          // subsumed = the smaller set
+      (1L, 3L, 1L, 1.0 / 3.0, 3L),    // tie on size -> higher id subsumed
+      (2L, 3L, 1L, 1.0 / 3.0, 3L)))
+  }
+
+  test("hotSpanExposure counts within-doc repeats that dupSpans ignores") {
+    // doc 1 repeats one 2-token span 3 times BY ITSELF; no other doc
+    // shares it, so dupSpans sees nothing hot but exposure does
+    val docs = Seq(
+      (1L, "p q p q p q"),   // spans: pq qp pq qp pq -> "p q" x3, "q p" x2
+      (2L, "r s t u v w"))
+      .toDF("doc_id", "text")
+    val hot = TextOps.hotSpanExposure(docs, $"doc_id", $"text", w = 2, minFreq = 3)
+      .orderBy($"doc")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(hot == Seq(
+      (1L, 5L, 3L, 3L, 0.6),  // 3 of 5 spans are the freq-3 "p q"
+      (2L, 5L, 0L, 1L, 0.0)))
+    val dup = TextOps.dupSpans(docs, $"doc_id", $"text", w = 2)
+      .filter($"n_dup" > 0).count()
+    assert(dup == 0) // cross-doc view is blind to the self-repetition
+  }
+
   test("blockLocalComponents equals the iterative CC on block-local graphs") {
     val rnd = new scala.util.Random(7)
     // 3 blocks, nodes 0..59 assigned round-robin; random edges strictly
