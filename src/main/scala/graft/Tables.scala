@@ -20,7 +20,14 @@ object Tables {
     * stage is heavy PER-ROW work (vector encodes, ADC sweeps, norm
     * computations) pay this one small shuffle to run it wide — the
     * same move a 100 TB index build opens with, spreading the corpus
-    * instead of trusting the ingest file layout. */
+    * instead of trusting the ingest file layout.
+    *
+    * Use it SELECTIVELY: it wins when one dominant kernel consumes the
+    * spread frame once (the ANN index builds; q143/q144's span
+    * explodes — measured ~2× at sf0.1), and LOSES when the plan reads
+    * the table through several pruned subtrees, each re-paying the
+    * shuffle (A/B at sf0.1: q127 +1.3 s, q131 +1.9 s, q141 +1.4 s with
+    * a blanket spread — those read documents 2–3×). */
   def spread(spark: SparkSession, dir: String, name: String): DataFrame =
     apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 

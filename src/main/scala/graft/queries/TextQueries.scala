@@ -317,7 +317,13 @@ object TextQueries extends QueryGroup {
     "q143_containment_dedup",
     (s, dir) => {
       import s.implicits._
-      val tr = docs(s, dir)
+      // spread: the token self-join's map side (distinct-token explode
+      // over full docs) is the heavy kernel — measured 3.8 -> 2.1 s at
+      // sf0.1 against the single-row-group scan. Queries that read the
+      // doc table several times do NOT spread (the per-consumer text
+      // shuffle costs more than the parallelism buys — A/B'd on
+      // q127/q131/q141).
+      val tr = Tables.spread(s, dir, "documents")
         .select($"doc_id".as("doc"), $"source".as("block"),
           explode(array_distinct(TextOps.tokens($"text"))).as("token"))
       TextOps.blockedContainment(tr)
@@ -350,8 +356,11 @@ object TextQueries extends QueryGroup {
     "q144_hot_spans",
     (s, dir) => {
       import s.implicits._
-      TextOps.hotSpanExposure(docs(s, dir), $"doc_id", $"text",
-          w = 5, minFreq = 3)
+      // spread: one consumer, dominated by the w-token span explode +
+      // hash — the single-kernel case where the one-time repartition
+      // pays (see q143 note)
+      TextOps.hotSpanExposure(Tables.spread(s, dir, "documents"),
+          $"doc_id", $"text", w = 5, minFreq = 3)
         .orderBy($"doc")
     },
     Some(s"""
