@@ -224,6 +224,55 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cosine"), col("rank"))
   }
 
+  /** Trained IVF coarse quantizer: `iters` Lloyd (k-means) rounds from
+    * the given seed centroids. Each round is the fully distributed
+    * assign-then-mean pair every scalable k-means runs:
+    *
+    *  - assignment is [[ivfAssign]]'s provably-exact top-1 (native
+    *    double prefilter with margin, decimal-exact verify, ties to the
+    *    lower cid) — deterministic across engines;
+    *  - the new centroid is the component-wise decimal-exact mean of
+    *    the cluster's members (Exact.davg — the same commutative-sum
+    *    contract as every reported aggregate), reassembled into an
+    *    array by sorted collect over the K·dim mean rows (metadata-
+    *    sized);
+    *  - a cluster that loses all members keeps its previous centroid
+    *    (the deterministic carry-forward rule, mirrored in the oracle).
+    *
+    * The corpus is touched once per round (one shuffle each for the
+    * assignment verify and the mean agg); the centroid table is K·dim
+    * rows and broadcasts. Iteration count is the caller's convergence
+    * budget — at 100 TB a handful of rounds over a 1–4 k-cell quantizer
+    * is the standard index-build cost (each round ≈ one q71). The loop
+    * is over ITERATIONS, not data: localCheckpoint per round stops the
+    * plan doubling, exactly the BPE-merge contract.
+    *
+    * Output: (cid, cemb: Array[Double], cnorm2) — drop-in for every
+    * consumer of the seed-centroid frame. */
+  def lloydCentroids(all: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    val comp = all
+      .select(col("id"), posexplode(col("emb")).as(Seq("i", "e")))
+      .withColumn("e", col("e").cast("double"))
+    var cents = seeds.select(col("cid"),
+      expr("transform(cemb, x -> CAST(x AS DOUBLE))").as("cemb"),
+      col("cnorm2"))
+    for (_ <- 1 to iters) {
+      val assign = ivfAssign(all, cents).select(col("id"), col("cid"))
+      val means = assign.join(comp, Seq("id"))
+        .groupBy(col("cid"), col("i"))
+        .agg(Exact.davg(col("e")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("__newEmb"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("__newEmb"), col("cemb")).as("cemb"))
+        .withColumn("cnorm2", sqNormExact("cemb"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** Symmetric int8 quantization of a float-array embedding: per-vector
     * scale = 127 / max|x|, codes = floor(x·scale + 0.5) ∈ [-127, 127].
     * The memory-side scale path for an embedding store — int8 codes cut

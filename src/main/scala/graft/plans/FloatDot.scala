@@ -28,18 +28,26 @@ import org.apache.spark.sql.types._
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"float_dot expects (array<float>, array<float>), " +
-        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  // each side may be float (the raw store) or double (derived vectors:
+  // residuals, iterated Lloyd centroids) — the accumulator is double
+  // either way and float widening is exact
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(left.dataType).isDefined && elem(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot expects (array<float|double>, array<float|double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+
+  private lazy val leftIsFloat = elem(left.dataType).contains(FloatType)
+  private lazy val rightIsFloat = elem(right.dataType).contains(FloatType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -48,8 +56,11 @@ case class FloatDot(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+      }
       i += 1
     }
     s
@@ -60,12 +71,16 @@ case class FloatDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val xv = if (leftIsFloat) s"((double) $a.getFloat($i))"
+               else s"$a.getDouble($i)"
+      val yv = if (rightIsFloat) s"((double) $b.getFloat($i))"
+               else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-            $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+            $s += $xv * $yv;
           }
         }
         ${ev.value} = $s;

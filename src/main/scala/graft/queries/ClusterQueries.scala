@@ -274,5 +274,71 @@ object ClusterQueries extends QueryGroup {
       FROM sized s JOIN keep k ON s.cluster = k.cluster
       ORDER BY s.doc_id"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126)
+  /** Trained coarse quantizer (Similarity.lloydCentroids): one full
+    * Lloyd round refines the seed centroids (exact assignment +
+    * decimal-exact component means, empty clusters carry forward), and
+    * the output is the SECOND round's assignment statistics — i.e. two
+    * distributed k-means rounds end to end, the training the untrained
+    * seed-centroid IVF of q61/q77/q104/q109 would get before serving.
+    * The oracle unrolls both rounds as CTEs; every arithmetic step is
+    * decimal-exact or totally ordered, so the trained centroids match
+    * across engines bit-for-bit. */
+  private val q146 = Q(
+    "q146_kmeans_ivf",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val seeds = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val cents1 = Similarity.lloydCentroids(all, seeds, iters = 1)
+      val assign2 = Similarity.ivfAssign(all, cents1).select($"id", $"cid")
+      val comp = all
+        .select($"id", posexplode($"emb").as(Seq("i", "e")))
+        .withColumn("e", $"e".cast("double"))
+      assign2.join(comp, Seq("id"))
+        .groupBy($"cid", $"i")
+        .agg(count(lit(1)).as("n_members"), graft.ops.Exact.davg($"e").as("mean_e"))
+        .orderBy($"cid", $"i")
+    },
+    Some(s"""
+      WITH $compSql,
+      c1parts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos1 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c1parts GROUP BY id, cid),
+      assign1 AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos1) WHERE rn = 1),
+      m1 AS (
+        SELECT a.cid, m.i, ${graft.ops.Exact.sqlAvg("m.e")} AS m
+        FROM assign1 a JOIN comp m ON a.id = m.id
+        GROUP BY a.cid, m.i),
+      seeds0 AS (SELECT id AS cid, i, e FROM comp WHERE id < 16),
+      cents1 AS (
+        SELECT s.cid, s.i, COALESCE(m1.m, s.e) AS m
+        FROM seeds0 s LEFT JOIN m1 ON s.cid = m1.cid AND s.i = m1.i),
+      c2parts AS (
+        SELECT v.id AS id, c.cid AS cid, v.e * c.m AS p,
+               v.e * v.e AS a2, c.m * c.m AS b2
+        FROM comp v JOIN cents1 c ON v.i = c.i),
+      ccos2 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c2parts GROUP BY id, cid),
+      assign2 AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos2) WHERE rn = 1)
+      SELECT a.cid, m.i, CAST(COUNT(*) AS BIGINT) AS n_members,
+        ${graft.ops.Exact.sqlAvg("m.e")} AS mean_e
+      FROM assign2 a JOIN comp m ON a.id = m.id
+      GROUP BY a.cid, m.i ORDER BY a.cid, m.i"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146)
 }

@@ -45,6 +45,50 @@ class QuantCorpusSpec extends SparkSpec {
     assert(got == (1 * 4 + -2 * 5 + 3 * -6).toLong)
   }
 
+  test("lloydCentroids: one round = exact assignment + component means; empty cluster carries forward") {
+    // 2-D points in two tight groups around (1,0) and (0,1), plus a
+    // seed at (-1,-1) that captures nothing — it must survive verbatim
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.1f, 0.05f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.05f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    val all = Similarity.withNorms(pts, $"vec_id", $"embedding")
+    val seeds = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (2L, Array(-1.0, -1.0)))
+      .toDF("cid", "cemb")
+      .withColumn("cnorm2", Similarity.sqNormExact("cemb"))
+    val out = Similarity.lloydCentroids(all, seeds, iters = 1)
+      .select($"cid", $"cemb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // expected means via the same exact-decimal avg the op uses
+    def m(vals: Seq[Float]) = {
+      val dec = vals.map(v => BigDecimal(v.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      (dec.sum.toDouble / vals.size)
+    }
+    assert(out(0L) == Seq(m(Seq(1.0f, 0.9f, 1.1f)), m(Seq(0.0f, 0.1f, 0.05f))))
+    assert(out(1L) == Seq(m(Seq(0.0f, 0.1f, 0.05f)), m(Seq(1.0f, 0.9f, 1.1f))))
+    assert(out(2L) == Seq(-1.0, -1.0)) // carry-forward, no members
+  }
+
+  test("lloydCentroids iterations are stable on separated clusters") {
+    // once assignments stop changing, centroids are a fixpoint: one
+    // more round must not move them (exact arithmetic => bit equality)
+    val pts = Seq(
+      (0L, Array(2.0f, 0.0f)), (1L, Array(2.2f, 0.1f)),
+      (2L, Array(0.0f, 3.0f)), (3L, Array(0.1f, 2.8f))
+    ).toDF("vec_id", "embedding")
+    val all = Similarity.withNorms(pts, $"vec_id", $"embedding")
+    // one seed per (cosine-)cluster, so round-1 assignments are final
+    val seeds = all.filter($"id" === 0 || $"id" === 2)
+      .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cid", $"cemb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val once = flat(Similarity.lloydCentroids(all, seeds, iters = 1))
+    val twice = flat(Similarity.lloydCentroids(all, seeds, iters = 2))
+    assert(once == twice)
+  }
+
   test("quantizedTopK: shortlist re-rank matches bruteForceTopK on the shortlist-covered top") {
     // m = corpus size ⇒ the quantized path degenerates to exact brute force
     val base = spark.range(0, 30).select($"id".cast("long").as("vec_id"),
