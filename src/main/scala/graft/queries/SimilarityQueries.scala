@@ -665,7 +665,9 @@ object SimilarityQueries extends QueryGroup {
       // brute-force sweep and the centroid assignment run once per
       // audit instead of once per ladder. localCheckpoint, NOT persist:
       // a persisted sub-plan would splice into other queries' plans via
-      // the session cache manager
+      // the session cache manager. (Fusing the two cuts into one
+      // tagged-union job was measured a wash; the serial-job latency is
+      // not what remains of this audit's cost.)
       val exact = Similarity.bruteForceTopK(all, queries, k = 3)
         .select($"id1", $"id2").localCheckpoint()
       // q104's path: int8 sweep behind the IVF cell filter. Codes come
