@@ -103,7 +103,11 @@ object Bench {
     // r8 (r7 verdict #7): the three heaviest new queries — filter
     // stack, RRF fusion, hard-negative mining — get scaling evidence,
     // not just audited shapes
-    "q131_filter_stack", "q138_hybrid_rrf", "q141_hard_negatives")
+    "q131_filter_stack", "q138_hybrid_rrf", "q141_hard_negatives",
+    // r8 additions with non-obvious scale shapes: the containment
+    // token self-join, the hot-span frequency join, and the two-round
+    // Lloyd trainer (measured 1.15x/1.8x/1.6x at the 3x tier)
+    "q143_containment_dedup", "q144_hot_spans", "q146_kmeans_ivf")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
