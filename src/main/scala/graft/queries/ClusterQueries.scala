@@ -340,5 +340,81 @@ object ClusterQueries extends QueryGroup {
       FROM assign2 a JOIN comp m ON a.id = m.id
       GROUP BY a.cid, m.i ORDER BY a.cid, m.i"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146)
+  /** ANN search served from the TRAINED quantizer: one Lloyd round
+    * refines the seed centroids (q146's training), then the standard
+    * nprobe=2 inverted-file search (q77's serving path) runs against
+    * the refined cells — train-then-serve end to end. Better-centered
+    * cells change which inverted lists exist, not the search plan:
+    * the corpus is still touched only through the probed lists. */
+  private val q147 = Q(
+    "q147_trained_ivf_search",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val seeds = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val trained = Similarity.lloydCentroids(all, seeds, iters = 1)
+      Similarity.ivfTopK(all, trained, all.filter($"id" < 10),
+          nprobe = 2, k = 3)
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      c1parts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos1 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c1parts GROUP BY id, cid),
+      assign1 AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos1) WHERE rn = 1),
+      m1 AS (
+        SELECT a.cid, m.i, ${graft.ops.Exact.sqlAvg("m.e")} AS m
+        FROM assign1 a JOIN comp m ON a.id = m.id
+        GROUP BY a.cid, m.i),
+      seeds0 AS (SELECT id AS cid, i, e FROM comp WHERE id < 16),
+      cents1 AS (
+        SELECT s.cid, s.i, COALESCE(m1.m, s.e) AS m
+        FROM seeds0 s LEFT JOIN m1 ON s.cid = m1.cid AND s.i = m1.i),
+      c2parts AS (
+        SELECT v.id AS id, c.cid AS cid, v.e * c.m AS p,
+               v.e * v.e AS a2, c.m * c.m AS b2
+        FROM comp v JOIN cents1 c ON v.i = c.i),
+      ccos2 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c2parts GROUP BY id, cid),
+      assign2 AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos2) WHERE rn = 1),
+      qcells AS (
+        SELECT id AS qid, cid FROM (
+          SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos2 WHERE id < 10) WHERE rn <= 2),
+      cands AS (
+        SELECT qc.qid, a.id AS nid
+        FROM qcells qc JOIN assign2 a ON a.cid = qc.cid AND a.id <> qc.qid),
+      nparts AS (
+        SELECT cd.qid, cd.nid, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM cands cd
+        JOIN comp a ON a.id = cd.qid
+        JOIN comp b ON b.id = cd.nid AND a.i = b.i),
+      cos AS (SELECT qid, nid, $cosSql AS cosine
+              FROM nparts GROUP BY qid, nid),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, nid) AS INT) AS rank
+        FROM cos)
+      SELECT qid, nid, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147)
 }
