@@ -176,4 +176,29 @@ object Retrieval {
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
   }
+
+  /** Exact phrase search over a POSITIONAL postings list — the
+    * classical positional-intersection algorithm (Manning/Raghavan/
+    * Schütze IR ch. 2): a phrase of terms t_0..t_{m-1} occurs at
+    * anchor position a iff for every offset j the posting
+    * (doc, a + j, t_j) exists, i.e. every matched posting votes for
+    * anchor = pos − j and an anchor with all m distinct offsets wins.
+    *
+    * `postings`: (doc, pos, token) — built once per corpus, the same
+    * one-pass explode as the BM25 index but keeping positions.
+    * `phrases`: (pid, phrase, j, term, len) — the query set, exploded
+    * one row per term; query-sized, so it BROADCASTS into the postings
+    * scan and per-phrase cost follows matched postings, not corpus
+    * size (the q137 contract). The anchor groupBy is
+    * (phrase × candidate-anchor)-sized. */
+  def phraseMatches(postings: DataFrame, phrases: DataFrame): DataFrame =
+    postings.join(broadcast(phrases), col("token") === col("term"))
+      .select(col("pid"), col("phrase"), col("doc"),
+        (col("pos") - col("j")).as("anchor"), col("j"), col("len"))
+      .groupBy(col("pid"), col("phrase"), col("doc"), col("anchor"))
+      .agg(countDistinct(col("j")).as("__njs"), max(col("len")).as("__len"))
+      .filter(col("__njs") === col("__len"))
+      .groupBy(col("pid"), col("phrase"), col("doc"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("anchor")).as("first_pos"))
 }

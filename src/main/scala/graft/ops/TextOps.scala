@@ -769,4 +769,83 @@ object TextOps {
       ($scheme || '://' || $host || $path2 ||
         CASE WHEN $qTrim = '' THEN '' ELSE '?' || $qTrim END) END"""
   }
+
+  /** Blocklist-lexicon filter stats (the C4 "bad words" gate: any hit
+    * drops the document). Input: (doc, token) rows with multiplicity.
+    * Output per doc: token count, blocklist hit count, distinct terms
+    * hit, hit ratio, and the keep flag (zero hits).
+    *
+    * The lexicon compiles to an `InSet` literal inside whole-stage
+    * codegen — no join, no broadcast table, no shuffle beyond the one
+    * per-doc groupBy (map-side combined). A production list of tens of
+    * thousands of terms stays an O(1) set probe per token. */
+  def blocklistStats(tokenRows: DataFrame, words: Seq[String]): DataFrame = {
+    val hit = lower(col("token")).isin(words: _*)
+    tokenRows.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"),
+        countDistinct(when(hit, lower(col("token")))).as("n_distinct_hits"))
+      .withColumn("hit_ratio",
+        col("n_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** Per-row (shuffle-free) twin of [[blocklistStats]] for streaming
+    * maps: same five columns computed from the text column alone, so a
+    * document stream can be gated stateless, one row at a time.
+    * Value-identical to the batch aggregation (StreamBlocklistSpec). */
+  def blocklistStatsRow(df: DataFrame, id: Column, text: Column,
+      words: Seq[String]): DataFrame = {
+    val wordArr = array(words.map(w => lit(w)): _*)
+    df.select(id.as("doc"), tokens(text).as("__ts"))
+      .withColumn("__words", wordArr)
+      .select(col("doc"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        size(expr("filter(__ts, t -> array_contains(__words, lower(t)))"))
+          .cast("long").as("n_hits"),
+        size(array_distinct(expr(
+          "transform(filter(__ts, t -> array_contains(__words, lower(t))), t -> lower(t))")))
+          .cast("long").as("n_distinct_hits"))
+      .withColumn("hit_ratio",
+        col("n_hits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** Unicode-lite text normalization for fuzzy-exact dedup: lowercase,
+    * strip every non-alphanumeric/space character, collapse whitespace
+    * runs, trim — the canonical form under which "Hello,  World!" and
+    * "hello world" collide. Pure map-side column chain. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Oracle twin of [[normalizeText]] (DuckDB needs explicit 'g'). */
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), " +
+      s"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Per-document span-novelty against a FROZEN reference corpus: the
+    * fraction of a document's distinct w-token spans that appear
+    * nowhere in the reference — the "how much genuinely new text does
+    * this batch add" signal (the complement of contamination/q81, at
+    * span rather than document grain).
+    *
+    * `spans` / `refSpans`: (doc, h) rows (refSpans' doc is ignored).
+    * Scale shape: the reference set reduces to distinct hashes once
+    * (map-side combined), then one equi-join on the span hash; at
+    * 100 TB the reference-hash store is the frozen index the daily
+    * batch joins against — same contract as the incremental-dedup
+    * family, and Bloom-prefiltering the join key is the standard
+    * shrink when the reference dwarfs the batch. */
+  def noveltyVsReference(spans: DataFrame, refSpans: DataFrame): DataFrame = {
+    val ref = refSpans.select(col("h")).distinct()
+      .withColumn("__inref", lit(1L))
+    spans.select(col("doc"), col("h")).distinct()
+      .join(ref, Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__inref").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_spans").cast("double"))
+  }
 }

@@ -416,5 +416,61 @@ object ClusterQueries extends QueryGroup {
       SELECT qid, nid, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147)
+  /** Nearest-centroid classifier evaluation (the Rocchio / prototype
+    * probe): per-label centroids are decimal-exact component means (the
+    * q146 Lloyd machinery keyed on the LABEL instead of the learned
+    * cell), every vector is assigned to its nearest centroid by exact
+    * cosine, and the output is the confusion matrix — the standard
+    * embedding-quality probe run over a labeled eval slice. One corpus
+    * pass for the means (label-count × dim rows broadcast back), one
+    * for the assignment; the confusion groupBy is label² rows. */
+  private val q153 = Q(
+    "q153_centroid_classifier",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val emb = Tables.spread(s, dir, "embeddings")
+      val all = Similarity.withNorms(emb, $"vec_id", $"embedding")
+      val lab = emb.select($"vec_id".as("id"), $"label")
+      val comp = all
+        .select($"id", posexplode($"emb").as(Seq("i", "e")))
+        .withColumn("e", $"e".cast("double"))
+      val cents = comp.join(lab, Seq("id"))
+        .groupBy($"label", $"i")
+        .agg(graft.ops.Exact.davg($"e").as("m"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> x.m)")
+          .as("cemb"))
+        .select($"label".as("cid"), $"cemb")
+        .withColumn("cnorm2", Similarity.sqNormExact("cemb"))
+      val pred = Similarity.ivfAssign(all, cents)
+        .select($"id", $"cid".as("pred"))
+      pred.join(lab, Seq("id"))
+        .groupBy($"label", $"pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"pred")
+    },
+    Some(s"""
+      WITH $compSql,
+      lab AS (SELECT vec_id AS id, label FROM embeddings),
+      cents AS (
+        SELECT l.label AS cid, c.i, ${graft.ops.Exact.sqlAvg("c.e")} AS m
+        FROM comp c JOIN lab l USING (id)
+        GROUP BY l.label, c.i),
+      parts AS (
+        SELECT v.id AS id, cn.cid AS cid, v.e * cn.m AS p,
+               v.e * v.e AS a2, cn.m * cn.m AS b2
+        FROM comp v JOIN cents cn ON v.i = cn.i),
+      ccos AS (SELECT id, cid, $cosSql AS ccos
+               FROM parts GROUP BY id, cid),
+      pred AS (
+        SELECT id, cid AS pred FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos) WHERE rn = 1)
+      SELECT l.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred p JOIN lab l USING (id)
+      GROUP BY l.label, p.pred ORDER BY l.label, p.pred"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147, q153)
 }

@@ -235,5 +235,58 @@ object RetrievalQueries extends QueryGroup {
       SELECT d1, d2, est_jaccard FROM est
       WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""))
 
-  def queries: Seq[Q] = Seq(q137, q138, q139)
+  /** Exact phrase search (Retrieval.phraseMatches): three fixed phrases
+    * against the positional postings index — every occurrence position
+    * verified by the anchor-vote intersection, per-doc occurrence
+    * counts and first position returned. The phrase table broadcasts;
+    * corpus cost is the one postings build (shared with BM25 at a real
+    * deployment) plus matched-postings-sized joins. */
+  private val q154 = Q(
+    "q154_phrase_search",
+    (s, dir) => {
+      import s.implicits._
+      val postings = docs(s, dir)
+        .select($"doc_id".as("doc"),
+          posexplode(TextOps.tokens($"text")).as(Seq("pos", "token")))
+      val phraseList = Seq("table table", "fast merge batch", "value table part")
+      val phrases = phraseList.zipWithIndex.flatMap { case (p, pid) =>
+        val terms = p.split(" ")
+        terms.zipWithIndex.map { case (t, j) =>
+          (pid.toLong, p, j, t, terms.length.toLong)
+        }
+      }
+      val phraseDf = s.createDataFrame(phrases)
+        .toDF("pid", "phrase", "j", "term", "len")
+      Retrieval.phraseMatches(postings, phraseDf)
+        .orderBy($"pid", $"doc")
+    },
+    Some(s"""
+      WITH post AS (
+        SELECT doc_id AS doc, generate_subscripts(ts, 1) - 1 AS pos,
+               unnest(ts) AS token
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents)),
+      ph(pid, phrase, j, term, len) AS (VALUES
+        (CAST(0 AS BIGINT), 'table table', 0, 'table', CAST(2 AS BIGINT)),
+        (0, 'table table', 1, 'table', 2),
+        (1, 'fast merge batch', 0, 'fast', 3),
+        (1, 'fast merge batch', 1, 'merge', 3),
+        (1, 'fast merge batch', 2, 'batch', 3),
+        (2, 'value table part', 0, 'value', 3),
+        (2, 'value table part', 1, 'table', 3),
+        (2, 'value table part', 2, 'part', 3)),
+      votes AS (
+        SELECT ph.pid, ph.phrase, post.doc, post.pos - ph.j AS anchor,
+               ph.j, ph.len
+        FROM post JOIN ph ON post.token = ph.term),
+      anchors AS (
+        SELECT pid, phrase, doc, anchor
+        FROM votes
+        GROUP BY pid, phrase, doc, anchor, len
+        HAVING COUNT(DISTINCT j) = len)
+      SELECT pid, phrase, doc, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MIN(anchor) AS INT) AS first_pos
+      FROM anchors GROUP BY pid, phrase, doc ORDER BY pid, doc"""))
+
+  def queries: Seq[Q] = Seq(q137, q138, q139, q154)
 }

@@ -283,6 +283,103 @@ object SamplingQueries extends QueryGroup {
         ORDER BY skey DESC, CAST(doc_id AS VARCHAR) LIMIT 100)
       ORDER BY doc_id"""))
 
+  /** Leakage-safe train/val/test split: the split key is the NORMALIZED
+    * CONTENT (TextOps.normalizeText), not the row id — every
+    * formatting-variant copy of a document hashes to the same slot, so
+    * exact and fuzzy-exact duplicates co-travel into one split and can
+    * never straddle the train/test boundary (the q117 row-id split
+    * cannot promise that). Pure map-side projection: no shuffle, no
+    * group table, rerun- and parallelism-stable. Residual NEAR-dup
+    * leakage across splits is what q151 audits. */
+  private val q150 = Q(
+    "q150_grouped_split",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id", $"source",
+          Sampling.hashSplit(TextOps.normalizeText($"text"),
+            den = 10, train = 8, valSlots = 1).as("split"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id, source,
+        ${Sampling.hashSplitSql(TextOps.normalizeTextSql("text"), 10, 8, 1)}
+          AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Cross-split near-dup leakage audit: q47's MinHash-LSH candidate
+    * pairs (est. Jaccard ≥ 0.5) tabulated by the q150 split assignment
+    * of each side — the count in (train, test) / (train, val) cells IS
+    * the measured contamination the grouped split could not prevent
+    * (near-dups that are not normalization-identical). Split labels are
+    * map-side column chains on each end of the pair join; no new
+    * shuffle beyond q47's own. */
+  private val q151 = Q(
+    "q151_split_leakage_audit",
+    (s, dir) => {
+      import s.implicits._
+      val assigned = Tables(s, dir, "documents")
+        .select($"doc_id",
+          Sampling.hashSplit(TextOps.normalizeText($"text"),
+            den = 10, train = 8, valSlots = 1).as("split"))
+      val sh = Tables(s, dir, "documents")
+        .withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id", explode(TextOps.shingles("ts", 3)).as("s"))
+        .distinct()
+      val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 8)
+      val cands = TextOps.lshCandidates(mh, r = 4)
+      val pairs = TextOps.estJaccard(cands, mh, k = 8)
+        .filter($"est_jaccard" >= 0.5)
+      pairs
+        .join(assigned.select($"doc_id".as("d1"), $"split".as("s1")), Seq("d1"))
+        .join(assigned.select($"doc_id".as("d2"), $"split".as("s2")), Seq("d2"))
+        .select(least($"s1", $"s2").as("split_a"),
+          greatest($"s1", $"s2").as("split_b"))
+        .groupBy($"split_a", $"split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"split_a", $"split_b")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM t),
+      hashes AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql("s")} AS h1,
+               ${TextOps.h64bSql("s")} % 1000000007 AS h2
+        FROM sh),
+      mh AS (
+        SELECT doc, j, MIN(h1 + j * h2) AS h
+        FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j) seeds
+        GROUP BY doc, j),
+      bands AS (
+        SELECT doc, CAST(j // 4 AS INT) AS band, SUM(h) AS sig
+        FROM mh GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+      est AS (
+        SELECT d1, d2, COUNT(*) * 1.0e0 / 8 AS est_jaccard
+        FROM cands
+        JOIN mh ma ON d1 = ma.doc
+        JOIN mh mb ON d2 = mb.doc AND ma.j = mb.j AND ma.h = mb.h
+        GROUP BY d1, d2),
+      assigned AS (
+        SELECT doc_id,
+          ${Sampling.hashSplitSql(TextOps.normalizeTextSql("text"), 10, 8, 1)}
+            AS split
+        FROM documents)
+      SELECT LEAST(a1.split, a2.split) AS split_a,
+        GREATEST(a1.split, a2.split) AS split_b,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM est JOIN assigned a1 ON est.d1 = a1.doc_id
+               JOIN assigned a2 ON est.d2 = a2.doc_id
+      WHERE est.est_jaccard >= 0.5
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def queries: Seq[Q] =
-    Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129)
+    Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151)
 }

@@ -381,6 +381,103 @@ object TextQueries extends QueryGroup {
       FROM sp JOIN freq f ON sp.h = f.h
       GROUP BY sp.doc ORDER BY sp.doc"""))
 
+  /** Blocklist-lexicon gate (TextOps.blocklistStats): the C4 bad-words
+    * filter — any lexicon hit drops the document. The lexicon is an
+    * `InSet` literal probed inside whole-stage codegen (no join, no
+    * broadcast table); the only shuffle is the per-doc count groupBy. */
+  private val q148 = Q(
+    "q148_blocklist_filter",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.blocklistStats(tokenRows(s, dir), Seq("dup", "nsfw", "casino"))
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH $tokenRowsSql
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN lower(token) IN ('dup','nsfw','casino')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        CAST(COUNT(DISTINCT CASE WHEN lower(token) IN ('dup','nsfw','casino')
+                 THEN lower(token) END) AS BIGINT) AS n_distinct_hits,
+        CAST(SUM(CASE WHEN lower(token) IN ('dup','nsfw','casino')
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hit_ratio,
+        (SUM(CASE WHEN lower(token) IN ('dup','nsfw','casino')
+             THEN 1 ELSE 0 END) = 0) AS keep
+      FROM tok GROUP BY doc ORDER BY doc"""))
+
+  /** Normalization-collapsed fuzzy-exact dedup (TextOps.normalizeText):
+    * lowercase, punctuation-strip, whitespace-collapse, then hash-group
+    * — the "soft exact" dedup stage that catches formatting-only
+    * variants q46's raw-content hash misses. The join back to the group
+    * table reuses the groupBy's own hash partitioning (one shuffle). */
+  private val q149 = Q(
+    "q149_normalized_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val withH = docs(s, dir).select($"doc_id",
+        md5(TextOps.normalizeText($"text").cast("binary")).as("norm_hash"))
+      val groups = withH.groupBy($"norm_hash")
+        .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      withH.join(groups, Seq("norm_hash"))
+        .select($"doc_id", $"norm_hash", $"canonical_id", $"n_copies",
+          ($"doc_id" =!= $"canonical_id").as("is_dup"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, md5(${TextOps.normalizeTextSql("text")}) AS norm_hash
+        FROM documents),
+      g AS (
+        SELECT norm_hash, MIN(doc_id) AS canonical_id,
+          CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM h GROUP BY norm_hash)
+      SELECT h.doc_id, h.norm_hash, g.canonical_id, g.n_copies,
+        (h.doc_id <> g.canonical_id) AS is_dup
+      FROM h JOIN g USING (norm_hash) ORDER BY h.doc_id"""))
+
+  /** Span-novelty vs a frozen reference corpus
+    * (TextOps.noveltyVsReference): sources src0–src2 are the frozen
+    * reference; every other document scores the fraction of its
+    * distinct 5-token spans absent from the reference — the
+    * new-text-contribution signal that decides whether a crawl batch
+    * is worth adding (complement of q81's contamination, at span
+    * grain). One equi-join against the distinct reference-hash store. */
+  private val q152 = Q(
+    "q152_novelty_vs_reference",
+    (s, dir) => {
+      import s.implicits._
+      val sp = docs(s, dir)
+        .select($"doc_id".as("doc"), $"source", TextOps.tokens($"text").as("ts"))
+        .select($"doc", $"source", explode(TextOps.shingles("ts", 5)).as("s"))
+        .select($"doc", $"source", TextOps.h64($"s").as("h"))
+      val refSrc = Seq("src0", "src1", "src2")
+      TextOps.noveltyVsReference(
+          sp.filter(!$"source".isin(refSrc: _*)),
+          sp.filter($"source".isin(refSrc: _*)))
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sp AS (
+        SELECT DISTINCT doc_id AS doc, source, ${TextOps.h64Sql(
+          "array_to_string(ts[i:i+4], ' ')")} AS h
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 4)) AS i) g
+        WHERE len(ts) >= 5),
+      ref AS (SELECT DISTINCT h FROM sp
+              WHERE source IN ('src0','src1','src2'))
+      SELECT sp.doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        CAST(SUM(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_novel,
+        CAST(SUM(CASE WHEN ref.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS novelty
+      FROM sp LEFT JOIN ref ON sp.h = ref.h
+      WHERE sp.source NOT IN ('src0','src1','src2')
+      GROUP BY sp.doc ORDER BY sp.doc"""))
+
   def queries: Seq[Q] =
-    Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144)
+    Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
+      q148, q149, q152)
 }

@@ -452,6 +452,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q148 blocklist: the lexicon is a codegen'd literal probe, no join at all") {
+    val p = planOf("q148_blocklist_filter")
+    // the C4 gate must not materialize the lexicon as a table: zero
+    // joins of any kind, one exchange (the per-doc count groupBy)
+    assert(nodeCount(p, "BroadcastHashJoin") == 0 &&
+      nodeCount(p, "SortMergeJoin") == 0 &&
+      nodeCount(p, "CartesianProduct") == 0, p)
+    // exact countDistinct two-phase + doc agg + presentation sort
+    assert(nodeCount(p, "Exchange") <= 3, p)
+  }
+
+  test("q150 grouped split is pure map-side: only the presentation sort moves data") {
+    val p = planOf("q150_grouped_split")
+    // no groupBy, no window, no join — the split is a column chain;
+    // the single exchange is the output orderBy (rangepartitioning)
+    assert(nodeCount(p, "Window") == 0, p)
+    assert(nodeCount(p, "BroadcastHashJoin") == 0 &&
+      nodeCount(p, "SortMergeJoin") == 0, p)
+    assert(nodeCount(p, "Exchange") <= 1 &&
+      !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q154 phrase search: the phrase table broadcasts into the postings") {
+    val p = planOf("q154_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q152 novelty: reference store joins on the span hash, never span text") {
+    val p = planOf("q152_novelty_vs_reference")
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    // the span string must not survive past the hash projection into
+    // any exchange (shuffles partition on 8-byte hashes, not text)
+    val parts = p.split("\n").filter(_.contains("hashpartitioning("))
+    assert(parts.nonEmpty && !parts.exists(_.contains("s#")), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")

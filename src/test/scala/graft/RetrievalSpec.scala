@@ -174,4 +174,29 @@ class RetrievalSpec extends SparkSpec {
     assert(incNorm == expect)
     assert(inc.forall { case (d1, _) => d1 % 2 == 1 }) // d1 always new
   }
+
+  test("phraseMatches: anchor-vote intersection, overlaps, and absences") {
+    val docsDf = Seq(
+      (1L, "a b c a b c"),     // "a b c" at 0 and 3; "b c" at 1 and 4
+      (2L, "a a a a"),          // "a a" overlapping at 0,1,2
+      (3L, "b c a"),            // "a b c" absent (wrong order)
+      (4L, "a b"))              // too short for "a b c"
+      .toDF("doc_id", "text")
+    val postings = docsDf.select(col("doc_id").as("doc"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val phrases = Seq(
+      (0L, "a b c", 0, "a", 3L), (0L, "a b c", 1, "b", 3L),
+      (0L, "a b c", 2, "c", 3L),
+      (1L, "a a", 0, "a", 2L), (1L, "a a", 1, "a", 2L))
+      .toDF("pid", "phrase", "j", "term", "len")
+    val got = Retrieval.phraseMatches(postings, phrases)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._3) -> ((r._4, r._5))).toMap
+    assert(got((0L, 1L)) == ((2L, 0)))  // two occurrences, first at 0
+    assert(got((1L, 2L)) == ((3L, 0)))  // overlapping occurrences all count
+    // doc 1 has "a" only at 0 and 3 — never adjacent, so no "a a" match;
+    // wrong order (doc 3) and too short (doc 4) also produce nothing
+    assert(!got.contains((1L, 1L)))
+    assert(!got.contains((0L, 3L)) && !got.contains((0L, 4L)))
+  }
 }

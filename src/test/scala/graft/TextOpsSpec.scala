@@ -271,4 +271,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 2L, "plain words survive here")))
     assert(got(3L) == ((0L, 1L, "")))
   }
+
+  test("normalizeText collapses case, punctuation, and whitespace runs") {
+    val got = Seq("Hello,  World!", "hello world", "  hello   world. ",
+        "HELLO-WORLD", "unrelated text")
+      .toDF("t").select(TextOps.normalizeText($"t").as("n"))
+      .as[String].collect()
+    assert(got(0) == "hello world" && got(1) == "hello world" &&
+      got(2) == "hello world")
+    // hyphen is stripped, not spaced: "HELLO-WORLD" -> "helloworld"
+    assert(got(3) == "helloworld")
+    assert(got(4) == "unrelated text")
+  }
+
+  test("blocklistStats: counts, distinct terms, ratio, and the keep gate") {
+    val tok = Seq((1L, "clean"), (1L, "words"),
+        (2L, "bad"), (2L, "Bad"), (2L, "worse"), (2L, "ok"))
+      .toDF("doc", "token")
+    val got = TextOps.blocklistStats(tok, Seq("bad", "worse"))
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0L, 0.0, true)))
+    // "bad" and "Bad" are one distinct term; 3 of 4 tokens hit
+    assert(got(2L) == ((2L, 4L, 3L, 2L, 0.75, false)))
+  }
+
+  test("noveltyVsReference scores only non-reference spans as novel") {
+    val spans = Seq((10L, 100L), (10L, 101L), (10L, 102L),
+        (11L, 200L), (11L, 201L),
+        (10L, 100L)) // duplicate span within a doc counts once
+      .toDF("doc", "h")
+    val ref = Seq((1L, 100L), (1L, 200L), (1L, 201L)).toDF("doc", "h")
+    val got = TextOps.noveltyVsReference(spans, ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 3L, 2L, 2.0 / 3.0))) // 101,102 novel
+    assert(got(11L) == ((11L, 2L, 0L, 0.0)))       // fully covered
+  }
 }
