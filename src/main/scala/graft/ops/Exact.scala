@@ -57,4 +57,36 @@ object Exact {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$Scale))) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / COUNT($expr))"
+
+  /** Fine-grained exact sum for SMALL inputs — covariance entries,
+    * eigenvector mat-vec products, squared norms in [1e-8, 1e3): the
+    * scale-6 cast of [[dsum]] would quantize a 1e-6-sized product to
+    * one significant digit. Deepening the decimal scale directly does
+    * NOT work cross-engine: from ~17 significant digits Spark's
+    * double→decimal cast (which rounds the double's SHORTEST decimal
+    * rendering) and DuckDB's (which rounds the exact binary expansion)
+    * disagree in the last place on the dyadic ties float products
+    * produce in bulk (measured on the PCA covariance). So the rounding
+    * happens in IEEE double space, where both engines are
+    * bit-identical by specification: q = floor(x·2^30·10^6 + 0.5) —
+    * one exact-constant multiply, one add, one floor (the
+    * [[Similarity.quantizeInt8]] convention) — then q sums exactly as
+    * an integer decimal and the result is unscaled. Effective
+    * quantization 1/(2^30·10^6) ≈ 9.3e-16 per element. Magnitude
+    * contract: |x| < 8 per element (keeps q within 2^53, where the
+    * scaled double is still integer-exact). */
+  // 2^30 · 10^6 — exactly representable as a double (2^36 · 5^6), so the
+  // one multiply below is a single deterministic IEEE operation.
+  private val FineUnit = 1.073741824e15
+  private val FineDec0 = DecimalType(38, 0)
+
+  def dsumFine(c: Column): Column =
+    sum(floor(c * lit(FineUnit) + lit(0.5)).cast(FineDec0))
+      .cast(DoubleType) / lit(FineUnit)
+  def davgFine(c: Column): Column = dsumFine(c) / count(c)
+  def sqlSumFine(expr: String): String =
+    s"(CAST(SUM(CAST(floor((($expr) * 1073741824000000.0e0) + 0.5e0) " +
+      s"AS DECIMAL(38,0))) AS DOUBLE) / 1073741824000000.0e0)"
+  def sqlAvgFine(expr: String): String =
+    s"(${sqlSumFine(expr)} / COUNT($expr))"
 }

@@ -36,6 +36,7 @@ object Registry {
     CorpusQueries,
     RetrievalQueries,
     AssemblyQueries,
+    PcaQueries,
     CmorQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)

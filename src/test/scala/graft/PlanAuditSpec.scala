@@ -490,6 +490,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(parts.nonEmpty && !parts.exists(_.contains("s#")), p)
   }
 
+  test("q156 PCA: corpus is touched by equi-joins; d-sized frames broadcast") {
+    val p = planOf("q156_pca_project")
+    // the only nested loops are the 1-row scalar crossJoins (dcnt, λ);
+    // the d²-explode self-join and the mean/component join-backs are
+    // hash equi-joins, and the d-sized frames ride broadcasts
+    assert(nodeCount(p, "CartesianProduct") == 0, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("capHotBands is a groupBy + anti-join, not a (band,sig) window sort") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
