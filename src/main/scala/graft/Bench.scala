@@ -107,7 +107,11 @@ object Bench {
     // r8 additions with non-obvious scale shapes: the containment
     // token self-join, the hot-span frequency join, and the two-round
     // Lloyd trainer (measured 1.15x/1.8x/1.6x at the 3x tier)
-    "q143_containment_dedup", "q144_hot_spans", "q146_kmeans_ivf")
+    "q143_containment_dedup", "q144_hot_spans", "q146_kmeans_ivf",
+    // r9: the two corpus-pass-dominated newcomers — novelty's span join
+    // against the reference store and PCA's d2-explode covariance
+    // accumulation — are the data-dependent halves of their families
+    "q152_novelty_vs_reference", "q155_pca_component")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has

@@ -77,7 +77,7 @@ object Exact {
     * scaled double is still integer-exact). */
   // 2^30 · 10^6 — exactly representable as a double (2^36 · 5^6), so the
   // one multiply below is a single deterministic IEEE operation.
-  private val FineUnit = 1.073741824e15
+  val FineUnit = 1.073741824e15
   private val FineDec0 = DecimalType(38, 0)
 
   def dsumFine(c: Column): Column =

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract: every data-order-dependent reduction (second
   * moments, mat-vec products, squared norms, projections) is an exact
-  * decimal sum at scale 18 ([[Exact.dsumFine]] — covariance-sized
-  * values would lose all precision at the default scale 6); the IEEE
+  * fine-quantized sum ([[Exact.dsumFine]]: IEEE-space rounding at
+  * ~9.3e-16, then exact integer accumulation — covariance-sized values
+  * would lose all precision at the default scale 6); the IEEE
   * divisions/sqrts that follow are single deterministic chains over
   * identical inputs, so the component, eigenvalue, and scores are
   * bit-identical across engines and reruns. The power iteration runs a
@@ -31,19 +32,38 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
+  /** (id, emb: Array[Double]) → (id, i, e) component rows. */
+  def compOf(vecs: DataFrame): DataFrame =
+    vecs.select(col("id"), posexplode(col("emb")).as(Seq("i", "e")))
+
   /** Per-dimension means of (id, i, e) component rows: (i, mu). */
   def means(comp: DataFrame): DataFrame =
     comp.groupBy(col("i")).agg(Exact.davgFine(col("e")).as("mu"))
 
   /** Covariance matrix (i, j, cov) from raw second moments:
     * cov_ij = Σ e_i·e_j / n − mu_i·mu_j — no centering pass over the
-    * data, the mean correction is applied on the d²-sized moment frame. */
-  def covariance(comp: DataFrame): DataFrame = {
-    val m2 = comp.as("a").join(comp.as("b"), col("a.id") === col("b.id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(Exact.dsumFine(col("a.e") * col("b.e")).as("s"),
+    * data, the mean correction is applied on the d²-sized moment frame.
+    * Input: (id, emb: Array[Double]) vector rows.
+    *
+    * The second moments accumulate through [[GramianAgg]]: one
+    * Array[Long] vector-add per (vector, dim) row, so the shuffle
+    * carries d partial-Gramian rows of d longs — NOT n·d² exploded
+    * rows through a boxed wide-decimal sum (measured 4× on the sf0.1
+    * bench; values bit-identical, the oracle keeps the exploded
+    * formulation). */
+  def covariance(vecs: DataFrame): DataFrame = {
+    val rows = vecs.select(posexplode(col("emb")).as(Seq("i", "ei")), col("emb"))
+    // ONE corpus aggregation carries both moments: the Gramian row and
+    // the first-moment sum (for mu) ride the same groupBy
+    val gram = rows.groupBy(col("i"))
+      .agg(GramianAgg.gramRow(col("ei"), col("emb")).as("srow"),
+        Exact.dsumFine(col("ei")).as("se"),
         count(lit(1)).as("cnt"))
-    val mu = means(comp)
+    val mu = gram.select(col("i"), (col("se") / col("cnt")).as("mu"))
+    val m2 = gram
+      .select(col("i"), col("cnt"), posexplode(col("srow")).as(Seq("j", "q")))
+      .select(col("i"), col("j"), col("cnt"),
+        (col("q").cast("double") / lit(Exact.FineUnit)).as("s"))
     m2.join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), Seq("i"))
       .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))),
         Seq("j"))
@@ -57,13 +77,17 @@ object Pca {
     * the standard eigenvalue estimate at convergence. */
   def powerComponent(cov: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters=$iters")
-    val dims = cov.select(col("i").as("j")).distinct()
+    // cut the corpus lineage once: every iteration's checkpoint would
+    // otherwise re-run the covariance job (measured 4-5 corpus passes
+    // per call at sf0.1); the d²-row frame itself is KB-sized
+    val covC = cov.localCheckpoint()
+    val dims = covC.select(col("i").as("j")).distinct()
     val dcnt = dims.agg(count(lit(1)).as("d"))
     var v = dims.crossJoin(broadcast(dcnt))
       .select(col("j"), (lit(1.0) / sqrt(col("d"))).as("v"))
     var lam: DataFrame = null
     for (_ <- 1 to iters) {
-      val u = cov.join(broadcast(v), Seq("j"))
+      val u = covC.join(broadcast(v), Seq("j"))
         .groupBy(col("i"))
         .agg(Exact.dsumFine(col("cov") * col("v")).as("u"))
       lam = u.agg(sqrt(Exact.dsumFine(col("u") * col("u"))).as("lambda"))
@@ -84,6 +108,19 @@ object Pca {
       .groupBy(col("id"))
       .agg(Exact.dsumFine((col("e") - col("mu")) * col("v")).as("score"))
 
+  /** Deflation: cov′ = cov − λ·v·vᵀ removes the found component's
+    * variance, so the power method's next run converges to the
+    * second component — the classical Hotelling deflation. The
+    * component frame is d rows and broadcasts; the update is a
+    * map-side column chain over the d²-row covariance. */
+  def deflate(cov: DataFrame, component: DataFrame): DataFrame =
+    cov
+      .join(broadcast(component.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(component.select(col("i").as("j"), col("v").as("vj"),
+        col("lambda"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("cov") - col("lambda") * col("vi") * col("vj")).as("cov"))
+
   // ---------------------------------------------------------------
   // Oracle SQL twins (DuckDB). Callers provide a `comp` CTE with
   // (id, i, e) and splice these after it.
@@ -91,33 +128,46 @@ object Pca {
 
   /** CTEs mu(i,mu), cov(i,j,cov) mirroring [[covariance]]. */
   def covSql: String = s"""
-      mu AS (SELECT i, ${Exact.sqlAvgFine("e")} AS mu FROM comp GROUP BY i),
-      m2 AS (
+      mu AS MATERIALIZED (SELECT i, ${Exact.sqlAvgFine("e")} AS mu
+            FROM comp GROUP BY i),
+      m2 AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j, ${Exact.sqlSumFine("a.e * b.e")} AS s,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM comp a JOIN comp b ON a.id = b.id
         GROUP BY a.i, b.i),
-      cov AS (
+      cov AS MATERIALIZED (
         SELECT m2.i, m2.j, m2.s / m2.cnt - mi.mu * mj.mu AS cov
         FROM m2 JOIN mu mi ON m2.i = mi.i
                 JOIN mu mj ON m2.j = mj.i)"""
 
-  /** CTE chain v0..v$iters + lam mirroring [[powerComponent]]; the
-    * final frames are v$iters(j, v) and lam$iters(lambda). */
-  def powerSql(iters: Int): String = {
-    val v0 = """
-      dims AS (SELECT DISTINCT i AS j FROM cov),
-      dcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM dims),
-      v0 AS (SELECT j, 1.0e0 / sqrt(d) AS v FROM dims, dcnt)"""
+  /** CTE chain ${tag}v0..${tag}v$iters + ${tag}lam$iters mirroring
+    * [[powerComponent]] over the covariance CTE named `covName`; the
+    * final frames are ${tag}v$iters(j, v) and ${tag}lam$iters(lambda). */
+  def powerSql(iters: Int, covName: String = "cov", tag: String = ""): String = {
+    val v0 = s"""
+      ${tag}dims AS (SELECT DISTINCT i AS j FROM $covName),
+      ${tag}dcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM ${tag}dims),
+      ${tag}v0 AS (SELECT j, 1.0e0 / sqrt(d) AS v FROM ${tag}dims, ${tag}dcnt)"""
     val steps = (1 to iters).map { k =>
       s"""
-      u$k AS (
-        SELECT cov.i, ${Exact.sqlSumFine(s"cov.cov * v${k - 1}.v")} AS u
-        FROM cov JOIN v${k - 1} ON cov.j = v${k - 1}.j
-        GROUP BY cov.i),
-      lam$k AS (SELECT sqrt(${Exact.sqlSumFine("u * u")}) AS lambda FROM u$k),
-      v$k AS (SELECT i AS j, u / lambda AS v FROM u$k, lam$k)"""
+      ${tag}u$k AS MATERIALIZED (
+        SELECT $covName.i, ${Exact.sqlSumFine(s"$covName.cov * ${tag}v${k - 1}.v")} AS u
+        FROM $covName JOIN ${tag}v${k - 1} ON $covName.j = ${tag}v${k - 1}.j
+        GROUP BY $covName.i),
+      ${tag}lam$k AS MATERIALIZED (SELECT sqrt(${Exact.sqlSumFine("u * u")}) AS lambda FROM ${tag}u$k),
+      ${tag}v$k AS MATERIALIZED (SELECT i AS j, u / lambda AS v FROM ${tag}u$k, ${tag}lam$k)"""
     }
     v0 + steps.mkString(",", ",", "")
   }
+
+  /** CTE mirroring [[deflate]]: $outName(i, j, cov) = covName −
+    * λ·v·vᵀ read from the ${tag}v$iters / ${tag}lam$iters frames. */
+  def deflateSql(iters: Int, covName: String, outName: String,
+      tag: String = ""): String = s"""
+      $outName AS MATERIALIZED (
+        SELECT c.i, c.j,
+          c.cov - ${tag}lam$iters.lambda * vi.v * vj.v AS cov
+        FROM $covName c
+        JOIN ${tag}v$iters vi ON c.i = vi.j
+        JOIN ${tag}v$iters vj ON c.j = vj.j, ${tag}lam$iters)"""
 }

@@ -477,7 +477,63 @@ object TextQueries extends QueryGroup {
       WHERE sp.source NOT IN ('src0','src1','src2')
       GROUP BY sp.doc ORDER BY sp.doc"""))
 
+  /** PMI collocation mining (Church & Hanks '90): pointwise mutual
+    * information of adjacent token pairs, log((c12/Np)/((c1/N)(c2/N))),
+    * over corpus-wide bigram and unigram counts — the standard
+    * multiword-expression / tokenizer-merge-candidate signal. Counts
+    * are two map-side-combined groupBys; the unigram table joins back
+    * on the word (vocab-bounded); min-count 5 prunes noise pairs and
+    * the top-20 cut is TakeOrderedAndProject (no global sort). PMI is
+    * rounded to 6 decimals — the transcendental convention (log's last
+    * ulp is not specified cross-engine). */
+  private val q158 = Q(
+    "q158_pmi_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val t = docs(s, dir).select(TextOps.tokens($"text").as("ts"))
+      val uni = t.select(explode($"ts").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c1"))
+      val nTok = uni.agg(sum($"c1").as("n"))
+      val bg = t.select(explode(TextOps.shingles("ts", 2)).as("bg"))
+        .groupBy($"bg").agg(count(lit(1)).as("c12"))
+        .filter($"c12" >= 5)
+      val nBg = t.select((size($"ts") - 1).as("k")).agg(sum($"k").as("np"))
+      bg.select(substring_index($"bg", " ", 1).as("w1"),
+          substring_index($"bg", " ", -1).as("w2"), $"c12")
+        .join(uni.select($"w".as("w1"), $"c1".as("c1a")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"c1".as("c1b")), Seq("w2"))
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+        .select($"w1", $"w2", $"c12",
+          round(log(($"c12".cast("double") / $"np".cast("double")) /
+            (($"c1a".cast("double") / $"n".cast("double")) *
+             ($"c1b".cast("double") / $"n".cast("double")))), 6).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+                 FROM documents),
+      uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+      ntok AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+      bg AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1])) AS bg FROM t)
+        GROUP BY bg HAVING COUNT(*) >= 5),
+      nbg AS (SELECT CAST(SUM(len(ts) - 1) AS BIGINT) AS np FROM t)
+      SELECT w1, w2, c12,
+        round(ln((CAST(c12 AS DOUBLE) / CAST(np AS DOUBLE)) /
+          ((CAST(a.c1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+           (CAST(b.c1 AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS pmi
+      FROM (SELECT split_part(bg, ' ', 1) AS w1,
+                   split_part(bg, ' ', 2) AS w2, c12 FROM bg) p
+      JOIN uni a ON p.w1 = a.w
+      JOIN uni b ON p.w2 = b.w, ntok, nbg
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
-      q148, q149, q152)
+      q148, q149, q152, q158)
 }
