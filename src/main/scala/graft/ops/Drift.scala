@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring: the Population Stability Index
+  * between a frozen REFERENCE slice and a CURRENT slice, per group —
+  * the standard production check that yesterday's model/filters still
+  * see the data they were tuned on (PSI < 0.1 stable, 0.1–0.25 drifting,
+  * > 0.25 shifted; Siddiqi, "Credit Risk Scorecards" 2006).
+  *
+  * Bin edges come from the reference's exact nearest-rank quantiles
+  * (the q119 machinery — deterministic, engine-identical) and are
+  * FROZEN: both slices histogram over the reference's edges, which is
+  * what makes the comparison a drift measure rather than two unrelated
+  * quantile sketches.
+  *
+  * Scale shape: one window pass over the reference per group for the
+  * edges (group-keyed, never a whole-frame sort), the edge table is
+  * groups-sized and broadcasts back, both histograms are
+  * map-side-combined groupBys, and the PSI fold runs on the
+  * groups×bins-sized frame. Nothing data-sized crosses a shuffle
+  * except the two histogram reductions.
+  *
+  * Determinism: each bin's PSI term (p_c − p_r)·ln(p_c/p_r) ends in a
+  * transcendental, so the term is rounded to 6 decimals (the engine's
+  * transcendental convention) and the per-group sum of rounded terms
+  * is decimal-exact. Probabilities are floored at `eps` so a bin empty
+  * on one side contributes a large-but-finite term, never ±∞. */
+object Drift {
+
+  def psi(ref: DataFrame, cur: DataFrame, keys: Seq[String], x: Column,
+      tieBreak: Column, qs: Seq[Double], eps: Double): DataFrame = {
+    val kcols = keys.map(col)
+    val edges = WindowOps.exactQuantiles(ref, kcols, x, tieBreak, qs)
+      .groupBy(kcols: _*)
+      .agg(array_sort(collect_list(col("qvalue").cast("double"))).as("__th"))
+    def hist(df: DataFrame, cnt: String): DataFrame =
+      df.join(broadcast(edges), keys)
+        .withColumn("__x", x.cast("double"))
+        .withColumn("bin", expr(
+          "1 + aggregate(__th, 0, (a, t) -> a + IF(__x > t, 1, 0))"))
+        .groupBy(kcols :+ col("bin"): _*)
+        .agg(count(lit(1)).as(cnt))
+    val hr = hist(ref, "cr")
+    val hc = hist(cur, "cc")
+    val joined = hr.join(hc, keys :+ "bin", "full_outer")
+      .select(kcols ++ Seq(col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc")): _*)
+    val tot = joined.groupBy(kcols: _*)
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    joined.join(broadcast(tot), keys)
+      .withColumn("__pr",
+        greatest(col("cr").cast("double") / col("nr").cast("double"), lit(eps)))
+      .withColumn("__pc",
+        greatest(col("cc").cast("double") / col("nc").cast("double"), lit(eps)))
+      .withColumn("__term",
+        round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")), 6))
+      .groupBy(kcols: _*)
+      .agg(Exact.dsum(col("__term")).as("psi"),
+        max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+  }
+
+  /** Oracle twin of the PSI fold given CTEs hr(keys, bin, cr) and
+    * hc(keys, bin, cc) — the histogram construction mirrors q119's
+    * exact-quantile pattern and stays at the call site. */
+  def psiSql(keyCols: String, eps: Double): String = s"""
+      jt AS (
+        SELECT COALESCE(hr.$keyCols, hc.$keyCols) AS $keyCols,
+               COALESCE(hr.bin, hc.bin) AS bin,
+               COALESCE(hr.cr, 0) AS cr, COALESCE(hc.cc, 0) AS cc
+        FROM hr FULL OUTER JOIN hc
+          ON hr.$keyCols = hc.$keyCols AND hr.bin = hc.bin),
+      tot AS (
+        SELECT $keyCols, CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(SUM(cc) AS BIGINT) AS nc
+        FROM jt GROUP BY $keyCols),
+      terms AS (
+        SELECT jt.$keyCols,
+          round((GREATEST(CAST(cc AS DOUBLE) / nc, $eps) -
+                 GREATEST(CAST(cr AS DOUBLE) / nr, $eps)) *
+            ln(GREATEST(CAST(cc AS DOUBLE) / nc, $eps) /
+               GREATEST(CAST(cr AS DOUBLE) / nr, $eps)), 6) AS term,
+          nr, nc
+        FROM jt JOIN tot ON jt.$keyCols = tot.$keyCols)
+      """
+}

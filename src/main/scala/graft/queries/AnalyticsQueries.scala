@@ -343,5 +343,67 @@ object AnalyticsQueries extends QueryGroup {
       SELECT user_id, event_id, value, ema
       FROM r ORDER BY user_id, rn"""))
 
-  def queries: Seq[Q] = Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116)
+  /** Distribution-drift monitor (ops/Drift): PSI of the `value`
+    * distribution per event type, first half of the month (reference)
+    * vs second half (current). Bin edges are the reference's exact
+    * nearest-rank quartiles, frozen and applied to both windows; each
+    * bin's term is 6-decimal rounded (transcendental convention) and
+    * the sum is decimal-exact. The production check that a scoring
+    * model still sees the data it was tuned on. */
+  private val q159 = Q(
+    "q159_psi_drift",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      graft.ops.Drift.psi(
+          ev.filter($"ts" < cut), ev.filter($"ts" >= cut),
+          Seq("event_type"), $"value", $"event_id",
+          Seq(0.25, 0.5, 0.75), eps = 1.0e-4)
+        .select($"event_type", $"psi", $"n_ref", $"n_cur")
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH refw AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+      curw AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+      r AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM refw),
+      th AS (
+        SELECT event_type,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25e0 * n) AS BIGINT))
+                THEN CAST(value AS DOUBLE) END) AS t1,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5e0 * n) AS BIGINT))
+                THEN CAST(value AS DOUBLE) END) AS t2,
+          MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75e0 * n) AS BIGINT))
+                THEN CAST(value AS DOUBLE) END) AS t3
+        FROM r GROUP BY event_type),
+      hr AS (
+        SELECT w.event_type, 1 + (CASE WHEN value > t1 THEN 1 ELSE 0 END)
+            + (CASE WHEN value > t2 THEN 1 ELSE 0 END)
+            + (CASE WHEN value > t3 THEN 1 ELSE 0 END) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS cr
+        FROM refw w JOIN th ON w.event_type = th.event_type
+        GROUP BY 1, 2),
+      hc AS (
+        SELECT w.event_type, 1 + (CASE WHEN value > t1 THEN 1 ELSE 0 END)
+            + (CASE WHEN value > t2 THEN 1 ELSE 0 END)
+            + (CASE WHEN value > t3 THEN 1 ELSE 0 END) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS cc
+        FROM curw w JOIN th ON w.event_type = th.event_type
+        GROUP BY 1, 2),
+      ${graft.ops.Drift.psiSql("event_type", 1.0e-4)}
+      SELECT event_type, ${sqlSum("term")} AS psi,
+        MAX(nr) AS n_ref, MAX(nc) AS n_cur
+      FROM terms GROUP BY event_type ORDER BY event_type"""))
+
+  def queries: Seq[Q] =
+    Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159)
 }
