@@ -771,4 +771,39 @@ object Similarity {
         Seq(col("cosine").desc, col("id2").asc), k)
       .select(col("id1"), col("id2"), col("adc"), col("cosine"), col("rank"))
   }
+
+  /** Multi-probe LSH top-k (Lv et al., VLDB '07): each query probes its
+    * own hyperplane bucket PLUS every Hamming-1 neighbor (the b
+    * single-bit flips) — the recall knob that widens a single hash
+    * table instead of building more tables. Candidates are the probed
+    * buckets' members, re-ranked by exact cosine.
+    *
+    * Scale shape: the probe set is (b+1) codes per query (map-side
+    * explode); candidate generation is an equi-join on the bucket code,
+    * so cost follows probed-bucket occupancy, never the corpus; the
+    * re-rank touches the float store only for the candidate rows.
+    * `all`/`queries` carry the [[withNorms]] schema; `buckets` is the
+    * (id, bucket) frame from [[lshBuckets]]. */
+  def multiProbeTopK(all: DataFrame, buckets: DataFrame, queries: DataFrame,
+      b: Int, k: Int): DataFrame = {
+    val flips = col("bucket") +:
+      (0 until b).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = buckets
+      .join(broadcast(queries.select(col("id"))), Seq("id"))
+      .select(col("id").as("qid"), explode(array(flips: _*)).as("probe"))
+    val cands = probes
+      .join(buckets.select(col("id").as("nid"), col("bucket").as("probe")),
+        Seq("probe"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    val cos = cands
+      .join(broadcast(queries.select(col("id").as("qid"),
+        col("emb").as("qemb"), col("norm2").as("qn"))), Seq("qid"))
+      .join(all.select(col("id").as("nid"),
+        col("emb").as("nemb"), col("norm2").as("nn")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        cosine(dotExact("qemb", "nemb"), col("qn"), col("nn")).as("cosine"))
+    Relational.topKPerGroup(cos, Seq(col("qid")),
+      Seq(col("cosine").desc, col("nid").asc), k)
+  }
 }

@@ -249,5 +249,41 @@ object AssemblyQueries extends QueryGroup {
           AS curriculum_pos
       FROM st ORDER BY curriculum_pos"""))
 
-  def queries: Seq[Q] = Seq(q140, q141, q142, q145)
+  /** k-anonymity-suppressed release of the data card's cell counts:
+    * (source, lang) cells under k=5 docs are merged into an 'other'
+    * row per source, and if even the merged remainder stays under k
+    * its count is withheld (NULL) — the small-cell suppression rule a
+    * public dataset card applies so no slice count identifies a
+    * handful of documents. Two groupBys over cell-sized frames; the
+    * suppression logic never touches row-grain data. */
+  private val q161 = Q(
+    "q161_k_suppressed_card",
+    (s, dir) => {
+      import s.implicits._
+      val k = 5L
+      val cells = docs(s, dir).groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val kept = cells.filter($"n_docs" >= k)
+        .select($"source", $"lang", $"n_docs")
+      val merged = cells.filter($"n_docs" < k)
+        .groupBy($"source")
+        .agg(sum($"n_docs").as("__m"), count(lit(1)).as("n_cells_merged"))
+        .select($"source", lit("other").as("lang"),
+          when($"__m" >= k, $"__m").otherwise(lit(null).cast("long"))
+            .as("n_docs"))
+      kept.unionAll(merged).orderBy($"source", $"lang")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source, lang)
+      SELECT source, lang, n_docs FROM cells WHERE n_docs >= 5
+      UNION ALL
+      SELECT source, 'other' AS lang,
+        CASE WHEN SUM(n_docs) >= 5 THEN CAST(SUM(n_docs) AS BIGINT)
+             ELSE CAST(NULL AS BIGINT) END AS n_docs
+      FROM cells WHERE n_docs < 5 GROUP BY source
+      ORDER BY source, lang"""))
+
+  def queries: Seq[Q] = Seq(q140, q141, q142, q145, q161)
 }

@@ -884,6 +884,66 @@ object SimilarityQueries extends QueryGroup {
       GROUP BY u.method, u.id1
       ORDER BY u.method, u.id1"""))
 
+  /** Multi-probe LSH ANN (Similarity.multiProbeTopK): queries probe
+    * their own hyperplane bucket plus all b Hamming-1 neighbors and
+    * re-rank the union by exact cosine — the recall knob that widens
+    * ONE hash table (q52's) instead of building more. The probe join
+    * is an equi-join on the bucket code; candidate volume follows
+    * probed-bucket occupancy, never the corpus. */
+  private val q162 = Q(
+    "q162_multiprobe_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val planes = Similarity.hyperplanes(s, b = 6, d = 64)
+      val buckets = Similarity.lshBuckets(all, planes)
+      Similarity.multiProbeTopK(all, buckets, all.filter($"id" < 10),
+          b = 6, k = 3)
+        .orderBy($"qid", $"rank")
+    },
+    Some(s"""
+      WITH $compSql,
+      planes AS (
+        SELECT p, i,
+          CAST(${TextOps.h64Sql("(CAST(p AS VARCHAR) || '-' || CAST(i AS VARCHAR))")}
+               % 2001 - 1000 AS DOUBLE) AS w
+        FROM (SELECT unnest(generate_series(0, 5)) AS p) ps,
+             (SELECT unnest(generate_series(0, 63)) AS i) ds),
+      dots AS (
+        SELECT c.id, pl.p,
+          CAST(SUM(CAST(c.e * pl.w AS DECIMAL(18,6))) AS DOUBLE) AS dot
+        FROM comp c JOIN planes pl ON c.i = pl.i
+        GROUP BY c.id, pl.p),
+      buckets AS (
+        SELECT id, CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                            ELSE 0 END) AS BIGINT) AS bucket
+        FROM dots GROUP BY id),
+      probes AS (
+        SELECT b.id AS qid,
+          CASE WHEN j = -1 THEN bucket
+               ELSE xor(bucket, (CAST(1 AS BIGINT) << j)) END AS probe
+        FROM buckets b, (SELECT unnest(generate_series(-1, 5)) AS j) js
+        WHERE b.id < 10),
+      cands AS (
+        SELECT DISTINCT p.qid, c.id AS nid
+        FROM probes p JOIN buckets c
+          ON c.bucket = p.probe AND c.id <> p.qid),
+      parts AS (
+        SELECT cd.qid, cd.nid, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM cands cd
+        JOIN comp a ON a.id = cd.qid
+        JOIN comp b ON b.id = cd.nid AND a.i = b.i),
+      cos AS (SELECT qid, nid, $cosSql AS cosine
+              FROM parts GROUP BY qid, nid),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY cosine DESC, nid) AS INT) AS rank
+        FROM cos)
+      SELECT qid, nid, cosine, rank FROM ranked
+      WHERE rank <= 3 ORDER BY qid, rank"""))
+
   def queries: Seq[Q] =
-    Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121)
+    Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121,
+      q162)
 }

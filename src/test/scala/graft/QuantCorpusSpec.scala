@@ -342,4 +342,38 @@ class QuantCorpusSpec extends SparkSpec {
     // total 8, 2 buckets, uniform target 4: big 6 → rate 4/6, small 2 → capped at 1
     assert(out.toSeq == Seq(("big", 6L, 0.75, 4.0 / 6.0), ("small", 2L, 0.25, 1.0)))
   }
+
+  test("multiProbeTopK covers at least the single-bucket candidates and never loses recall") {
+    graft.plans.GraftFunctions.register(spark)
+    val all = Similarity.withNorms(
+      Tables(spark, "/root/testdata/sf0.001", "embeddings"),
+      $"vec_id", $"embedding")
+    val planes = Similarity.hyperplanes(spark, b = 6, d = 64)
+    val buckets = Similarity.lshBuckets(all, planes).localCheckpoint()
+    val queries = all.filter($"id" < 5)
+    // single-bucket candidate set per query
+    val single = buckets.as("q").join(buckets.as("c"),
+        $"q.bucket" === $"c.bucket" && $"q.id" =!= $"c.id")
+      .filter($"q.id" < 5)
+      .select($"q.id".as("qid"), $"c.id".as("nid"))
+      .as[(Long, Long)].collect().toSet
+    // multi-probe candidates = its own bucket ∪ Hamming-1 flips
+    val flips = col("bucket") +:
+      (0 until 6).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val multi = buckets.filter($"id" < 5)
+      .select($"id".as("qid"), explode(array(flips: _*)).as("probe"))
+      .join(buckets.select($"id".as("nid"), $"bucket".as("probe")), Seq("probe"))
+      .filter($"nid" =!= $"qid").select($"qid", $"nid")
+      .as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi), (single -- multi).take(5))
+    assert(multi.size > single.size) // probing actually widened the net
+    // and the top-k re-rank hits at least as many exact-top-3 neighbors
+    val exact = Similarity.bruteForceTopK(all, queries, 3)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val mp = Similarity.multiProbeTopK(all, buckets, queries, b = 6, k = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val singleHits = (single intersect exact).size
+    val multiHits = (mp intersect exact).size
+    assert(multiHits >= singleHits)
+  }
 }
