@@ -29,17 +29,34 @@ import org.apache.spark.sql.functions._
   * on one side contributes a large-but-finite term, never ±∞. */
 object Drift {
 
+  /** The frozen bin-edge table: per group, the sorted exact
+    * nearest-rank quantiles of the reference as an array column
+    * `__th`. Groups-sized; broadcasts into every consumer (the batch
+    * histograms here, the stateless streaming assign in
+    * [[graft.streaming.StreamDrift]]). */
+  def referenceEdges(ref: DataFrame, keys: Seq[String], x: Column,
+      tieBreak: Column, qs: Seq[Double]): DataFrame =
+    WindowOps.exactQuantiles(ref, keys.map(col), x, tieBreak, qs)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(col("qvalue").cast("double"))).as("__th"))
+
+  /** Frozen-edge bin assignment: adds `bin` = 1 + #edges below x.
+    * Pure map-side against the broadcast edge table — works on static
+    * and streaming frames alike. */
+  def assignBins(df: DataFrame, edges: DataFrame, keys: Seq[String],
+      x: Column): DataFrame =
+    df.join(broadcast(edges), keys)
+      .withColumn("__x", x.cast("double"))
+      .withColumn("bin", expr(
+        "1 + aggregate(__th, 0, (a, t) -> a + IF(__x > t, 1, 0))"))
+      .drop("__th", "__x")
+
   def psi(ref: DataFrame, cur: DataFrame, keys: Seq[String], x: Column,
       tieBreak: Column, qs: Seq[Double], eps: Double): DataFrame = {
     val kcols = keys.map(col)
-    val edges = WindowOps.exactQuantiles(ref, kcols, x, tieBreak, qs)
-      .groupBy(kcols: _*)
-      .agg(array_sort(collect_list(col("qvalue").cast("double"))).as("__th"))
+    val edges = referenceEdges(ref, keys, x, tieBreak, qs)
     def hist(df: DataFrame, cnt: String): DataFrame =
-      df.join(broadcast(edges), keys)
-        .withColumn("__x", x.cast("double"))
-        .withColumn("bin", expr(
-          "1 + aggregate(__th, 0, (a, t) -> a + IF(__x > t, 1, 0))"))
+      assignBins(df, edges, keys, x)
         .groupBy(kcols :+ col("bin"): _*)
         .agg(count(lit(1)).as(cnt))
     val hr = hist(ref, "cr")

@@ -533,7 +533,62 @@ object TextQueries extends QueryGroup {
       JOIN uni b ON p.w2 = b.w, ntok, nbg
       ORDER BY pmi DESC, w1, w2 LIMIT 20"""))
 
+  /** Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    * the top vocabulary — the corpus-health power-law audit (natural
+    * text sits near slope −1; a slope collapsing toward 0 flags
+    * boilerplate/templated text). The vocab reduces map-side, the
+    * top-1000 cut is TakeOrderedAndProject, and only the 1000-row
+    * frame sees a rank window (one bounded task). ln values carry the
+    * 6-decimal transcendental convention; all OLS sums are
+    * decimal-exact over them, so slope/intercept are bit-identical. */
+  private val q163 = Q(
+    "q163_zipf_slope",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val top = tokenRows(s, dir).groupBy($"token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"token".asc).limit(1000)
+      val pts = top
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"freq".desc, $"token".asc)))
+        .select(round(log($"rank".cast("double")), 6).as("x"),
+          round(log($"freq".cast("double")), 6).as("y"))
+      val n = $"n".cast("double")
+      pts.agg(count(lit(1)).as("n"), dsum($"x").as("sx"), dsum($"y").as("sy"),
+          dsum($"x" * $"x").as("sxx"), dsum($"x" * $"y").as("sxy"))
+        .withColumn("slope",
+          (n * $"sxy" - $"sx" * $"sy") / (n * $"sxx" - $"sx" * $"sx"))
+        .withColumn("icept", ($"sy" - $"slope" * $"sx") / n)
+        .select($"n".as("n_terms"), $"slope", $"icept")
+    },
+    Some(s"""
+      WITH $tokenRowsSql,
+      top AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY token
+        ORDER BY freq DESC, token LIMIT 1000),
+      rk AS (
+        SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+        FROM top),
+      pts AS (
+        SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+               round(ln(CAST(freq AS DOUBLE)), 6) AS y
+        FROM rk),
+      sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlSum("x")} AS sx,
+          ${sqlSum("y")} AS sy, ${sqlSum("x * x")} AS sxx,
+          ${sqlSum("x * y")} AS sxy
+        FROM pts),
+      fit AS (
+        SELECT n, (CAST(n AS DOUBLE) * sxy - sx * sy) /
+            (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope, sx, sy
+        FROM sums)
+      SELECT n AS n_terms, slope,
+        (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+      FROM fit"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
-      q148, q149, q152, q158)
+      q148, q149, q152, q158, q163)
 }
