@@ -472,5 +472,114 @@ object ClusterQueries extends QueryGroup {
       FROM pred p JOIN lab l USING (id)
       GROUP BY l.label, p.pred ORDER BY l.label, p.pred"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147, q153)
+  /** Consensus multi-signal dedup: the exact-hash, MinHash-LSH, and
+    * embedding-cosine detectors vote on every candidate pair (full
+    * outer fusion keyed on the pair), with per-method attribution
+    * flags and a ≥2-votes "dup" verdict — the production pattern where
+    * no single dedup signal is trusted alone (lexical twins with
+    * different embeddings, paraphrases with different hashes). Each
+    * detector keeps its own scale shape (hash equi-join, banded LSH,
+    * label-blocked pairs); the fusion operates on pair-sized frames. */
+  private val q165 = Q(
+    "q165_consensus_dedup",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val d = Tables(s, dir, "documents")
+      val withH = d.select($"doc_id",
+        md5(lower(trim($"text")).cast("binary")).as("h"))
+      val exactP = withH.as("a").join(withH.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          lit(1).as("m_exact"))
+      val sh = d.withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id", explode(TextOps.shingles("ts", 3)).as("s"))
+        .distinct()
+      val mh = TextOps.minhash(sh, $"doc_id", $"s", k = 8)
+      val lshP = TextOps.estJaccard(TextOps.lshCandidates(mh, r = 4), mh, k = 8)
+        .filter($"est_jaccard" >= 0.5)
+        .select($"d1", $"d2", lit(1).as("m_lsh"))
+      val emb = Similarity.withNorms(Tables(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val blocks = Tables(s, dir, "embeddings")
+        .select($"vec_id".as("id"), $"label".as("block"))
+      val cosP = Similarity.blockedCosinePairs(emb, blocks,
+          prefilterAbove = Some(0.4))
+        .filter($"cosine" >= 0.4)
+        .select($"id1".as("d1"), $"id2".as("d2"), lit(1).as("m_cos"))
+      exactP.join(lshP, Seq("d1", "d2"), "full_outer")
+        .join(cosP, Seq("d1", "d2"), "full_outer")
+        .select($"d1", $"d2",
+          coalesce($"m_exact", lit(0)).as("m_exact"),
+          coalesce($"m_lsh", lit(0)).as("m_lsh"),
+          coalesce($"m_cos", lit(0)).as("m_cos"))
+        .withColumn("n_methods", $"m_exact" + $"m_lsh" + $"m_cos")
+        .withColumn("verdict",
+          when($"n_methods" >= 2, "dup").otherwise("candidate"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH $compSql,
+      eh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+      exactp AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, 1 AS m_exact
+        FROM eh a JOIN eh b ON a.h = b.h AND a.doc_id < b.doc_id),
+      t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+            FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM t),
+      hashes AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql("s")} AS h1,
+               ${TextOps.h64bSql("s")} % 1000000007 AS h2
+        FROM sh),
+      mh AS (
+        SELECT doc, j, MIN(h1 + j * h2) AS h
+        FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j) seeds
+        GROUP BY doc, j),
+      bands AS (
+        SELECT doc, CAST(j // 4 AS INT) AS band, SUM(h) AS sig
+        FROM mh GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+      lshp AS (
+        SELECT d1, d2, 1 AS m_lsh FROM (
+          SELECT d1, d2, COUNT(*) * 1.0e0 / 8 AS est_jaccard
+          FROM cands
+          JOIN mh ma ON d1 = ma.doc
+          JOIN mh mb ON d2 = mb.doc AND ma.j = mb.j AND ma.h = mb.h
+          GROUP BY d1, d2)
+        WHERE est_jaccard >= 0.5),
+      cblk AS (SELECT comp.*, e2.label AS block
+               FROM comp JOIN embeddings e2 ON comp.id = e2.vec_id),
+      cparts AS (
+        SELECT a.id AS id1, b.id AS id2, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM cblk a JOIN cblk b
+          ON a.block = b.block AND a.i = b.i AND a.id < b.id),
+      cosp AS (
+        SELECT id1 AS d1, id2 AS d2, 1 AS m_cos FROM (
+          SELECT id1, id2, $cosSql AS cosine
+          FROM cparts GROUP BY id1, id2)
+        WHERE cosine >= 0.4e0),
+      fused AS (
+        SELECT COALESCE(e.d1, l.d1, c.d1) AS d1,
+               COALESCE(e.d2, l.d2, c.d2) AS d2,
+               COALESCE(e.m_exact, 0) AS m_exact,
+               COALESCE(l.m_lsh, 0) AS m_lsh,
+               COALESCE(c.m_cos, 0) AS m_cos
+        FROM exactp e
+        FULL OUTER JOIN lshp l ON e.d1 = l.d1 AND e.d2 = l.d2
+        FULL OUTER JOIN cosp c
+          ON COALESCE(e.d1, l.d1) = c.d1 AND COALESCE(e.d2, l.d2) = c.d2)
+      SELECT d1, d2, m_exact, m_lsh, m_cos,
+        m_exact + m_lsh + m_cos AS n_methods,
+        CASE WHEN m_exact + m_lsh + m_cos >= 2 THEN 'dup'
+             ELSE 'candidate' END AS verdict
+      FROM fused ORDER BY d1, d2"""))
+
+  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165)
 }

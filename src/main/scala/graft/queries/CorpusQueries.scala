@@ -567,6 +567,61 @@ object CorpusQueries extends QueryGroup {
     * rule R"). Every rule is an operator verified on its own (q43/q78/
     * q127); this proves they compose: one pass per rule family, three
     * left joins on doc_id, no rule recomputing another's inputs. */
+  /** Fill-in-the-middle transform (Bavarian et al. '22): each document
+    * splits at two deterministic hash-chosen token cuts into
+    * prefix/middle/suffix and re-serializes in PSM order
+    * (prefix ⟨SUF⟩ suffix ⟨MID⟩ middle) — the map-side training-data
+    * rewrite that teaches infilling. Cut points are h64-derived, so
+    * the transform is rerun- and engine-reproducible; docs under 4
+    * tokens pass through untransformed (no middle to elide). Pure
+    * map-side: no shuffle at any scale. */
+  private val q164 = Q(
+    "q164_fim_transform",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("ts", TextOps.tokens($"text"))
+        .withColumn("n", size($"ts"))
+        .filter($"n" >= 4)
+        .withColumn("u1",
+          TextOps.h64(concat($"doc_id".cast("string"), lit("|a"))) % $"n")
+        .withColumn("u2",
+          TextOps.h64(concat($"doc_id".cast("string"), lit("|b"))) % $"n")
+        .withColumn("lo", least($"u1", $"u2").cast("int"))
+        .withColumn("hi", greatest($"u1", $"u2").cast("int"))
+        .select($"doc_id",
+          $"lo".as("n_prefix"), ($"hi" - $"lo").as("n_middle"),
+          ($"n" - $"hi").as("n_suffix"),
+          concat(
+            concat_ws(" ", slice($"ts", lit(1), $"lo")), lit("<SUF>"),
+            concat_ws(" ", slice($"ts", $"hi" + 1, $"n" - $"hi")),
+            lit("<MID>"),
+            concat_ws(" ", slice($"ts", $"lo" + 1, $"hi" - $"lo")))
+            .as("psm"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+               len(string_split_regex(trim(text), '\\s+')) AS n
+        FROM documents),
+      cuts AS (
+        SELECT doc_id, ts, n,
+          ${TextOps.h64Sql("(CAST(doc_id AS VARCHAR) || '|a')")} % n AS u1,
+          ${TextOps.h64Sql("(CAST(doc_id AS VARCHAR) || '|b')")} % n AS u2
+        FROM t WHERE n >= 4),
+      cut2 AS (
+        SELECT doc_id, ts, n,
+          CAST(LEAST(u1, u2) AS INT) AS lo,
+          CAST(GREATEST(u1, u2) AS INT) AS hi
+        FROM cuts)
+      SELECT doc_id, lo AS n_prefix, hi - lo AS n_middle,
+        CAST(n - hi AS INT) AS n_suffix,
+        COALESCE(array_to_string(ts[1:lo], ' '), '') || '<SUF>' ||
+        COALESCE(array_to_string(ts[hi+1:n], ' '), '') || '<MID>' ||
+        COALESCE(array_to_string(ts[lo+1:hi], ' '), '') AS psm
+      FROM cut2 ORDER BY doc_id"""))
+
   private val q131 = Q(
     "q131_filter_stack",
     (s, dir) => {
@@ -808,5 +863,5 @@ object CorpusQueries extends QueryGroup {
 
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131, q133, q134, q135, q136)
+      q127, q128, q130, q131, q133, q134, q135, q136, q164)
 }

@@ -92,6 +92,15 @@ class PcaSpec extends SparkSpec {
       got.collect { case (k, g) if g != want(k) => (k, g, want(k)) }.take(5))
   }
 
+  test("dsumFine is invariant to row order and partitioning") {
+    val xs = (1 to 2000).map(i => math.sin(i.toDouble) * 1e-3)
+    val base = xs.toDF("x").coalesce(1)
+      .agg(Exact.dsumFine($"x")).as[Double].head()
+    val shuffled = scala.util.Random.shuffle(xs).toDF("x").repartition(17)
+      .agg(Exact.dsumFine($"x")).as[Double].head()
+    assert(base == shuffled, s"$base != $shuffled") // bit-identical
+  }
+
   test("dsumFine sums tiny magnitudes without the scale-6 quantization loss") {
     val xs = Seq.fill(1000)(1.234e-7).toDF("x")
     val fine = xs.agg(Exact.dsumFine($"x")).as[Double].head()
