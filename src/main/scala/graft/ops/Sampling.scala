@@ -169,4 +169,63 @@ object Sampling {
     selFull.select(col("doc"), col("quality"), col("n_tokens"))
       .unionAll(part.select(col("doc"), col("quality"), col("n_tokens")))
   }
+
+  /** One DoReMi exponentiated-gradient step (Xie et al. NeurIPS '23,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): domains whose proxy loss exceeds the best domain's
+    * are up-weighted multiplicatively, then the mixture is smoothed
+    * toward uniform —
+    *   excess_d = mean_loss_d − min_d mean_loss
+    *   w_d ∝ exp(η · excess_d),  final_d = (1−c)·w_d + c/|D|.
+    * The full algorithm re-trains a proxy model between steps; the
+    * engine's job is the data-side step, which is ONE corpus pass
+    * (the per-domain loss mean) followed by arithmetic on the
+    * domain-count-sized frame — every cross-domain reduction rides a
+    * broadcast, so the op costs a single map-side-combined groupBy at
+    * any corpus size. FP chain pinned: exact decimal loss means,
+    * round-6 exp, fine-decimal normalizer — bit-identical across
+    * engines.
+    *
+    * Input: per-document rows with a domain column and a loss column
+    * (any per-doc loss proxy — bigram-LM NLL in q167). Output:
+    * (domain, n_docs, mean_loss, excess, weight), Σ weight = 1. */
+  def doremiReweight(losses: DataFrame, domain: Column, loss: Column,
+      eta: Double, smooth: Double): DataFrame = {
+    val perDom = losses.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"), Exact.davg(loss).as("mean_loss"))
+    val base = perDom.agg(min(col("mean_loss")).as("__base"))
+    val scored = perDom.crossJoin(broadcast(base))
+      .withColumn("excess", round(col("mean_loss") - col("__base"), 6))
+      .withColumn("__e", round(exp(lit(eta) * col("excess")), 6))
+    val tot = scored.agg(Exact.dsumFine(col("__e")).as("__tot"),
+      count(lit(1)).cast("double").as("__nd"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(lit(1.0 - smooth) * (col("__e") / col("__tot")) +
+          lit(smooth) / col("__nd"), 6))
+      .select(col("domain"), col("n_docs"), col("mean_loss"),
+        col("excess"), col("weight"))
+  }
+
+  /** DuckDB twin of [[doremiReweight]] over a CTE `dl(domain, loss)` —
+    * ends in `doremi(domain, n_docs, mean_loss, excess, weight)`. */
+  def doremiSql(eta: Double, smooth: Double): String = s"""
+    ddom AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ${Exact.sqlAvg("loss")} AS mean_loss
+      FROM dl GROUP BY domain),
+    dex AS (
+      SELECT domain, n_docs, mean_loss,
+        round(mean_loss - (SELECT MIN(mean_loss) FROM ddom), 6) AS excess
+      FROM ddom),
+    des AS (
+      SELECT *, round(exp(${eta}e0 * excess), 6) AS e FROM dex),
+    dtot AS (
+      SELECT ${Exact.sqlSumFine("e")} AS tot,
+        CAST(COUNT(*) AS DOUBLE) AS nd FROM des),
+    doremi AS (
+      SELECT domain, n_docs, mean_loss, excess,
+        round(${1.0 - smooth}e0 * (e / (SELECT tot FROM dtot)) +
+          ${smooth}e0 / (SELECT nd FROM dtot), 6) AS weight
+      FROM des)"""
 }

@@ -380,6 +380,35 @@ object SamplingQueries extends QueryGroup {
       WHERE est.est_jaccard >= 0.5
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** DoReMi domain-reweighting step (Xie et al. '23): each source
+    * domain is scored by its mean bigram-LM NLL (the q127 CCNet proxy),
+    * high-loss domains are exponentially up-weighted and the mixture is
+    * smoothed 20% toward uniform — the data-side step of mixture
+    * optimization. One corpus pass for the LM scores, one for the
+    * domain means; everything after is domain-count-sized broadcast
+    * arithmetic. */
+  private val q167 = Q(
+    "q167_doremi_reweight",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val lm = graft.ops.LmScore.lmScore(d, $"doc_id", $"text",
+        vocabK = 50, pplFlag = 32.0)
+      val dl = lm.select($"doc", $"nll")
+        .join(d.select($"doc_id".as("doc"), $"source"), Seq("doc"))
+      Sampling.doremiReweight(dl, $"source", $"nll",
+          eta = 1.0, smooth = 0.2)
+        .orderBy($"domain")
+    },
+    Some(s"""
+      WITH ${graft.ops.LmScore.lmScoreSql("doc_id", "text", 50, 32.0)},
+      dl AS (
+        SELECT d.source AS domain, l.nll AS loss
+        FROM lmout l JOIN documents d ON l.doc = d.doc_id),
+      ${Sampling.doremiSql(eta = 1.0, smooth = 0.2)}
+      SELECT * FROM doremi ORDER BY domain"""))
+
   def queries: Seq[Q] =
-    Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151)
+    Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151,
+      q167)
 }

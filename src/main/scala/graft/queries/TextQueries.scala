@@ -588,7 +588,62 @@ object TextQueries extends QueryGroup {
         (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
       FROM fit"""))
 
+  /** Winnowing clone detection (MOSS): each document keeps its
+    * winnowed fingerprint sample (k=4-token shingles, window w=4 —
+    * guarantee: any shared passage of ≥ 7 tokens produces a shared
+    * fingerprint), then pairs sharing ≥ 2 fingerprints are ranked by
+    * the shared count. Sits between dup_spans (q110 — exact, dense)
+    * and MinHash (q47 — sparse, probabilistic): sparse AND guaranteed
+    * for long clones. Hot fingerprints (> 50 docs) are dropped before
+    * the pair join — boilerplate adds quadratic pairs, no signal. */
+  private val q166 = Q(
+    "q166_winnow_clones",
+    (s, dir) => {
+      import s.implicits._
+      val fps = graft.ops.Winnow.fingerprints(
+        Tables.spread(s, dir, "documents"), $"doc_id", $"text", k = 4, w = 4)
+      graft.ops.Winnow.clonePairs(fps, minShared = 2, maxDocs = 50)
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH ${graft.ops.Winnow.fingerprintsSql(
+        "documents", "doc_id", "text", k = 4, w = 4)},
+      perfp AS (SELECT DISTINCT doc, fp FROM fps),
+      hot AS (SELECT fp FROM perfp GROUP BY fp HAVING COUNT(*) > 50),
+      cool AS (SELECT * FROM perfp WHERE fp NOT IN (SELECT fp FROM hot))
+      SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY a.doc, b.doc HAVING COUNT(*) >= 2
+      ORDER BY d1, d2"""))
+
+  /** Content-defined chunk dedup (LBFS/rsync cut rule on token
+    * streams): documents are split at content-defined boundaries
+    * (2-gram hash ≡ 0 mod 8, expected ~8-token chunks), and each doc
+    * reports how many of its chunks — and what fraction of its tokens —
+    * are byte-identical to a chunk of ANOTHER document. The
+    * variable-boundary scheme is shift-resistant: an inserted byline
+    * re-chunks O(1) chunks, so the shared tail still dedups. */
+  private val q168 = Q(
+    "q168_cdc_chunk_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val ch = graft.ops.Cdc.chunks(
+        Tables.spread(s, dir, "documents"), $"doc_id", $"text", k = 2, m = 8)
+      graft.ops.Cdc.chunkDedupProfile(ch).orderBy($"doc")
+    },
+    Some(s"""
+      WITH ${graft.ops.Cdc.chunksSql("documents", "doc_id", "text", 2, 8)},
+      cfreq AS (
+        SELECT h, COUNT(DISTINCT doc) AS ndocs FROM chunks GROUP BY h)
+      SELECT c.doc, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared,
+        CAST(SUM(CASE WHEN f.ndocs > 1 THEN c.n_tokens ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(c.n_tokens) AS DOUBLE) AS shared_token_frac
+      FROM chunks c JOIN cfreq f ON c.h = f.h
+      GROUP BY c.doc ORDER BY c.doc"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
-      q148, q149, q152, q158, q163)
+      q148, q149, q152, q158, q163, q166, q168)
 }
