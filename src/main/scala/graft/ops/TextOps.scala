@@ -848,4 +848,92 @@ object TextOps {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_spans").cast("double"))
   }
+
+  /** The Gopher word-level quality rules (Rae et al. '21, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1 — the rule set
+    * MassiveWeb introduced and C4/RefinedWeb descendants reuse):
+    * word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * alphabetic-word fraction, and the ≥2-distinct-stopwords
+    * requirement. Differs from [[qualityScore]] (free-form heuristic
+    * scores for a learned downstream gate) in being the PUBLISHED
+    * hard-threshold decision table — each rule is a named flag so a
+    * corpus report can attribute removal volume per rule, and the
+    * decision is the first failing rule in the paper's order.
+    *
+    * One explode + one groupBy(doc): every rule is an aggregate of
+    * per-token predicates, so the whole table is a single
+    * map-side-combined pass at any corpus size. Thresholds are the
+    * paper's, parameterized only where the tiny test corpus needs a
+    * scaled bound (`minWords`). */
+  def gopherRules(docs: DataFrame, doc: Column, text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val toks = docs.select(doc.as("doc"), explode(tokens(text)).as("token"))
+    toks.groupBy(col("doc"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        Exact.dsum(length(col("token")).cast("double")).as("__chars"),
+        sum(when(col("token").contains("#") ||
+          col("token").contains("..."), 1L).otherwise(0L)).as("__sym"),
+        sum(when(col("token").rlike("[A-Za-z]"), 1L).otherwise(0L))
+          .as("__alpha"),
+        countDistinct(when(lower(col("token")).isin(stopwords: _*),
+          lower(col("token")))).as("n_stop_hits"))
+      .select(col("doc"), col("n_words"),
+        (col("__chars") / col("n_words").cast("double")).as("mean_word_len"),
+        (col("__sym").cast("double") / col("n_words").cast("double"))
+          .as("symbol_ratio"),
+        (col("__alpha").cast("double") / col("n_words").cast("double"))
+          .as("alpha_frac"),
+        col("n_stop_hits"))
+      .withColumn("decision",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          "word_count")
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+            "mean_word_length")
+          .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+          .when(col("alpha_frac") < 0.8, "alpha_fraction")
+          .when(col("n_stop_hits") < 2, "stopwords")
+          .otherwise("kept"))
+  }
+
+  /** DuckDB twin of [[gopherRules]]: CTE chain over `table` ending in
+    * `gopher(doc, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    * n_stop_hits, decision)`. */
+  def gopherRulesSql(table: String, docExpr: String, textExpr: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    s"""
+    gtok AS (
+      SELECT $docExpr AS doc,
+        unnest(string_split_regex(trim($textExpr), '\\s+')) AS token
+      FROM $table),
+    gagg AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_words,
+        ${Exact.sqlSum("CAST(length(token) AS DOUBLE)")}
+          / CAST(COUNT(*) AS DOUBLE) AS mean_word_len,
+        CAST(SUM(CASE WHEN token LIKE '%#%' OR token LIKE '%...%'
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS symbol_ratio,
+        CAST(SUM(CASE WHEN regexp_matches(token, '[A-Za-z]')
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS alpha_frac,
+        CAST(COUNT(DISTINCT CASE WHEN lower(token) IN ($stopList)
+          THEN lower(token) END) AS BIGINT) AS n_stop_hits
+      FROM gtok GROUP BY doc),
+    gopher AS (
+      SELECT *,
+        CASE
+          WHEN n_words < $minWords OR n_words > $maxWords THEN 'word_count'
+          WHEN mean_word_len < 3.0e0 OR mean_word_len > 10.0e0
+            THEN 'mean_word_length'
+          WHEN symbol_ratio > 0.1e0 THEN 'symbol_ratio'
+          WHEN alpha_frac < 0.8e0 THEN 'alpha_fraction'
+          WHEN n_stop_hits < 2 THEN 'stopwords'
+          ELSE 'kept' END AS decision
+      FROM gagg)"""
+  }
 }

@@ -643,7 +643,112 @@ object TextQueries extends QueryGroup {
       FROM chunks c JOIN cfreq f ON c.h = f.h
       GROUP BY c.doc ORDER BY c.doc"""))
 
+  /** Gopher quality rules (Rae et al. '21 A1.1) as a per-rule decision
+    * table — the published hard-threshold filter set, with removal
+    * volume attributable per rule. The rule STRUCTURE is the paper's;
+    * the required-word lexicon and minWords are corpus parameters
+    * (the paper's English stop list never appears in the synthetic
+    * engine-vocabulary corpus, which would make the stopword rule
+    * reject everything and teach nothing). */
+  private val gopherStops = Seq("join", "hash", "row", "scan", "filter")
+
+  private val q169 = Q(
+    "q169_gopher_rules",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.gopherRules(docs(s, dir), $"doc_id", $"text",
+          minWords = 20, stopwords = gopherStops)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH ${TextOps.gopherRulesSql("documents", "doc_id", "text",
+        minWords = 20, stopwords = gopherStops)}
+      SELECT doc AS doc_id, n_words, mean_word_len, symbol_ratio,
+        alpha_frac, n_stop_hits, decision
+      FROM gopher ORDER BY doc_id"""))
+
+  /** Distinct-n diversity audit per source (the distinct-1/distinct-2
+    * metrics of Li et al. '16): unique-unigram and unique-bigram
+    * fractions — low values mark template-generated or boilerplate
+    * slices of the corpus before they reach training. Two exploded
+    * passes, each a map-side-combined groupBy(source). */
+  private val q170 = Q(
+    "q170_distinct_n",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val uni = d.select($"source", explode(TextOps.tokens($"text")).as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_unigrams"),
+          countDistinct($"g").as("u_unigrams"))
+      val bi = d.withColumn("ts", TextOps.tokens($"text"))
+        .select($"source", explode(TextOps.shingles("ts", 2)).as("g"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct($"g").as("u_bigrams"))
+      uni.join(bi, Seq("source"))
+        .select($"source", $"n_unigrams",
+          ($"u_unigrams".cast("double") / $"n_unigrams".cast("double"))
+            .as("distinct1"),
+          $"n_bigrams",
+          ($"u_bigrams".cast("double") / $"n_bigrams".cast("double"))
+            .as("distinct2"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH uni AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+          CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct1
+        FROM (SELECT source,
+                unnest(string_split_regex(trim(text), '\s+')) AS g
+              FROM documents) GROUP BY source),
+      bi AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct2
+        FROM (SELECT source,
+                unnest(list_transform(generate_series(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g
+              FROM (SELECT source,
+                      string_split_regex(trim(text), '\s+') AS ts
+                    FROM documents)) GROUP BY source)
+      SELECT uni.source, n_unigrams, distinct1, n_bigrams, distinct2
+      FROM uni JOIN bi ON uni.source = bi.source
+      ORDER BY uni.source"""))
+
+  /** Tokenizer-budget fertility audit per language: whitespace-token
+    * and character volumes, chars-per-token (the fertility proxy that
+    * sets per-language token budgets in multilingual mixes), and
+    * tokens-per-doc. One exploded pass, groupBy(lang). */
+  private val q171 = Q(
+    "q171_lang_fertility",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"lang", $"doc_id", explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"lang")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          dsum(length($"token").cast("double")).as("n_chars"))
+        .select($"lang", $"n_docs", $"n_tokens",
+          ($"n_chars" / $"n_tokens".cast("double")).as("chars_per_token"),
+          ($"n_tokens".cast("double") / $"n_docs".cast("double"))
+            .as("tokens_per_doc"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH $tokenRowsSql,
+      ltok AS (
+        SELECT d.lang, t.doc, t.token FROM tok t
+        JOIN documents d ON t.doc = d.doc_id)
+      SELECT lang, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        ${sqlSum("CAST(length(token) AS DOUBLE)")}
+          / CAST(COUNT(*) AS DOUBLE) AS chars_per_token,
+        CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc) AS tokens_per_doc
+      FROM ltok GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
-      q148, q149, q152, q158, q163, q166, q168)
+      q148, q149, q152, q158, q163, q166, q168, q169, q170, q171)
 }
