@@ -285,5 +285,47 @@ object AssemblyQueries extends QueryGroup {
       FROM cells WHERE n_docs < 5 GROUP BY source
       ORDER BY source, lang"""))
 
-  def queries: Seq[Q] = Seq(q140, q141, q142, q145, q161)
+  /** l-diversity audit (Machanavajjhala et al. '07) — the release-risk
+    * sibling of the k-anonymity card (q161): k-anonymity bounds group
+    * SIZE, but a group whose sensitive attribute is homogeneous still
+    * leaks it; distinct-l-diversity requires ≥ l distinct sensitive
+    * values per quasi-identifier group. Quasi-identifier here:
+    * (source, 200-char length bucket); sensitive attribute: lang.
+    * Output per group: size, distinct sensitive values, majority
+    * fraction, and the release decision. Two map-side-combined
+    * aggregations — no shuffle wider than the group count. */
+  private val q173 = Q(
+    "q173_l_diversity",
+    (s, dir) => {
+      import s.implicits._
+      val l = 2L
+      val cnt = docs(s, dir)
+        .withColumn("len_bucket", expr("n_chars div 200"))
+        .groupBy($"source", $"len_bucket", $"lang")
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy($"source", $"len_bucket")
+        .agg(sum($"c").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max($"c").as("__top"))
+        .select($"source", $"len_bucket", $"n_docs", $"n_langs",
+          ($"__top".cast("double") / $"n_docs".cast("double"))
+            .as("top_frac"),
+          when($"n_langs" >= l, "diverse").otherwise("homogeneous_risk")
+            .as("decision"))
+        .orderBy($"source", $"len_bucket")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, n_chars // 200 AS len_bucket, lang,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_langs,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac,
+        CASE WHEN COUNT(*) >= 2 THEN 'diverse'
+             ELSE 'homogeneous_risk' END AS decision
+      FROM cnt GROUP BY source, len_bucket
+      ORDER BY source, len_bucket"""))
+
+  def queries: Seq[Q] = Seq(q140, q141, q142, q145, q161, q173)
 }

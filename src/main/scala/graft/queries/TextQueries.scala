@@ -748,7 +748,82 @@ object TextQueries extends QueryGroup {
         CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc) AS tokens_per_doc
       FROM ltok GROUP BY lang ORDER BY lang"""))
 
+  /** Heaps'-law vocabulary-growth audit — the companion of the Zipf
+    * slope (q163): V(n) ≈ K·n^β, fit by OLS on the log-log
+    * types-vs-tokens curve over doc-bucket prefixes. A corpus whose β
+    * collapses (no new types) is template spam; β ≈ 1 is noise (every
+    * type new). Types are TRIGRAMS, not unigrams — the synthetic
+    * corpus (like code or any closed-vocabulary stream) saturates its
+    * word vocabulary in the first bucket, and n-gram vocabulary growth
+    * is the standard closed-vocab form of the law. Each trigram
+    * contributes one row to the first-occurrence table (min doc);
+    * buckets pre-aggregate BEFORE the prefix window, so the ordered
+    * frame carries two longs per 10-doc bucket — the q142
+    * bounded-cumsum discipline, not a per-row global sort. */
+  private val q172 = Q(
+    "q172_heaps_law",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 10
+      val tr = tokenRows(s, dir)
+      val grams = docs(s, dir).withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id".as("doc"), explode(TextOps.shingles("ts", 3)).as("g"))
+      val perB = tr.groupBy(expr(s"doc div $B").as("b"))
+        .agg(count(lit(1)).as("nt"))
+      val newTypes = grams.groupBy($"g").agg(min($"doc").as("fd"))
+        .groupBy(expr(s"fd div $B").as("b"))
+        .agg(count(lit(1)).as("nv"))
+      val pts = perB.join(newTypes, Seq("b"), "left")
+        .withColumn("nv", coalesce($"nv", lit(0L)))
+        .withColumn("ct", sum($"nt").over(Window.orderBy($"b")))
+        .withColumn("cv", sum($"nv").over(Window.orderBy($"b")))
+        .select(round(log($"ct".cast("double")), 6).as("x"),
+          round(log($"cv".cast("double")), 6).as("y"))
+      val n = $"n".cast("double")
+      pts.agg(count(lit(1)).as("n"), dsum($"x").as("sx"), dsum($"y").as("sy"),
+          dsum($"x" * $"x").as("sxx"), dsum($"x" * $"y").as("sxy"))
+        .withColumn("beta",
+          (n * $"sxy" - $"sx" * $"sy") / (n * $"sxx" - $"sx" * $"sx"))
+        .withColumn("k", round(exp(($"sy" - $"beta" * $"sx") / n), 6))
+        .select($"n".as("n_points"), $"beta", $"k")
+    },
+    Some(s"""
+      WITH $tokenRowsSql,
+      perb AS (
+        SELECT doc // 10 AS b, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM tok GROUP BY 1),
+      hgr AS (
+        SELECT doc_id AS doc, array_to_string(ts[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents), LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 2)) AS i) s
+        WHERE len(ts) >= 3),
+      ftok AS (SELECT g, MIN(doc) AS fd FROM hgr GROUP BY g),
+      newt AS (
+        SELECT fd // 10 AS b, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM ftok GROUP BY 1),
+      pts AS (
+        SELECT round(ln(CAST(SUM(nt) OVER w AS DOUBLE)), 6) AS x,
+               round(ln(CAST(SUM(COALESCE(nv, 0)) OVER w AS DOUBLE)), 6) AS y
+        FROM perb LEFT JOIN newt USING (b)
+        WINDOW w AS (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlSum("x")} AS sx,
+          ${sqlSum("y")} AS sy, ${sqlSum("x * x")} AS sxx,
+          ${sqlSum("x * y")} AS sxy
+        FROM pts),
+      fit AS (
+        SELECT n, (CAST(n AS DOUBLE) * sxy - sx * sy) /
+            (CAST(n AS DOUBLE) * sxx - sx * sx) AS beta, sx, sy
+        FROM sums)
+      SELECT n AS n_points, beta,
+        round(exp((sy - beta * sx) / CAST(n AS DOUBLE)), 6) AS k
+      FROM fit"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
-      q148, q149, q152, q158, q163, q166, q168, q169, q170, q171)
+      q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
+      q172)
 }
