@@ -135,6 +135,82 @@ object ClusterQueries extends QueryGroup {
       SELECT node AS doc_id, MIN(label) AS cluster
       FROM reach GROUP BY node ORDER BY doc_id"""))
 
+  /** Global near-duplicate components over MULTI-PASS blocking — the
+    * cross-block graph q62's one-shuffle union-find cannot close.
+    * Two independent blocking passes (entity-resolution "meta-blocking":
+    * pass A bands by source × 200-char length bucket, pass B by lang ×
+    * offset 100-char bucket — the shifted bands guarantee any pair
+    * within 50 chars of length co-blocks in at least one pass) each emit
+    * token-Jaccard ≥ 0.85 edges; their UNION spans blocks, so components
+    * are closed by the iterative min-label propagation
+    * ([[graft.ops.TextOps.connectedComponents]] — O(diameter) rounds,
+    * one join + one groupBy each, lineage truncated per round). Output
+    * adds the component size, the dedup-policy fan-out knob.
+    * Mirrors the reference's duplicate-grouping intent
+    * (mopdb_utils.py:495-538 catalog dedup) at corpus scale. */
+  private val q174 = Q(
+    "q174_global_components",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      def tokenRows(block: org.apache.spark.sql.Column) =
+        docs.select($"doc_id".as("doc"), block.as("block"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val passA = tokenRows(concat($"source", lit("#"),
+        ($"n_chars" / 200).cast("int").cast("string")))
+      val passB = tokenRows(concat($"lang", lit("#"),
+        (($"n_chars" + 50) / 100).cast("int").cast("string")))
+      val edges = TextOps.blockedJaccard(passA)
+        .filter($"jaccard" >= 0.85).select($"d1", $"d2")
+        .unionByName(TextOps.blockedJaccard(passB)
+          .filter($"jaccard" >= 0.85).select($"d1", $"d2"))
+      val labeled = TextOps.connectedComponents(
+        edges, docs.select($"doc_id".as("node")))
+      labeled.join(
+          labeled.groupBy($"cluster").agg(count(lit(1)).as("cluster_size")),
+          Seq("cluster"))
+        .select($"node".as("doc_id"), $"cluster", $"cluster_size")
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id AS doc,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      blk AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 200 AS INT) AS VARCHAR) AS block
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+          lang || '#' || CAST(CAST((n_chars + 50) // 100 AS INT) AS VARCHAR)
+        FROM documents),
+      tr AS (SELECT b.doc, b.block, t.token
+             FROM blk b JOIN toks t ON b.doc = t.doc),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, a.block,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2, 3),
+      e AS (
+        SELECT DISTINCT d1, d2
+        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.85),
+      sym AS (SELECT d1 AS s, d2 AS t FROM e
+              UNION SELECT d2, d1 FROM e),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.s, r.label FROM reach r JOIN sym s ON r.node = s.t),
+      comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+      csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster)
+      SELECT node AS doc_id, comp.cluster, cluster_size
+      FROM comp JOIN csz ON comp.cluster = csz.cluster
+      ORDER BY doc_id"""))
+
   /** Corpus-curation capstone: compose quality scoring, token counts and
     * keep-first near-dup suppression into a keep/drop decision per
     * document — the actual filtering pass of a training-data pipeline.
@@ -581,5 +657,6 @@ object ClusterQueries extends QueryGroup {
              ELSE 'candidate' END AS verdict
       FROM fused ORDER BY d1, d2"""))
 
-  def queries: Seq[Q] = Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165)
+  def queries: Seq[Q] =
+    Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165, q174)
 }
