@@ -822,8 +822,69 @@ object TextQueries extends QueryGroup {
         round(exp((sy - beta * sx) / CAST(n AS DOUBLE)), 6) AS k
       FROM fit"""))
 
+  /** Edit-distance fuzzy dedup (record linkage): near-identical
+    * documents whose byte hashes differ by tail edits (typos, OCR
+    * noise, appended markers) that shift-align poorly. Match key = the
+    * last 40 chars of the lowercase whitespace-collapsed text — the
+    * region where this corpus's variants actually diverge; candidate
+    * pairs come from PREFIX BLOCKING on the first 8 chars of the HEAD
+    * (shift-invariant: an appended suffix never moves the head) — an
+    * equi-join, never all-pairs — and survive at Levenshtein ≤ 10 over
+    * the tail keys. `levenshtein` is the codegen'd built-in on both
+    * engines (classic DP, engine-independent values). Oversized blocks
+    * (> 200 docs — boilerplate prefixes: quadratic pairs, no linkage
+    * signal) are dropped on BOTH sides, the same skew cap as the LSH
+    * hot-band guard. Output: matched pairs with the edit distance and
+    * a normalized similarity (ratio of exact ints). */
+  private val q175 = Q(
+    "q175_fuzzy_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val maxBlock = 200
+      val keyed = Tables(s, dir, "documents").select(
+        $"doc_id",
+        lower(regexp_replace(trim($"text"), "\\s+", " ")).as("norm"))
+        .select($"doc_id", expr("right(norm, 40)").as("key"),
+          substring($"norm", 1, 8).as("block"))
+      val blockN = keyed.groupBy($"block").agg(count(lit(1)).as("bn"))
+      val inBand = keyed.join(broadcast(blockN.filter($"bn" <= maxBlock)), Seq("block"))
+      val pairs = inBand.as("a").join(inBand.as("b"),
+          $"a.block" === $"b.block" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+          levenshtein($"a.key", $"b.key").as("edit_dist"),
+          greatest(length($"a.key"), length($"b.key")).as("maxlen"))
+        .filter($"edit_dist" <= 10)
+      pairs.select($"d1", $"d2", $"edit_dist".cast("long").as("edit_dist"),
+          (lit(1.0) - $"edit_dist".cast("double") / $"maxlen".cast("double"))
+            .as("similarity"))
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id,
+          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      blk AS (
+        SELECT doc_id, right(norm, 40) AS key,
+               substr(norm, 1, 8) AS block
+        FROM keyed),
+      bn AS (SELECT block, COUNT(*) AS n FROM blk GROUP BY block),
+      inband AS (
+        SELECT b.* FROM blk b JOIN bn ON b.block = bn.block
+        WHERE bn.n <= 200),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+          CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist,
+          GREATEST(length(a.key), length(b.key)) AS maxlen
+        FROM inband a JOIN inband b
+          ON a.block = b.block AND a.doc_id < b.doc_id)
+      SELECT d1, d2, edit_dist,
+        1.0 - CAST(edit_dist AS DOUBLE) / CAST(maxlen AS DOUBLE)
+          AS similarity
+      FROM pairs WHERE edit_dist <= 10 ORDER BY d1, d2"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172)
+      q172, q175)
 }
