@@ -943,7 +943,93 @@ object SimilarityQueries extends QueryGroup {
       SELECT qid, nid, cosine, rank FROM ranked
       WHERE rank <= 3 ORDER BY qid, rank"""))
 
+  /** Margin-based bitext mining (Artetxe & Schwenk '19, the
+    * LASER/CCMatrix parallel-corpus recipe): a raw cosine threshold
+    * over-accepts hub vectors that are close to EVERYTHING, so each
+    * candidate pair (x, y) is scored by its cosine RELATIVE to both
+    * ends' neighborhoods — margin = cos(x,y) / ((Σtop-k cos(x,·) +
+    * Σtop-k cos(·,y)) / 2k) — and x keeps its best-margin y. Probe
+    * batch: even ids < 40 play language A; odd ids play language B
+    * (the corpus side). The batch broadcasts into the corpus scan
+    * (the mining unit of work at scale — batches stream through, the
+    * corpus is never shuffled); the per-pair sweep is the documented
+    * exact baseline, with the ANN candidates of q52/q61 as the
+    * drop-in scale path. Cosines are 6-decimal rounded before the
+    * neighborhood sums (exact decimal Σ — order-free), so the margin
+    * is a single deterministic double ratio on both engines. */
+  private val q176 = Q(
+    "q176_bitext_margin",
+    (s, dir) => {
+      import s.implicits._
+      val k = 4
+      val all = vecs(s, dir)
+      val srcB = broadcast(all.filter($"id" % 2 === 0 && $"id" < 40)
+        .select($"id".as("src_id"), $"emb".as("semb"), $"norm2".as("sn")))
+      val tgt = all.filter($"id" % 2 === 1)
+        .select($"id".as("tgt_id"), $"emb".as("temb"), $"norm2".as("tn"))
+      val pairs = srcB.crossJoin(tgt)
+        .select($"src_id", $"tgt_id",
+          round(Similarity.dotExact("semb", "temb") /
+            (sqrt($"sn") * sqrt($"tn")), 6)
+            .cast("decimal(9,6)").as("cosr"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src_id").orderBy($"cosr".desc, $"tgt_id".asc)
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy($"tgt_id").orderBy($"cosr".desc, $"src_id".asc)
+      val fwd = pairs.withColumn("rf", row_number().over(wf))
+        .filter($"rf" <= k).groupBy($"src_id")
+        .agg(sum($"cosr").as("sum_f"))
+      val bwd = pairs.withColumn("rb", row_number().over(wb))
+        .filter($"rb" <= k).groupBy($"tgt_id")
+        .agg(sum($"cosr").as("sum_b"))
+      val scored = pairs.join(broadcast(fwd), Seq("src_id"))
+        .join(bwd, Seq("tgt_id"))
+        .select($"src_id", $"tgt_id", $"cosr",
+          round($"cosr".cast("double") * (2 * k) /
+            ($"sum_f" + $"sum_b").cast("double"), 6).as("margin"))
+      val wbest = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src_id").orderBy($"margin".desc, $"tgt_id".asc)
+      scored.withColumn("rk", row_number().over(wbest)).filter($"rk" === 1)
+        .select($"src_id", $"tgt_id", $"cosr".cast("double").as("cosine"),
+          $"margin", ($"margin" >= 1.0).as("accepted"))
+        .orderBy($"src_id")
+    },
+    Some(s"""
+      WITH $compSql,
+      parts AS (
+        SELECT a.id AS src_id, b.id AS tgt_id, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM comp a JOIN comp b ON a.i = b.i
+        WHERE a.id % 2 = 0 AND a.id < 40 AND b.id % 2 = 1),
+      pairs AS (
+        SELECT src_id, tgt_id,
+               CAST(round($cosSql, 6) AS DECIMAL(9,6)) AS cosr
+        FROM parts GROUP BY src_id, tgt_id),
+      fwd AS (
+        SELECT src_id, SUM(cosr) AS sum_f FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                      ORDER BY cosr DESC, tgt_id) AS rf
+          FROM pairs) WHERE rf <= 4 GROUP BY src_id),
+      bwd AS (
+        SELECT tgt_id, SUM(cosr) AS sum_b FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                      ORDER BY cosr DESC, src_id) AS rb
+          FROM pairs) WHERE rb <= 4 GROUP BY tgt_id),
+      scored AS (
+        SELECT p.src_id, p.tgt_id, p.cosr,
+               round(CAST(p.cosr AS DOUBLE) * 8 /
+                 CAST(f.sum_f + b.sum_b AS DOUBLE), 6) AS margin
+        FROM pairs p JOIN fwd f ON p.src_id = f.src_id
+        JOIN bwd b ON p.tgt_id = b.tgt_id),
+      best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS rk
+        FROM scored)
+      SELECT src_id, tgt_id, CAST(cosr AS DOUBLE) AS cosine, margin,
+             margin >= 1.0 AS accepted
+      FROM best WHERE rk = 1 ORDER BY src_id"""))
+
   def queries: Seq[Q] =
     Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121,
-      q162)
+      q162, q176)
 }
