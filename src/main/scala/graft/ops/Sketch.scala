@@ -124,4 +124,93 @@ object Sketch {
       .agg(min(coalesce(col("__cms_cnt"), lit(0L))).as("est"))
       .drop("__cms_rid")
   }
+
+  /** HyperLogLog (Flajolet et al. '07) with a PINNED register layout —
+    * the fixed-size sibling of KMV. Built-in HLL implementations have
+    * implementation-defined register layouts (why KMV was chosen for
+    * q74); pinning the layout ourselves restores every property KMV
+    * has — deterministic, cross-engine checkable, partition-invariant —
+    * while adding the one KMV lacks: CONSTANT state (m registers,
+    * byte-sized) whose merge is an elementwise MAX, so sketches built
+    * per group/shard/day union into coarser rollups without re-touching
+    * data (the q177 '__all__' row is exactly that register merge).
+    *
+    * Layout (m = 64): h = [[TextOps.h64]] (60 bits); register index
+    * b = h mod 64 (low 6 bits); w = h div 64 (the remaining 54 bits);
+    * rho = 55 − ⌊log2 w⌋ − 1 ... computed exactly as
+    * `55 − length(bin(w))` (w = 0 → 55: all-zeros suffix). Registers
+    * are MAX(rho) per (key, b) — order-free, mergeable.
+    *
+    * Estimator: alpha_64·m²/Σ2^−M_j with alpha_64 = 0.709; the sum is
+    * EXACT — Σ2^(55−M_j) as a 64-bit integer (≤ 64·2^54 < 2^61),
+    * scaled back by 2^55 in one double division. Small-range (raw ≤
+    * 2.5m, empty registers present) switches to linear counting
+    * m·ln(m/V) — the only transcendental, reported under the repo's
+    * 6-decimal convention. */
+  def hllRegisters(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("key"), TextOps.h64(value).as("h")).distinct()
+      .select(col("key"), (col("h") % 64).as("b"), expr("h div 64").as("w"))
+      .select(col("key"), col("b"),
+        when(col("w") === 0, lit(55))
+          .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("key"), col("b")).agg(max(col("rho")).as("mreg"))
+
+  /** Estimate from a (key, b, mreg) register table (sparse — absent
+    * registers are zero). Output: (key, est_distinct: double). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val spine = regs.select(col("key")).distinct()
+      .select(col("key"), explode(expr("sequence(0, 63)")).as("b"))
+    val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      col("s").cast("double")
+    spine.join(regs, Seq("key", "b"), "left")
+      .select(col("key"), coalesce(col("mreg"), lit(0)).as("mreg"))
+      .groupBy(col("key"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - mreg)")).as("s"),
+        sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v"))
+      .select(col("key"),
+        round(when(raw <= 160.0 && col("v") > 0,
+            lit(64.0) * log(lit(64.0) / col("v").cast("double")))
+          .otherwise(raw), 6).as("est_distinct"))
+  }
+
+  /** DuckDB twin of [[hllRegisters]] ∘ [[hllEstimate]] plus the
+    * '__all__' register-merge rollup: SQL CTE block (no trailing
+    * SELECT) defining `hll_est(key, est_distinct)` from `fromClause`
+    * rows hashing `valueExpr` per `keyExpr`. */
+  def hllSql(fromClause: String, keyExpr: String, valueExpr: String): String = s"""
+    hll_hv AS (
+      SELECT DISTINCT $keyExpr AS key, ${TextOps.h64Sql(valueExpr)} AS h
+      FROM $fromClause),
+    hll_reg AS (
+      SELECT key, h % 64 AS b,
+        MAX(CASE WHEN h // 64 = 0 THEN 55
+                 ELSE 55 - length(bin(h // 64)) END) AS mreg
+      FROM hll_hv GROUP BY key, h % 64),
+    hll_regs AS (
+      SELECT * FROM hll_reg
+      UNION ALL
+      SELECT '__all__' AS key, b, MAX(mreg) FROM hll_reg GROUP BY b),
+    hll_spine AS (
+      SELECT k.key, gs.b
+      FROM (SELECT DISTINCT key FROM hll_regs) k
+      CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+    hll_full AS (
+      SELECT s.key, COALESCE(r.mreg, 0) AS mreg
+      FROM hll_spine s LEFT JOIN hll_regs r
+        ON s.key = r.key AND s.b = r.b),
+    hll_sums AS (
+      SELECT key, SUM(CAST(1 AS BIGINT) << (55 - mreg)) AS s,
+        SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v
+      FROM hll_full GROUP BY key),
+    hll_est AS (
+      SELECT key,
+        CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+               * CAST(36028797018963968.0 AS DOUBLE) / CAST(s AS DOUBLE)
+               <= 160.0 AND v > 0
+             THEN round(CAST(64.0 AS DOUBLE)
+               * ln(CAST(64.0 AS DOUBLE) / CAST(v AS DOUBLE)), 6)
+             ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+               * CAST(36028797018963968.0 AS DOUBLE) / CAST(s AS DOUBLE), 6)
+        END AS est_distinct
+      FROM hll_sums)"""
 }

@@ -33,7 +33,9 @@ object ScaleQueries extends QueryGroup {
   /** Distinct tokens per source by KMV bottom-64 sketch: k hashes per
     * group answer the distinct count within ~1/√k, deterministically —
     * the DuckDB oracle runs the identical estimator and matches
-    * bit-for-bit, which no RNG- or HLL-register-based sketch allows. */
+    * bit-for-bit, which no RNG-seeded or implementation-defined HLL
+    * built-in allows (q177 gets the same guarantee from HLL by pinning
+    * the register layout itself). */
   private val q74 = Q(
     "q74_kmv_distinct",
     (s, dir) => {
@@ -161,5 +163,59 @@ object ScaleQueries extends QueryGroup {
                % 1000000007) AS BIGINT) AS membership
       FROM ranked GROUP BY 1 ORDER BY shard"""))
 
-  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132)
+  /** Distinct tokens per source by pinned-layout HyperLogLog (the
+    * fixed-state sibling of q74's KMV), PLUS the rollup KMV cannot do
+    * without re-touching data: the '__all__' row is the elementwise
+    * MAX-merge of the per-source registers — the whole-corpus estimate
+    * from 64 bytes per source. Registers, estimator and linear-counting
+    * correction are all specified (ops/Sketch), so the DuckDB oracle
+    * reproduces the estimate bit-for-bit; each row also carries the
+    * exact distinct count and the sketch's relative error — at m = 64
+    * the theoretical RSE is 1.04/√64 ≈ 13%. Counted values are TRIGRAM
+    * shingles: the synthetic corpus's word vocabulary (~31 types) never
+    * leaves the linear-counting regime, while its thousands of distinct
+    * trigrams exercise the raw harmonic-mean estimator as well. */
+  private val q177 = Q(
+    "q177_hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables(s, dir, "documents")
+        .select($"source", TextOps.tokens($"text").as("ts"))
+        .select($"source", explode(TextOps.shingles("ts", 3)).as("token"))
+      val reg = Sketch.hllRegisters(tok, $"source", $"token")
+      val regs = reg.unionByName(
+        reg.groupBy($"b").agg(max($"mreg").as("mreg"))
+          .select(lit("__all__").as("key"), $"b", $"mreg"))
+      val exact = tok.groupBy($"source".as("key"))
+        .agg(countDistinct($"token").as("exact_distinct"))
+        .unionByName(tok.agg(countDistinct($"token").as("exact_distinct"))
+          .select(lit("__all__").as("key"), $"exact_distinct"))
+      Sketch.hllEstimate(regs).join(exact, Seq("key"))
+        .select($"key", $"est_distinct", $"exact_distinct",
+          round(($"est_distinct" - $"exact_distinct".cast("double")) /
+            $"exact_distinct".cast("double"), 6).as("rel_err"))
+        .orderBy($"key")
+    },
+    Some {
+      val from = """(
+        SELECT source, array_to_string(ts[i:i+2], ' ') AS token
+        FROM (SELECT source, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents), LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 2)) AS i) s
+        WHERE len(ts) >= 3) tok"""
+      s"""WITH ${Sketch.hllSql(from, "source", "token")},
+        ex AS (
+          SELECT source AS key, CAST(COUNT(DISTINCT token) AS BIGINT)
+            AS exact_distinct
+          FROM $from GROUP BY source
+          UNION ALL
+          SELECT '__all__', CAST(COUNT(DISTINCT token) AS BIGINT)
+          FROM $from)
+        SELECT e.key, e.est_distinct, x.exact_distinct,
+          round((e.est_distinct - CAST(x.exact_distinct AS DOUBLE)) /
+            CAST(x.exact_distinct AS DOUBLE), 6) AS rel_err
+        FROM hll_est e JOIN ex x ON e.key = x.key ORDER BY e.key"""
+    })
+
+  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132, q177)
 }

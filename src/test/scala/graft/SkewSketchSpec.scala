@@ -189,4 +189,33 @@ class SkewSketchSpec extends SparkSpec {
       .select($"id").as[String].collect().toSet
     assert(eq == byHash)
   }
+
+  test("hll: accuracy in both regimes, partition invariance, max-merge law") {
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(vals, $"key", $"v"))
+      .as[(String, Double)].collect().toMap
+    // raw harmonic-mean regime (1000 distinct ≫ 2.5m): within 4× the
+    // 1.04/√64 theoretical RSE — a fixed-hash instance, not an average
+    assert(math.abs(est("big") - 1000.0) / 1000.0 < 4 * 1.04 / 8,
+      s"big ${est("big")}")
+    // linear-counting regime (20 distinct < 2.5m)
+    assert(math.abs(est("small") - 20.0) / 20.0 < 0.25, s"small ${est("small")}")
+
+    val a = Sketch.hllEstimate(Sketch.hllRegisters(
+        vals.repartition(3), $"key", $"v"))
+      .orderBy($"key").as[(String, Double)].collect().toSeq
+    val b = Sketch.hllEstimate(Sketch.hllRegisters(
+        vals.repartition(29), $"key", $"v"))
+      .orderBy($"key").as[(String, Double)].collect().toSeq
+    assert(a == b)
+
+    // merge law: MAX-merging per-key registers IS the union's sketch
+    val regs = Sketch.hllRegisters(vals, $"key", $"v")
+    val merged = regs.groupBy($"b").agg(max($"mreg").as("mreg"))
+      .select(lit("u").as("key"), $"b", $"mreg")
+    val direct = Sketch.hllRegisters(
+      vals.select(lit("u").as("key"), $"v"), $"key", $"v")
+    val me = Sketch.hllEstimate(merged).as[(String, Double)].collect().head._2
+    val de = Sketch.hllEstimate(direct).as[(String, Double)].collect().head._2
+    assert(me == de)
+  }
 }
