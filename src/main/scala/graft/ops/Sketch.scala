@@ -155,6 +155,29 @@ object Sketch {
           .otherwise(lit(55) - length(bin(col("w")))).as("rho"))
       .groupBy(col("key"), col("b")).agg(max(col("rho")).as("mreg"))
 
+  /** Register index and rho for one h64 hash — the layout contract
+    * shared by the batch Column path and the streaming state path. */
+  private[graft] def hllBucketRho(h: Long): (Int, Int) = {
+    val w = h / 64
+    ((h % 64).toInt,
+      if (w == 0) 55 else 55 - java.lang.Long.toBinaryString(w).length)
+  }
+
+  /** The estimator on a dense m=64 register array — the batch SQL
+    * arithmetic replayed op-for-op (same literals, same left-assoc
+    * order, same HALF_UP 6-round as Spark's `round`) so the streaming
+    * twin ([[graft.streaming.StreamHll]]) is bit-parity with
+    * [[hllEstimate]]. */
+  private[graft] def estimateFromHllRegisters(regs: Seq[Int]): Double = {
+    val s = regs.iterator.map(m => 1L << (55 - m)).sum
+    val v = regs.count(_ == 0)
+    val raw = 0.709 * 4096.0 * 3.6028797018963968e16 / s.toDouble
+    val e =
+      if (raw <= 160.0 && v > 0) 64.0 * math.log(64.0 / v.toDouble) else raw
+    BigDecimal(java.math.BigDecimal.valueOf(e))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Estimate from a (key, b, mreg) register table (sparse — absent
     * registers are zero). Output: (key, est_distinct: double). */
   def hllEstimate(regs: DataFrame): DataFrame = {
