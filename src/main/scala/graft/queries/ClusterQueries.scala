@@ -657,6 +657,83 @@ object ClusterQueries extends QueryGroup {
              ELSE 'candidate' END AS verdict
       FROM fused ORDER BY d1, d2"""))
 
+  /** Prototype-distance data pruning (Sorscher et al. '22 "Beyond
+    * neural scaling laws" SSL-prototypes; the pruning half of D4 next
+    * to q107's SemDeDup): train prototypes (one Lloyd round over the
+    * q146 machinery), assign every vector to its nearest prototype,
+    * and within each cell KEEP THE HARDEST examples — lowest prototype
+    * cosine, the ones dense regions over-represent — dropping the
+    * easy near-prototype redundancy. Keep rule: hardness rank ≤
+    * ⌈cell/2⌉ (rank by exact cosine asc, id asc — totally ordered, so
+    * the kept set is deterministic). One extra window over the q147
+    * assignment — the pruning signal costs nothing beyond the trained
+    * index itself. */
+  private val q178 = Q(
+    "q178_prototype_prune",
+    (s, dir) => {
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val all = Similarity.withNorms(Tables.spread(s, dir, "embeddings"),
+        $"vec_id", $"embedding")
+      val seeds = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val trained = Similarity.lloydCentroids(all, seeds, iters = 1)
+      val assign = Similarity.ivfAssign(all, trained)
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cid").orderBy($"ccos".asc, $"id".asc)
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy($"cid")
+      assign
+        .withColumn("rank_hard", row_number().over(wh).cast("long"))
+        .withColumn("cell_n", count(lit(1)).over(wc))
+        .select($"id".as("vec_id"), $"cid", round($"ccos", 6).as("proto_cos"),
+          $"rank_hard", $"cell_n",
+          ($"rank_hard" <= expr("(cell_n + 1) div 2")).as("kept"))
+        .orderBy($"vec_id")
+    },
+    Some(s"""
+      WITH $compSql,
+      c1parts AS (
+        SELECT v.id AS id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      ccos1 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c1parts GROUP BY id, cid),
+      assign1 AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos1) WHERE rn = 1),
+      m1 AS (
+        SELECT a.cid, m.i, ${graft.ops.Exact.sqlAvg("m.e")} AS m
+        FROM assign1 a JOIN comp m ON a.id = m.id
+        GROUP BY a.cid, m.i),
+      seeds0 AS (SELECT id AS cid, i, e FROM comp WHERE id < 16),
+      cents1 AS (
+        SELECT s.cid, s.i, COALESCE(m1.m, s.e) AS m
+        FROM seeds0 s LEFT JOIN m1 ON s.cid = m1.cid AND s.i = m1.i),
+      c2parts AS (
+        SELECT v.id AS id, c.cid AS cid, v.e * c.m AS p,
+               v.e * v.e AS a2, c.m * c.m AS b2
+        FROM comp v JOIN cents1 c ON v.i = c.i),
+      ccos2 AS (SELECT id, cid, $cosSql AS ccos
+                FROM c2parts GROUP BY id, cid),
+      assign2 AS (
+        SELECT id, cid, ccos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                      ORDER BY ccos DESC, cid) AS rn
+          FROM ccos2) WHERE rn = 1),
+      ranked AS (
+        SELECT id, cid, ccos,
+          ROW_NUMBER() OVER (PARTITION BY cid
+            ORDER BY ccos ASC, id) AS rank_hard,
+          CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n
+        FROM assign2)
+      SELECT id AS vec_id, cid, round(ccos, 6) AS proto_cos,
+        CAST(rank_hard AS BIGINT) AS rank_hard, cell_n,
+        rank_hard <= (cell_n + 1) // 2 AS kept
+      FROM ranked ORDER BY vec_id"""))
+
   def queries: Seq[Q] =
-    Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165, q174)
+    Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165, q174, q178)
 }
