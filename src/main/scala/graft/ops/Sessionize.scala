@@ -21,15 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Input columns: `user` id, `ts` event timestamp, `id` unique
-    * tie-break, `value` payload to sum. Output: one row per (user_id,
-    * session_id) with n_events, t0/t1 timestamps and the decimal-exact
-    * session_value. */
-  def sessions(df: DataFrame, user: Column, ts: Column, id: Column,
-      value: Column, gapSeconds: Long): DataFrame = {
+  /** Per-event session assignment: the input rows plus a `session_id`
+    * column (running count of gap-opened sessions per user). The
+    * shared first stage of [[sessions]] and of any analysis that needs
+    * the events themselves (q179 mines paths from them). */
+  def withSessionIds(df: DataFrame, user: Column, ts: Column, id: Column,
+      gapSeconds: Long): DataFrame = {
     val wOrd = Window.partitionBy(user).orderBy(ts, id)
-    val ev = df
-      .withColumn("__prev_us", lag(TimeEnc.usOf(ts), 1).over(wOrd))
+    df.withColumn("__prev_us", lag(TimeEnc.usOf(ts), 1).over(wOrd))
       .withColumn("__new",
         when(col("__prev_us").isNull ||
           TimeEnc.usOf(ts) - col("__prev_us") > gapSeconds * 1000000L, 1L)
@@ -37,9 +36,18 @@ object Sessionize {
       .withColumn("session_id",
         sum(col("__new")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ev.groupBy(user.as("user_id"), col("session_id"))
+      .drop("__prev_us", "__new")
+  }
+
+  /** Input columns: `user` id, `ts` event timestamp, `id` unique
+    * tie-break, `value` payload to sum. Output: one row per (user_id,
+    * session_id) with n_events, t0/t1 timestamps and the decimal-exact
+    * session_value. */
+  def sessions(df: DataFrame, user: Column, ts: Column, id: Column,
+      value: Column, gapSeconds: Long): DataFrame =
+    withSessionIds(df, user, ts, id, gapSeconds)
+      .groupBy(user.as("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(ts).as("t0"), max(ts).as("t1"),
         Exact.dsum(value).as("session_value"))
-  }
 }

@@ -404,6 +404,66 @@ object AnalyticsQueries extends QueryGroup {
         MAX(nr) AS n_ref, MAX(nc) AS n_cur
       FROM terms GROUP BY event_type ORDER BY event_type"""))
 
+  /** Frequent session paths (sequential-pattern mining, the contiguous
+    * length-3 cut of PrefixSpan): sessionize (q65's gap rule, via the
+    * shared Sessionize.withSessionIds stage), rebuild each session's
+    * chronologically-ordered event-type sequence, and count the
+    * SESSION SUPPORT of every contiguous type trigram (a session
+    * counts once however often it repeats the path). Top 20 by
+    * (support desc, path asc) — a total order, so the cut is
+    * deterministic; the top-k is TakeOrderedAndProject, no global
+    * sort. One user_id shuffle (sessionize + sequence rebuild share
+    * it) and one path-keyed count. */
+  private val q179 = Q(
+    "q179_session_paths",
+    (s, dir) => {
+      import s.implicits._
+      val ev = graft.ops.Sessionize.withSessionIds(
+        Tables(s, dir, "events"),
+        $"user_id", $"ts", $"event_id", gapSeconds = 1800L)
+      val seqs = ev.groupBy($"user_id", $"session_id")
+        .agg(array_sort(
+          collect_list(struct($"ts", $"event_id", $"event_type"))).as("evs"))
+        .select($"user_id", $"session_id",
+          expr("transform(evs, x -> x.event_type)").as("types"))
+      seqs.select($"user_id", $"session_id",
+          explode(graft.ops.TextOps.shingles("types", 3)).as("path"))
+        .distinct()
+        .groupBy($"path").agg(count(lit(1)).as("support"))
+        .orderBy($"support".desc, $"path".asc)
+        .limit(20)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, ts, event_type,
+          LAG(epoch_us(ts)) OVER w AS prev_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *, CASE WHEN prev_us IS NULL
+                         OR epoch_us(ts) - prev_us > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      sess AS (
+        SELECT *, CAST(SUM(new_session) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
+        FROM flagged),
+      seqs AS (
+        SELECT user_id, session_id,
+          list(event_type ORDER BY ts, event_id) AS types
+        FROM sess GROUP BY user_id, session_id),
+      tri AS (
+        SELECT DISTINCT user_id, session_id,
+          array_to_string(types[i:i+2], ' ') AS path
+        FROM seqs, LATERAL (
+          SELECT unnest(generate_series(1, len(types) - 2)) AS i) s
+        WHERE len(types) >= 3)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS support
+      FROM tri GROUP BY path
+      ORDER BY support DESC, path LIMIT 20"""))
+
   def queries: Seq[Q] =
-    Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159)
+    Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159, q179)
 }
