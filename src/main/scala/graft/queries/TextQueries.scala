@@ -883,8 +883,83 @@ object TextQueries extends QueryGroup {
           AS similarity
       FROM pairs WHERE edit_dist <= 10 ORDER BY d1, d2"""))
 
+  /** b-bit minhash (Li & König '10): store only the LOW b = 4 bits of
+    * each minhash — a 15× signature compression (60-bit → 4-bit per
+    * permutation), the difference between shipping signatures and
+    * shipping sketches at 100 TB. Equal minhashes always collide in
+    * their low bits; unequal ones collide with probability ≈ 2^−b, so
+    * the match fraction m is debiased by the collision floor:
+    * Ĵ = (m − 2^−b) / (1 − 2^−b). Candidates still come from the
+    * banded LSH join (never all-pairs); each pair reports the b-bit
+    * estimate next to the full-width one — the accuracy cost of the
+    * compression, measured per pair. All values are ratios of exact
+    * integer counts through one fixed double formula. */
+  private val q180 = Q(
+    "q180_bbit_minhash",
+    (s, dir) => {
+      import s.implicits._
+      val k = 24
+      val sh = docs(s, dir)
+        .withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id", explode(TextOps.shingles("ts", 3)).as("s"))
+        .distinct()
+      val mh = TextOps.minhash(sh, $"doc_id", $"s", k = k)
+      val cands = TextOps.lshCandidates(mh, r = 4)
+      val mhb = mh.select($"doc", $"j", $"h", ($"h" % 16).as("hb"))
+      cands
+        .join(mhb.select($"doc".as("d1"), $"j", $"h".as("ha"), $"hb".as("ba")),
+          Seq("d1"))
+        .join(mhb.select($"doc".as("d2"), $"j", $"h".as("hf"), $"hb".as("bb")),
+          Seq("d2", "j"))
+        .groupBy($"d1", $"d2")
+        .agg(sum(when($"ha" === $"hf", 1L).otherwise(0L)).as("full_matches"),
+          sum(when($"ba" === $"bb", 1L).otherwise(0L)).as("b_matches"))
+        .select($"d1", $"d2", $"full_matches", $"b_matches",
+          round($"full_matches".cast("double") / k, 6).as("est_full"),
+          round(($"b_matches".cast("double") / k - 0.0625) / 0.9375, 6)
+            .as("est_b4"))
+        .orderBy($"d1", $"d2")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ts) - 2),
+          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+        FROM t),
+      hashes AS (
+        SELECT doc_id AS doc, ${TextOps.h64Sql("s")} AS h1,
+               ${TextOps.h64bSql("s")} % 1000000007 AS h2
+        FROM sh),
+      mh AS (
+        SELECT doc, j, MIN(h1 + j * h2) AS h
+        FROM hashes, (SELECT unnest(generate_series(0, 23)) AS j) seeds
+        GROUP BY doc, j),
+      bands AS (
+        SELECT doc, CAST(j // 4 AS INT) AS band, SUM(h) AS sig
+        FROM mh GROUP BY 1, 2),
+      cands AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc),
+      cmp AS (
+        SELECT d1, d2,
+          CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT)
+            AS full_matches,
+          CAST(SUM(CASE WHEN ma.h % 16 = mb.h % 16 THEN 1 ELSE 0 END)
+            AS BIGINT) AS b_matches
+        FROM cands
+        JOIN mh ma ON d1 = ma.doc
+        JOIN mh mb ON d2 = mb.doc AND ma.j = mb.j
+        GROUP BY d1, d2)
+      SELECT d1, d2, full_matches, b_matches,
+        round(CAST(full_matches AS DOUBLE) / 24, 6) AS est_full,
+        round((CAST(b_matches AS DOUBLE) / 24 - 0.0625) / 0.9375, 6)
+          AS est_b4
+      FROM cmp ORDER BY d1, d2"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175)
+      q172, q175, q180)
 }
