@@ -898,6 +898,51 @@ object TextOps {
           .otherwise("kept"))
   }
 
+  /** Row-level twin of [[gopherRules]] for streaming admission: the
+    * same five statistics and the same first-failing-rule decision,
+    * computed inside one Column expression over the document's own
+    * token array — no explode, no shuffle, no state, so a streaming
+    * gate scores each arriving doc within its micro-batch. Values are
+    * identical to the batch aggregation (the batch path's decimal-
+    * exact char sum is an integer sum of token lengths, replayed here
+    * in long arithmetic; StreamGopherSpec pins the parity). */
+  def gopherRulesRow(df: DataFrame, doc: Column, text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and",
+        "that", "have", "with")): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    df.select(doc.as("doc"), tokens(text).as("__ts"))
+      .withColumn("__stops", stopArr)
+      .select(col("doc"),
+        size(col("__ts")).cast("long").as("n_words"),
+        expr("aggregate(__ts, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
+          .as("__chars"),
+        size(expr("filter(__ts, t -> instr(t, '#') > 0 " +
+          "OR instr(t, '...') > 0)")).cast("long").as("__sym"),
+        size(expr("filter(__ts, t -> t RLIKE '[A-Za-z]')")).cast("long")
+          .as("__alpha"),
+        size(array_distinct(expr(
+          "filter(transform(__ts, t -> lower(t)), t -> array_contains(__stops, t))")))
+          .cast("long").as("n_stop_hits"))
+      .select(col("doc"), col("n_words"),
+        (col("__chars").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        (col("__sym").cast("double") / col("n_words").cast("double"))
+          .as("symbol_ratio"),
+        (col("__alpha").cast("double") / col("n_words").cast("double"))
+          .as("alpha_frac"),
+        col("n_stop_hits"))
+      .withColumn("decision",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          "word_count")
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+            "mean_word_length")
+          .when(col("symbol_ratio") > 0.1, "symbol_ratio")
+          .when(col("alpha_frac") < 0.8, "alpha_fraction")
+          .when(col("n_stop_hits") < 2, "stopwords")
+          .otherwise("kept"))
+  }
+
   /** DuckDB twin of [[gopherRules]]: CTE chain over `table` ending in
     * `gopher(doc, n_words, mean_word_len, symbol_ratio, alpha_frac,
     * n_stop_hits, decision)`. */
