@@ -958,8 +958,69 @@ object TextQueries extends QueryGroup {
           AS est_b4
       FROM cmp ORDER BY d1, d2"""))
 
+  /** Per-document token-entropy audit: Shannon entropy of each doc's
+    * own token distribution, H = −Σ pᵢ ln pᵢ, plus the normalized
+    * H / ln(n_distinct) in [0, 1] — the scale-free repetitiveness
+    * signal (a doc that cycles three phrases scores near 0 however
+    * long it is; q78's dup_frac counts repeats, entropy weighs their
+    * CONCENTRATION). Each −p·ln p term is rounded to 6 decimals and
+    * the sum is decimal-exact (the q163 transcendental convention), so
+    * both engines agree bit-for-bit. Two cascaded map-side-combined
+    * groupBys — the q78 shuffle shape. */
+  private val q181 = Q(
+    "q181_token_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val cnt = docs(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"))
+      val p = $"c".cast("double") / $"n".cast("double")
+      cnt.join(tot, Seq("doc_id"))
+        .select($"doc_id", $"n", $"n_distinct",
+          // + 0.0 canonicalizes the -0.0 a single-token doc's p = 1
+          // term produces (IEEE: -0.0 + 0.0 = +0.0), identically in SQL
+          round(-p * log(p) + 0.0, 6).as("term"))
+        .groupBy($"doc_id")
+        .agg(max($"n").as("n_tokens"), max($"n_distinct").as("n_distinct"),
+          graft.ops.Exact.dsum($"term").as("entropy"))
+        .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy",
+          when($"n_distinct" > 1,
+            round($"entropy" /
+              round(log($"n_distinct".cast("double")), 6), 6))
+            .otherwise(0.0).as("norm_entropy"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents),
+      cnt AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, token),
+      tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM cnt GROUP BY doc_id),
+      terms AS (
+        SELECT cnt.doc_id, n, n_distinct,
+          round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+            ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) + 0.0, 6) AS term
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id),
+      ent AS (
+        SELECT doc_id, MAX(n) AS n_tokens, MAX(n_distinct) AS n_distinct,
+          ${graft.ops.Exact.sqlSum("term")} AS entropy
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct, entropy,
+        CASE WHEN n_distinct > 1
+             THEN round(entropy /
+               round(ln(CAST(n_distinct AS DOUBLE)), 6), 6)
+             ELSE 0.0 END AS norm_entropy
+      FROM ent ORDER BY doc_id"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175, q180)
+      q172, q175, q180, q181)
 }
