@@ -1019,8 +1019,121 @@ object TextQueries extends QueryGroup {
              ELSE 0.0 END AS norm_entropy
       FROM ent ORDER BY doc_id"""))
 
+  /** EXACT similarity join by prefix filtering (Bayardo et al. '07
+    * All-Pairs / Xiao et al. '08 PPJoin): unlike MinHash-LSH (q47 —
+    * probabilistic, can miss pairs), prefix filtering finds EVERY pair
+    * with Jaccard ≥ t and still never goes all-pairs. Tokens are
+    * globally ordered rarest-first (df asc, token asc — total order);
+    * a doc of z distinct tokens exposes only its first
+    * z − ⌈t·z⌉ + 1 tokens as join keys (two docs sharing NO prefix
+    * token cannot reach t), so the candidate join is an equi-join on
+    * RARE tokens — the frequent-token quadratic blowup is excluded by
+    * construction, the opposite of a hot-band problem. Candidates then
+    * pass the length filter (t·max ≤ min) and the exact-intersection
+    * verify. Every threshold comparison is integer arithmetic
+    * (⌈0.8z⌉ = (4z+4) div 5; J ≥ 0.8 ⟺ 5i ≥ 4(za+zb−i)), so the
+    * float never decides membership on either engine.
+    *
+    * Two output-size guards, both semantic rather than lossy-within-
+    * scope: (1) exact-duplicate groups collapse FIRST (content-hash →
+    * representative + copy count; each emitted pair carries n_pairs =
+    * n₁·n₂ original-pair multiplicity); (2) the join is scoped to a
+    * PER-SOURCE work unit — the sharding production similarity joins
+    * run under anyway — because a near-identical clique of m docs has
+    * m²/2 TRUE pairs no candidate filter may drop (completeness is
+    * the operator's contract; within the unit nothing is missed, and
+    * cross-source near-dups remain the q47/q139 LSH family's job). */
+  private val q182 = Q(
+    "q182_prefix_filter_join",
+    (s, dir) => {
+      import s.implicits._
+      val hashed = docs(s, dir)
+        .select($"doc_id", $"text", $"source",
+          md5($"text".cast("binary")).as("ch"))
+      val reps = hashed.groupBy($"ch")
+        .agg(min($"doc_id").as("doc"), count(lit(1)).as("n_copies"))
+      val repsSlim = reps.select($"doc", $"n_copies")
+      val rdocs = hashed.join(repsSlim, hashed("doc_id") === repsSlim("doc"))
+      val tok = rdocs
+        .select($"doc", $"source".as("src"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc").orderBy($"df".asc, $"token".asc)
+      val wSz = org.apache.spark.sql.expressions.Window.partitionBy($"doc")
+      val ranked = tok.join(dfreq, Seq("token"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("sz", count(lit(1)).over(wSz))
+      val pref = ranked
+        .filter($"rn" <= $"sz" - expr("(4 * sz + 4) div 5") + 1)
+        .select($"token", $"doc", $"src", $"sz")
+      val cands = pref.as("a").join(pref.as("b"),
+          $"a.token" === $"b.token" && $"a.src" === $"b.src" &&
+            $"a.doc" < $"b.doc" &&
+            lit(4) * greatest($"a.sz", $"b.sz") <=
+              lit(5) * least($"a.sz", $"b.sz"))
+        .select($"a.doc".as("d1"), $"b.doc".as("d2"),
+          $"a.sz".as("za"), $"b.sz".as("zb"))
+        .distinct()
+      val copies = reps.select($"doc", $"n_copies")
+      cands
+        .join(tok.select($"doc".as("d1"), $"token"), Seq("d1"))
+        .join(tok.select($"doc".as("d2"), $"token"), Seq("d2", "token"))
+        .groupBy($"d1", $"d2", $"za", $"zb")
+        .agg(count(lit(1)).as("i"))
+        .filter(lit(5) * $"i" >= lit(4) * ($"za" + $"zb" - $"i"))
+        .join(copies.select($"doc".as("d1"), $"n_copies".as("n1")), Seq("d1"))
+        .join(copies.select($"doc".as("d2"), $"n_copies".as("n2")), Seq("d2"))
+        .select($"d1", $"d2", $"i",
+          ($"i".cast("double") / ($"za" + $"zb" - $"i").cast("double"))
+            .as("jaccard"),
+          ($"n1" * $"n2").as("n_pairs"))
+        .orderBy($"d1", $"d2")
+    },
+    Some("""
+      WITH reps AS (
+        SELECT MIN(doc_id) AS doc, CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)),
+      rdocs AS (
+        SELECT r.doc, r.n_copies, d.text, d.source AS src
+        FROM reps r JOIN documents d ON d.doc_id = r.doc),
+      tok AS (
+        SELECT DISTINCT doc, src,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM rdocs),
+      dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token),
+      ranked AS (
+        SELECT t.doc, t.src, t.token,
+          ROW_NUMBER() OVER (PARTITION BY t.doc
+            ORDER BY f.df, t.token) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY t.doc) AS BIGINT) AS sz
+        FROM tok t JOIN dfreq f ON t.token = f.token),
+      pref AS (
+        SELECT token, doc, src, sz FROM ranked
+        WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+      cands AS (
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2, a.sz AS za, b.sz AS zb
+        FROM pref a JOIN pref b
+          ON a.token = b.token AND a.src = b.src AND a.doc < b.doc
+          AND 4 * GREATEST(a.sz, b.sz) <= 5 * LEAST(a.sz, b.sz)),
+      inter AS (
+        SELECT c.d1, c.d2, c.za, c.zb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cands c
+        JOIN tok ta ON ta.doc = c.d1
+        JOIN tok tb ON tb.doc = c.d2 AND ta.token = tb.token
+        GROUP BY c.d1, c.d2, c.za, c.zb)
+      SELECT i.d1, i.d2, i.i,
+        CAST(i.i AS DOUBLE) / CAST(i.za + i.zb - i.i AS DOUBLE) AS jaccard,
+        r1.n_copies * r2.n_copies AS n_pairs
+      FROM inter i
+      JOIN reps r1 ON r1.doc = i.d1
+      JOIN reps r2 ON r2.doc = i.d2
+      WHERE 5 * i.i >= 4 * (i.za + i.zb - i.i)
+      ORDER BY i.d1, i.d2"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175, q180, q181)
+      q172, q175, q180, q181, q182)
 }
