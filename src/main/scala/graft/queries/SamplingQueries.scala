@@ -408,7 +408,82 @@ object SamplingQueries extends QueryGroup {
       ${Sampling.doremiSql(eta = 1.0, smooth = 0.2)}
       SELECT * FROM doremi ORDER BY domain"""))
 
+  /** Neyman optimal stratified allocation (Neyman '34 / Cochran):
+    * split a fixed audit budget of N = 1000 docs across sources
+    * ∝ N_h·σ_h — big AND internally-varied strata get the samples;
+    * a uniform or size-proportional split wastes budget on
+    * homogeneous strata (this is how a QA pass over a 100 TB corpus
+    * should spend its annotation budget). Per-stratum σ comes from
+    * exact 64-bit integer power sums (n·Σx² − (Σx)² stays within
+    * 2^63 for this table's magnitudes; at larger Σx² swap in the
+    * [[Exact]] decimal buffers); the only doubles are one sqrt per
+    * stratum (6-rounded), the weight products (exact-decimal-summed),
+    * and the share division. Integer seats are floor + largest-
+    * remainder (rank by remainder desc, source asc — total order), so
+    * allocations sum to N exactly on both engines. */
+  private val q183 = Q(
+    "q183_neyman_allocation",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 1000L
+      val st = Tables(s, dir, "documents")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_h"),
+          sum($"n_chars").as("sx"),
+          sum($"n_chars" * $"n_chars").as("sxx"))
+        .select($"source", $"n_h",
+          round(sqrt((($"n_h" * $"sxx" - $"sx" * $"sx")
+            .cast("double")) / ($"n_h" * $"n_h").cast("double")), 6)
+            .as("sigma"))
+        .withColumn("wt", round($"n_h".cast("double") * $"sigma", 6))
+      val tot = st.agg(Exact.dsum($"wt").as("t"))
+      val seats = st.crossJoin(broadcast(tot))
+        .withColumn("share", round($"wt" / $"t", 6))
+        .withColumn("target", $"wt" / $"t" * budget)
+        .withColumn("base", floor($"target").cast("long"))
+        .withColumn("rem", $"target" - $"base")
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy($"rem".desc, $"source".asc)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      seats
+        .withColumn("rrank", row_number().over(wRem))
+        .withColumn("deficit", lit(budget) - sum($"base").over(wAll))
+        .select($"source", $"n_h", $"sigma", $"share",
+          ($"base" + when($"rrank" <= $"deficit", 1L).otherwise(0L))
+            .as("alloc_n"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH st AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+          CAST(SUM(n_chars) AS BIGINT) AS sx,
+          CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source),
+      sig AS (
+        SELECT source, n_h,
+          round(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE) /
+            CAST(n_h * n_h AS DOUBLE)), 6) AS sigma
+        FROM st),
+      wts AS (
+        SELECT *, round(CAST(n_h AS DOUBLE) * sigma, 6) AS wt FROM sig),
+      tot AS (SELECT ${Exact.sqlSum("wt")} AS t FROM wts),
+      seats AS (
+        SELECT w.source, w.n_h, w.sigma,
+          round(w.wt / t.t, 6) AS share,
+          w.wt / t.t * 1000 AS target,
+          CAST(FLOOR(w.wt / t.t * 1000) AS BIGINT) AS base,
+          w.wt / t.t * 1000 - FLOOR(w.wt / t.t * 1000) AS rem
+        FROM wts w CROSS JOIN tot t),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
+          1000 - CAST(SUM(base) OVER () AS BIGINT) AS deficit
+        FROM seats)
+      SELECT source, n_h, sigma, share,
+        base + CASE WHEN rrank <= deficit THEN 1 ELSE 0 END AS alloc_n
+      FROM ranked ORDER BY source"""))
+
   def queries: Seq[Q] =
     Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151,
-      q167)
+      q167, q183)
 }
