@@ -464,6 +464,90 @@ object AnalyticsQueries extends QueryGroup {
       FROM tri GROUP BY path
       ORDER BY support DESC, path LIMIT 20"""))
 
+  /** Kolmogorov–Smirnov two-sample drift — the NONPARAMETRIC sibling
+    * of q159's PSI (same windows, same per-event_type grain): PSI
+    * needs binning choices; KS compares the full empirical CDFs,
+    * D = sup|F_ref − F_cur|. The supremum is attained at an observed
+    * value, so D = max over pooled distinct values of
+    * |n_cur·i − n_ref·j| / (n_ref·n_cur) with i, j the cumulative
+    * counts — an INTEGER maximum (the float never picks the argmax).
+    * One full-outer merge of the two windows' value histograms, one
+    * cumulative window, one groupBy. d_crit is the α = 0.05 large-
+    * sample threshold 1.358·√((n₁+n₂)/(n₁n₂)). */
+  private val q184 = Q(
+    "q184_ks_drift",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val rc = ev.filter($"ts" < cut).groupBy($"event_type", $"value")
+        .agg(count(lit(1)).as("cr"))
+      val cc = ev.filter($"ts" >= cut).groupBy($"event_type", $"value")
+        .agg(count(lit(1)).as("cc"))
+      val pooled = rc.join(cc, Seq("event_type", "value"), "full")
+        .select($"event_type", $"value",
+          coalesce($"cr", lit(0L)).as("cr"),
+          coalesce($"cc", lit(0L)).as("cc"))
+      val wCum = Window.partitionBy($"event_type").orderBy($"value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = pooled
+        .withColumn("i", sum($"cr").over(wCum))
+        .withColumn("j", sum($"cc").over(wCum))
+      val ns = pooled.groupBy($"event_type")
+        .agg(sum($"cr").as("n_ref"), sum($"cc").as("n_cur"))
+      cum.join(broadcast(ns), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max(abs($"n_cur" * $"i" - $"n_ref" * $"j")).as("dnum"),
+          max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"))
+        .select($"event_type", $"n_ref", $"n_cur",
+          round($"dnum".cast("double") /
+            ($"n_ref" * $"n_cur").cast("double"), 6).as("d_stat"),
+          round(lit(1.358) * sqrt(($"n_ref" + $"n_cur").cast("double") /
+            ($"n_ref" * $"n_cur").cast("double")), 6).as("d_crit"))
+        .withColumn("drifted", $"d_stat" > $"d_crit")
+        .orderBy($"event_type")
+    },
+    Some("""
+      WITH rc AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cr
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type, value),
+      cc AS (
+        SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cc
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type, value),
+      pooled AS (
+        SELECT COALESCE(rc.event_type, cc.event_type) AS event_type,
+          COALESCE(rc.value, cc.value) AS value,
+          COALESCE(cr, 0) AS cr, COALESCE(cc.cc, 0) AS cc
+        FROM rc FULL OUTER JOIN cc
+          ON rc.event_type = cc.event_type AND rc.value = cc.value),
+      cum AS (
+        SELECT event_type, value, cr, cc,
+          SUM(cr) OVER w AS i, SUM(cc) OVER w AS j
+        FROM pooled
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      ns AS (
+        SELECT event_type, CAST(SUM(cr) AS BIGINT) AS n_ref,
+          CAST(SUM(cc) AS BIGINT) AS n_cur
+        FROM pooled GROUP BY event_type),
+      dm AS (
+        SELECT c.event_type, ns.n_ref, ns.n_cur,
+          CAST(MAX(ABS(ns.n_cur * c.i - ns.n_ref * c.j)) AS BIGINT) AS dnum
+        FROM cum c JOIN ns ON c.event_type = ns.event_type
+        GROUP BY c.event_type, ns.n_ref, ns.n_cur)
+      SELECT event_type, n_ref, n_cur,
+        round(CAST(dnum AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 6)
+          AS d_stat,
+        round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+          CAST(n_ref * n_cur AS DOUBLE)), 6) AS d_crit,
+        round(CAST(dnum AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 6) >
+          round(1.358 * sqrt(CAST(n_ref + n_cur AS DOUBLE) /
+            CAST(n_ref * n_cur AS DOUBLE)), 6) AS drifted
+      FROM dm ORDER BY event_type"""))
+
   def queries: Seq[Q] =
-    Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159, q179)
+    Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159, q179,
+      q184)
 }
