@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Similarity, TextOps}
+import graft.ops.{Relational, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1029,7 +1029,158 @@ object SimilarityQueries extends QueryGroup {
              margin >= 1.0 AS accepted
       FROM best WHERE rk = 1 ORDER BY src_id"""))
 
+  /** Maximal marginal relevance (Carbonell & Goldstein '98): retrieval
+    * over a near-duplicate-ridden corpus returns k copies of the same
+    * answer; MMR re-picks greedily by λ·rel(q,d) − (1−λ)·max_sim(d,
+    * already-picked), trading relevance against redundancy — the
+    * diversity-aware cut between retrieval (q51) and dedup. Greedy is
+    * inherently sequential in k, so the loop runs over the per-query
+    * CANDIDATE frame (top-10, broadcast-sized), never the corpus: 4
+    * picks = 3 joins against a ≤ k·|q| row set. Candidate cosines and
+    * pairwise sims are exact-decimal, 6-rounded before the λ-blend, so
+    * every argmax is a total order both engines walk identically; the
+    * oracle unrolls the four picks as CTE stages. */
+  private val q185 = Q(
+    "q185_mmr_select",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val qs = all.filter($"id" < 5)
+      val cand = Similarity.bruteForceTopK(all, qs, 10)
+        .select($"id1".as("qid"), $"id2".as("doc"),
+          round($"cosine", 6).as("cosr"))
+      val cd = cand.select($"qid", $"doc")
+        .join(all.select($"id".as("doc"), $"emb", $"norm2"), Seq("doc"))
+      val ca = cd.select($"qid", $"doc".as("d1"), $"emb".as("e1"),
+        $"norm2".as("n1"))
+      val cb = cd.select($"qid", $"doc".as("d2"), $"emb".as("e2"),
+        $"norm2".as("n2"))
+      val psim = ca.join(cb, Seq("qid")).filter($"d1" =!= $"d2")
+        .select($"qid", $"d1", $"d2",
+          round(Similarity.dotExact("e1", "e2") /
+            (sqrt($"n1") * sqrt($"n2")), 6).as("sim"))
+      // λ = 0.7 as exact integer weights (7·cos − 3·maxsim)/10 over the
+      // DECIMAL(9,6) values: a double λ-blend can land exactly on a
+      // half-ulp rounding boundary where the engines' round() split
+      def blend(cos: org.apache.spark.sql.Column,
+          maxsim: org.apache.spark.sql.Column) =
+        ((lit(7) * cos.cast("decimal(9,6)") -
+          lit(3) * maxsim.cast("decimal(9,6)")).cast("double") / lit(10.0))
+      var selected = Relational.topOnePerGroup(cand,
+          Seq($"qid"), Seq($"cosr".desc, $"doc".asc))
+        .select($"qid", $"doc", lit(1L).as("pick_order"),
+          blend($"cosr", lit(0.0)).as("mmr"))
+      var remaining = cand.join(selected.select($"qid", $"doc"),
+        Seq("qid", "doc"), "left_anti")
+      for (step <- 2 to 4) {
+        val ms = remaining
+          .join(psim.select($"qid", $"d1".as("doc"), $"d2", $"sim"),
+            Seq("qid", "doc"))
+          .join(selected.select($"qid", $"doc".as("d2")), Seq("qid", "d2"))
+          .groupBy($"qid", $"doc", $"cosr").agg(max($"sim").as("maxsim"))
+        val pick = Relational.topOnePerGroup(
+            ms.select($"qid", $"doc", blend($"cosr", $"maxsim").as("mmr")),
+            Seq($"qid"), Seq($"mmr".desc, $"doc".asc))
+          .withColumn("pick_order", lit(step.toLong))
+        selected = selected.unionByName(
+          pick.select($"qid", $"doc", $"pick_order", $"mmr"))
+        remaining = remaining.join(pick.select($"qid", $"doc"),
+          Seq("qid", "doc"), "left_anti")
+      }
+      selected.orderBy($"qid", $"pick_order")
+    },
+    Some(s"""
+      WITH $compSql,
+      parts AS (
+        SELECT a.id AS qid, b.id AS doc, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM comp a JOIN comp b ON a.i = b.i
+        WHERE a.id < 5 AND b.id <> a.id),
+      cosq AS (SELECT qid, doc, $cosSql AS cos
+               FROM parts GROUP BY qid, doc),
+      cand AS (
+        SELECT qid, doc, round(cos, 6) AS cosr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY cos DESC, doc) AS rnk
+          FROM cosq) WHERE rnk <= 10),
+      pparts AS (
+        SELECT c1.qid, c1.doc AS d1, c2.doc AS d2, x.e * y.e AS p,
+               x.e * x.e AS a2, y.e * y.e AS b2
+        FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid AND c1.doc <> c2.doc
+        JOIN comp x ON x.id = c1.doc
+        JOIN comp y ON y.id = c2.doc AND x.i = y.i),
+      psim AS (SELECT qid, d1, d2, round($cosSql, 6) AS sim
+               FROM pparts GROUP BY qid, d1, d2),
+      p1 AS (
+        SELECT qid, doc, cosr,
+          CAST(7 * CAST(cosr AS DECIMAL(9,6)) AS DOUBLE) /
+            CAST(10 AS DOUBLE) AS mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY cosr DESC, doc) AS rn
+          FROM cand) WHERE rn = 1),
+      r2 AS (SELECT c.* FROM cand c LEFT JOIN p1
+               ON c.qid = p1.qid AND c.doc = p1.doc
+             WHERE p1.doc IS NULL),
+      m2 AS (
+        SELECT r.qid, r.doc, r.cosr, MAX(s.sim) AS maxsim
+        FROM r2 r JOIN psim s ON s.qid = r.qid AND s.d1 = r.doc
+        JOIN p1 ON p1.qid = s.qid AND p1.doc = s.d2
+        GROUP BY r.qid, r.doc, r.cosr),
+      p2 AS (
+        SELECT qid, doc, cosr, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY mmr DESC, doc) AS rn
+          FROM (SELECT qid, doc, cosr,
+                  CAST(7 * CAST(cosr AS DECIMAL(9,6)) -
+                    3 * CAST(maxsim AS DECIMAL(9,6)) AS DOUBLE) /
+                    CAST(10 AS DOUBLE) AS mmr
+                FROM m2)) WHERE rn = 1),
+      sel2 AS (SELECT qid, doc FROM p1 UNION ALL SELECT qid, doc FROM p2),
+      r3 AS (SELECT c.* FROM cand c LEFT JOIN sel2
+               ON c.qid = sel2.qid AND c.doc = sel2.doc
+             WHERE sel2.doc IS NULL),
+      m3 AS (
+        SELECT r.qid, r.doc, r.cosr, MAX(s.sim) AS maxsim
+        FROM r3 r JOIN psim s ON s.qid = r.qid AND s.d1 = r.doc
+        JOIN sel2 ON sel2.qid = s.qid AND sel2.doc = s.d2
+        GROUP BY r.qid, r.doc, r.cosr),
+      p3 AS (
+        SELECT qid, doc, cosr, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY mmr DESC, doc) AS rn
+          FROM (SELECT qid, doc, cosr,
+                  CAST(7 * CAST(cosr AS DECIMAL(9,6)) -
+                    3 * CAST(maxsim AS DECIMAL(9,6)) AS DOUBLE) /
+                    CAST(10 AS DOUBLE) AS mmr
+                FROM m3)) WHERE rn = 1),
+      sel3 AS (SELECT qid, doc FROM sel2 UNION ALL SELECT qid, doc FROM p3),
+      r4 AS (SELECT c.* FROM cand c LEFT JOIN sel3
+               ON c.qid = sel3.qid AND c.doc = sel3.doc
+             WHERE sel3.doc IS NULL),
+      m4 AS (
+        SELECT r.qid, r.doc, r.cosr, MAX(s.sim) AS maxsim
+        FROM r4 r JOIN psim s ON s.qid = r.qid AND s.d1 = r.doc
+        JOIN sel3 ON sel3.qid = s.qid AND sel3.doc = s.d2
+        GROUP BY r.qid, r.doc, r.cosr),
+      p4 AS (
+        SELECT qid, doc, cosr, mmr FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                      ORDER BY mmr DESC, doc) AS rn
+          FROM (SELECT qid, doc, cosr,
+                  CAST(7 * CAST(cosr AS DECIMAL(9,6)) -
+                    3 * CAST(maxsim AS DECIMAL(9,6)) AS DOUBLE) /
+                    CAST(10 AS DOUBLE) AS mmr
+                FROM m4)) WHERE rn = 1)
+      SELECT qid, doc, CAST(1 AS BIGINT) AS pick_order, mmr FROM p1
+      UNION ALL
+      SELECT qid, doc, 2, mmr FROM p2
+      UNION ALL
+      SELECT qid, doc, 3, mmr FROM p3
+      UNION ALL
+      SELECT qid, doc, 4, mmr FROM p4
+      ORDER BY qid, pick_order"""))
+
   def queries: Seq[Q] =
     Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121,
-      q162, q176)
+      q162, q176, q185)
 }
