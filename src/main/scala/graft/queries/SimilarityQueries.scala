@@ -1046,9 +1046,14 @@ object SimilarityQueries extends QueryGroup {
       import s.implicits._
       val all = vecs(s, dir)
       val qs = all.filter($"id" < 5)
+      // checkpoint the two frames every greedy step re-reads: without
+      // this each iteration's plan re-runs the corpus sweep and the
+      // pairwise-sim build (measured 12.5 s -> the loop is lineage
+      // growth, not work — both frames are ≤ k·|q| rows)
       val cand = Similarity.bruteForceTopK(all, qs, 10)
         .select($"id1".as("qid"), $"id2".as("doc"),
           round($"cosine", 6).as("cosr"))
+        .localCheckpoint(true)
       val cd = cand.select($"qid", $"doc")
         .join(all.select($"id".as("doc"), $"emb", $"norm2"), Seq("doc"))
       val ca = cd.select($"qid", $"doc".as("d1"), $"emb".as("e1"),
@@ -1059,6 +1064,7 @@ object SimilarityQueries extends QueryGroup {
         .select($"qid", $"d1", $"d2",
           round(Similarity.dotExact("e1", "e2") /
             (sqrt($"n1") * sqrt($"n2")), 6).as("sim"))
+        .localCheckpoint(true)
       // λ = 0.7 as exact integer weights (7·cos − 3·maxsim)/10 over the
       // DECIMAL(9,6) values: a double λ-blend can land exactly on a
       // half-ulp rounding boundary where the engines' round() split

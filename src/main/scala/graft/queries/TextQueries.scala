@@ -1064,9 +1064,13 @@ object TextQueries extends QueryGroup {
       val ranked = tok.join(dfreq, Seq("token"))
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("sz", count(lit(1)).over(wSz))
+      // prefix table is z/5 rows per rep; checkpoint so the self-join
+      // and the verify don't each re-run the collapse + df + window
+      // chain (4× re-computation measured as the query's whole cost)
       val pref = ranked
         .filter($"rn" <= $"sz" - expr("(4 * sz + 4) div 5") + 1)
         .select($"token", $"doc", $"src", $"sz")
+        .localCheckpoint(true)
       val cands = pref.as("a").join(pref.as("b"),
           $"a.token" === $"b.token" && $"a.src" === $"b.src" &&
             $"a.doc" < $"b.doc" &&
@@ -1076,11 +1080,20 @@ object TextQueries extends QueryGroup {
           $"a.sz".as("za"), $"b.sz".as("zb"))
         .distinct()
       val copies = reps.select($"doc", $"n_copies")
+      // verify via per-pair array_intersect on the carried token SETS:
+      // joining token ROWS would shuffle |pairs|·|tokens| rows (22M at
+      // sf0.1); the array join ships each doc's set once per pair and
+      // intersects map-side
+      val tsets = rdocs.select($"doc",
+        array_sort(array_distinct(TextOps.tokens($"text"))).as("tset"))
+        .localCheckpoint(true)
       cands
-        .join(tok.select($"doc".as("d1"), $"token"), Seq("d1"))
-        .join(tok.select($"doc".as("d2"), $"token"), Seq("d2", "token"))
-        .groupBy($"d1", $"d2", $"za", $"zb")
-        .agg(count(lit(1)).as("i"))
+        .join(broadcast(tsets.select($"doc".as("d1"), $"tset".as("ta"))),
+          Seq("d1"))
+        .join(broadcast(tsets.select($"doc".as("d2"), $"tset".as("tb"))),
+          Seq("d2"))
+        .select($"d1", $"d2", $"za", $"zb",
+          size(array_intersect($"ta", $"tb")).cast("long").as("i"))
         .filter(lit(5) * $"i" >= lit(4) * ($"za" + $"zb" - $"i"))
         .join(copies.select($"doc".as("d1"), $"n_copies".as("n1")), Seq("d1"))
         .join(copies.select($"doc".as("d2"), $"n_copies".as("n2")), Seq("d2"))
