@@ -483,7 +483,80 @@ object SamplingQueries extends QueryGroup {
         base + CASE WHEN rrank <= deficit THEN 1 ELSE 0 END AS alloc_n
       FROM ranked ORDER BY source"""))
 
+  /** Poisson-bootstrap confidence intervals (the distributed bootstrap
+    * of Chamandy et al.: classic resampling needs n draws from n rows —
+    * impossible row-locally — but Multinomial(n, 1/n) ≈ iid Poisson(1)
+    * weights, so each row mints its own replicate weights with no
+    * coordination). Every weight is hash-derived (h64(doc#b) against a
+    * frozen 1000-slot pmf table for Poisson(1): 368/368/184/61/15/4),
+    * so the B = 32 replicates are deterministic and engine-identical —
+    * error bars on a 100 TB corpus statistic in ONE pass, no data
+    * movement beyond the stats rollup. Replicate means are ratios of
+    * exact integer sums; the CI is nearest-rank over the 32 means
+    * (ranks 2 and 31 ≈ 94% coverage), a total order. */
+  private val q186 = Q(
+    "q186_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val reps = Tables(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("b", explode(expr("sequence(0, 31)")))
+        .withColumn("u", TextOps.h64(
+          concat($"doc_id".cast("string"), lit("#"), $"b".cast("string")))
+          % 1000)
+        .withColumn("w",
+          when($"u" < 368, 0L).when($"u" < 736, 1L).when($"u" < 920, 2L)
+            .when($"u" < 981, 3L).when($"u" < 996, 4L).otherwise(5L))
+      val rmeans = reps.groupBy($"source", $"b")
+        .agg((sum($"w" * $"n_chars").cast("double") /
+          sum($"w").cast("double")).as("rmean"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"rmean".asc, $"b".asc)
+      val ci = rmeans.withColumn("rk", row_number().over(wRank))
+        .groupBy($"source")
+        .agg(max(when($"rk" === 2, $"rmean")).as("ci_lo"),
+          max(when($"rk" === 31, $"rmean")).as("ci_hi"))
+      val pt = Tables(s, dir, "documents").groupBy($"source")
+        .agg((sum($"n_chars").cast("double") /
+          count(lit(1)).cast("double")).as("mean_chars"))
+      pt.join(ci, Seq("source"))
+        .select($"source", $"mean_chars", $"ci_lo", $"ci_hi",
+          round(($"ci_hi" - $"ci_lo") / $"mean_chars", 6).as("rel_width"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH reps AS (
+        SELECT source, doc_id, n_chars, b,
+          ${TextOps.h64Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+            % 1000 AS u
+        FROM documents, (SELECT unnest(generate_series(0, 31)) AS b) bs),
+      wts AS (
+        SELECT source, b, n_chars,
+          CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2
+               WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END AS w
+        FROM reps),
+      rmeans AS (
+        SELECT source, b,
+          CAST(SUM(w * n_chars) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS rmean
+        FROM wts GROUP BY source, b),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY rmean, b) AS rk
+        FROM rmeans),
+      ci AS (
+        SELECT source, MAX(CASE WHEN rk = 2 THEN rmean END) AS ci_lo,
+          MAX(CASE WHEN rk = 31 THEN rmean END) AS ci_hi
+        FROM ranked GROUP BY source),
+      pt AS (
+        SELECT source, CAST(SUM(n_chars) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE) AS mean_chars
+        FROM documents GROUP BY source)
+      SELECT pt.source, mean_chars, ci_lo, ci_hi,
+        round((ci_hi - ci_lo) / mean_chars, 6) AS rel_width
+      FROM pt JOIN ci ON pt.source = ci.source
+      ORDER BY pt.source"""))
+
   def queries: Seq[Q] =
     Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151,
-      q167, q183)
+      q167, q183, q186)
 }
