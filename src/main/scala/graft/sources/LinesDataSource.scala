@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import java.util.OptionalLong
 
@@ -58,13 +59,20 @@ object LinesDataSource {
     StructField("line", StringType, nullable = false)))
 }
 
-private[sources] class LinesTable(path: String) extends Table with SupportsRead {
+private[sources] class LinesTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"lines($path)"
   override def schema(): StructType = LinesDataSource.schema
+  // ACCEPT_ANY_SCHEMA: a sink of lines doesn't require writers to
+  // fabricate the read-side path/line_no columns — the write builder
+  // validates the one column it actually persists
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LinesScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LinesWriteBuilder(path, info.schema())
 }
 
 private[sources] class LinesScanBuilder(path: String)
@@ -182,6 +190,92 @@ private[sources] class LinesReaderFactory(fields: Array[String])
         }.asInstanceOf[Array[Any]])
 
       override def close(): Unit = src.close()
+    }
+  }
+}
+
+/** DataSource V2 WRITE path — the sink half of the connector surface
+  * (the read half is the scan above). Demonstrates the two-phase
+  * commit contract end to end: each task streams its partition's
+  * `line` column into a hidden `.tmp-…` file (invisible to concurrent
+  * readers — the scan's hidden-file rule), its commit MESSAGE carries
+  * the (tmp, final) rename pair back to the driver, and only the
+  * DRIVER's `commit` makes any file visible — an aborted or
+  * speculated task leaves nothing but an unreferenced tmp that
+  * `abort` removes. Overwrite mode arrives as `truncate()`
+  * (SupportsTruncate) and deletes prior `part-*` files inside the
+  * same driver commit, so readers never observe a half-truncated
+  * directory. `_SUCCESS` is written last, as the commit marker.
+  *
+  * Scale shape: no driver-side data movement — the driver handles
+  * one rename pair per TASK, not per row; writers never buffer more
+  * than one line. */
+private[sources] class LinesWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    require(schema.fieldNames.contains("line"),
+      s"lines sink needs a 'line' column, got ${schema.simpleString}")
+    new LinesWrite(path, schema.fieldIndex("line"), truncateFirst)
+  }
+}
+
+private[sources] class LinesWrite(path: String, lineIdx: Int,
+    truncateFirst: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LinesWriterFactory(path, lineIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    if (truncateFirst)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach(_.delete())
+    messages.foreach { case LinesCommit(tmp, fin) =>
+      val ok = new java.io.File(tmp).renameTo(new java.io.File(dir, fin))
+      require(ok, s"rename $tmp -> $fin failed")
+    }
+    new java.io.FileOutputStream(new java.io.File(dir, "_SUCCESS")).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case LinesCommit(tmp, _) => new java.io.File(tmp).delete()
+      case _ => ()
+    }
+}
+
+private[sources] final case class LinesCommit(tmp: String, fin: String)
+    extends WriterCommitMessage
+
+private[sources] class LinesWriterFactory(path: String, lineIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    new DataWriter[InternalRow] {
+      private val dir = new java.io.File(path)
+      dir.mkdirs()
+      // hidden while in flight: the scan skips dot-files, so a reader
+      // racing this write never sees a partial part file
+      private val tmp = new java.io.File(dir,
+        f".tmp-$partitionId%05d-$taskId")
+      private val out = new java.io.PrintWriter(
+        new java.io.OutputStreamWriter(
+          new java.io.FileOutputStream(tmp), "UTF-8"))
+
+      override def write(row: InternalRow): Unit =
+        out.println(row.getUTF8String(lineIdx).toString)
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        LinesCommit(tmp.getAbsolutePath, f"part-$partitionId%05d-$taskId.txt")
+      }
+
+      override def abort(): Unit = { out.close(); tmp.delete() }
+      override def close(): Unit = out.close()
     }
   }
 }
