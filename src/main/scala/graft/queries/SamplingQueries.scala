@@ -556,7 +556,81 @@ object SamplingQueries extends QueryGroup {
       FROM pt JOIN ci ON pt.source = ci.source
       ORDER BY pt.source"""))
 
+  /** Cross-source quantile normalization of quality scores (the
+    * rank-based calibration genomics calls quantile normalization and
+    * score-fusion calls rank mapping): a fixed quality threshold means
+    * different things in different sources — a doc's score is replaced
+    * by the GLOBAL score at its within-source percentile, so "top 20%
+    * of src3" and "top 20% of src7" land on one comparable scale and a
+    * single global cutoff does per-source-fair filtering. Ranks are
+    * exact integers over the (score, doc) total order; the percentile
+    * lookup is the integer rank map ⌈r·N/n_s⌉ — an equi-join, no
+    * interpolation, no float comparisons. The global rank comes from
+    * [[graft.ops.Shard.histogramRank]] (counting-sort: histogram
+    * prefix-sum + per-bucket windows), NOT a single-partition
+    * ROW_NUMBER — the 100 TB-safe global order. */
+  private val q187 = Q(
+    "q187_quantile_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val docsT = Tables(s, dir, "documents")
+      val tok = docsT.select($"doc_id".as("doc"),
+        explode(TextOps.tokens($"text")).as("token"))
+      val qual = TextOps.qualityScore(tok, Seq("the", "a", "of", "and"))
+        .withColumn("quality",
+          $"stop_ratio" * lit(-1.0) + $"mean_token_len" / lit(10.0))
+        .select($"doc", $"quality")
+        .join(docsT.select($"doc_id".as("doc"), $"source"), Seq("doc"))
+      val g = graft.ops.Shard.histogramRank(qual,
+          floor($"quality" * 10).cast("int"), bucketAsc = true,
+          Seq($"quality".asc, $"doc".asc), "grank")
+        .select($"grank", $"quality".as("norm_quality"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"quality".asc, $"doc".asc)
+      val ns = qual.groupBy($"source").agg(count(lit(1)).as("ns"))
+      val n = qual.agg(count(lit(1)).as("n"))
+      qual
+        .withColumn("r", row_number().over(wSrc).cast("long"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(n))
+        .withColumn("grank", expr("(r * n + ns - 1) div ns"))
+        .join(g, Seq("grank"))
+        .select($"doc", $"source", round($"quality", 6).as("quality"),
+          round($"norm_quality", 6).as("norm_quality"))
+        .orderBy($"doc")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+'))
+          AS token
+        FROM documents),
+      q0 AS (
+        SELECT doc,
+          (CAST(SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0
+                END) AS DOUBLE) / COUNT(*)) * -1.0e0 +
+          (${Exact.sqlSum("CAST(length(token) AS DOUBLE)")} / COUNT(*))
+            / 10.0e0 AS quality
+        FROM tok GROUP BY doc),
+      qs AS (
+        SELECT q0.doc, d.source, q0.quality
+        FROM q0 JOIN documents d ON d.doc_id = q0.doc),
+      g AS (
+        SELECT quality AS norm_quality,
+          ROW_NUMBER() OVER (ORDER BY quality, doc) AS grank
+        FROM qs),
+      r AS (
+        SELECT doc, source, quality,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY quality, doc) AS BIGINT) AS r,
+          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM qs)
+      SELECT r.doc, r.source, round(r.quality, 6) AS quality,
+        round(g.norm_quality, 6) AS norm_quality
+      FROM r JOIN g ON g.grank = (r.r * r.n + r.ns - 1) // r.ns
+      ORDER BY r.doc"""))
+
   def queries: Seq[Q] =
     Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151,
-      q167, q183, q186)
+      q167, q183, q186, q187)
 }
