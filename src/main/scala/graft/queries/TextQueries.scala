@@ -1145,8 +1145,61 @@ object TextQueries extends QueryGroup {
       WHERE 5 * i.i >= 4 * (i.za + i.zb - i.i)
       ORDER BY i.d1, i.d2"""))
 
+  /** Gini coefficient of token-frequency concentration per source —
+    * the inequality audit beside Zipf's slope (q163 fits the power
+    * law's EXPONENT; Gini summarizes how much of the token mass the
+    * top types own, one number a data card can threshold). Computed
+    * from the rank form G = 2·Σᵢ i·xᵢ/(n·Σxᵢ) − (n+1)/n over counts
+    * sorted ascending: every sum is an exact integer (rank × count),
+    * so G is two integer ratios — no float participates until the
+    * final divisions. Ranks use the (count, token) total order; one
+    * groupBy + one window per source. */
+  private val q188 = Q(
+    "q188_token_gini",
+    (s, dir) => {
+      import s.implicits._
+      val cnt = docs(s, dir)
+        .select($"source", explode(TextOps.tokens($"text")).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"c".asc, $"token".asc)
+      cnt.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("n_tokens"),
+          sum($"i" * $"c").as("a"))
+        .select($"source", $"n_types", $"n_tokens",
+          round(lit(2.0) * $"a".cast("double") /
+              ($"n_types" * $"n_tokens").cast("double") -
+              ($"n_types" + 1).cast("double") / $"n_types".cast("double"), 6)
+            .as("gini"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM documents)
+        GROUP BY source, token),
+      ranked AS (
+        SELECT source, c,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY c, token) AS BIGINT) AS i
+        FROM cnt),
+      sums AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(SUM(i * c) AS BIGINT) AS a
+        FROM ranked GROUP BY source)
+      SELECT source, n_types, n_tokens,
+        round(2.0e0 * CAST(a AS DOUBLE) /
+            CAST(n_types * n_tokens AS DOUBLE) -
+            CAST(n_types + 1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+          AS gini
+      FROM sums ORDER BY source"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175, q180, q181, q182)
+      q172, q175, q180, q181, q182, q188)
 }
