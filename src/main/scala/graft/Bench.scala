@@ -111,7 +111,12 @@ object Bench {
     // r9: the two corpus-pass-dominated newcomers — novelty's span join
     // against the reference store and PCA's d2-explode covariance
     // accumulation — are the data-dependent halves of their families
-    "q152_novelty_vs_reference", "q155_pca_component")
+    "q152_novelty_vs_reference", "q155_pca_component",
+    // r8 late additions: the iterative min-label components (rounds ×
+    // per-round joins — does the ROUND COUNT grow with data?), and the
+    // prefix-filter exact join (candidate volume is the clique mass —
+    // the quadratic-output risk the per-source work unit bounds)
+    "q174_global_components", "q182_prefix_filter_join")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has

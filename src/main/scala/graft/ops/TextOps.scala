@@ -305,6 +305,80 @@ object TextOps {
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al. '14, "Connected Components in
+    * MapReduce and Beyond") — the O(log²) -round sibling of
+    * [[connectedComponents]]'s min-label propagation, which needs
+    * O(diameter) rounds and loses badly on chain-shaped graphs (the
+    * shifted-band dedup graph of q174 IS such a chain: length-adjacent
+    * buckets link into paths). Each alternation:
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood — long tails fold toward
+    *    small ids across the whole graph at once;
+    *  - small-star: canonical (hi → lo) edges regroup so each node's
+    *    smaller neighbors and itself attach to the group minimum.
+    *
+    * The edge set monotonically contracts toward depth-1 stars rooted
+    * at each component's minimum id; convergence is an exact
+    * anti-join emptiness check (not a hash or sum that could alias),
+    * and the final star edges ARE the labeling. Same contract as
+    * [[connectedComponents]]: edges (d1, d2), nodes (node) →
+    * (node, cluster = component min); singletons label themselves.
+    * Lineage is truncated per alternation (localCheckpoint), the
+    * iterative-Spark requirement. */
+  def connectedComponentsStars(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("s"), col("d")).as("s"),
+        least(col("s"), col("d")).as("d"))
+        .filter(col("s") =!= col("d")).distinct()
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(col("s")), lit(0L)),
+        coalesce(sum(col("d")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var cur = canon(edges.select(col("d1").as("s"), col("d2").as("d")))
+      .localCheckpoint(true)
+    var curSig = sig(cur)
+    var iter = 0
+    var done = curSig._1 == 0L
+    while (!done && iter < maxIters) {
+      // large-star over the symmetric view: m(v) = min(Γ(v) ∪ {v});
+      // emit (u, m(v)) for u ∈ Γ(v), u > v
+      val sym = cur.unionByName(cur.select(col("d").as("s"), col("s").as("d")))
+      val mins = sym.groupBy(col("s"))
+        .agg(least(min(col("d")), first(col("s"))).as("m"))
+      val large = canon(sym.join(mins, Seq("s"))
+        .filter(col("d") > col("s"))
+        .select(col("d").as("s"), col("m").as("d")))
+      // small-star over canonical hi -> lo edges: per hub h,
+      // m = min(N(h)); attach h and its other small neighbors to m
+      val sMins = large.groupBy(col("s")).agg(min(col("d")).as("m"))
+      val withM = large.join(sMins, Seq("s"))
+      val next = canon(
+        withM.filter(col("d") =!= col("m"))
+          .select(col("d").as("s"), col("m").as("d"))
+          .unionByName(withM.select(col("s"), col("m").as("d"))))
+        .localCheckpoint(true)
+      // cheap monotone pre-check (one aggregate on the checkpointed
+      // edge frame); only a stable (count, Σs, Σd) triple pays for the
+      // EXACT set-equality confirmation — correctness never rides on
+      // the triple alone
+      val nextSig = sig(next)
+      done = nextSig == curSig &&
+        next.join(cur, Seq("s", "d"), "left_anti").isEmpty &&
+        cur.join(next, Seq("s", "d"), "left_anti").isEmpty
+      curSig = nextSig
+      cur = next
+      iter += 1
+    }
+    // converged: every edge is (member, component-min)
+    nodes.join(cur.select(col("s").as("node"), col("d").as("cluster")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
   /** Repetition metrics per document over n-gram rows (doc, s) WITH
     * multiplicity — the Gopher-style (Rae et al. '21, public report)
     * repetition filters: a doc whose n-grams are mostly repeats of a few

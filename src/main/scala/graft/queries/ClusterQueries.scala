@@ -142,9 +142,11 @@ object ClusterQueries extends QueryGroup {
     * offset 100-char bucket — the shifted bands guarantee any pair
     * within 50 chars of length co-blocks in at least one pass) each emit
     * token-Jaccard ≥ 0.85 edges; their UNION spans blocks, so components
-    * are closed by the iterative min-label propagation
-    * ([[graft.ops.TextOps.connectedComponents]] — O(diameter) rounds,
-    * one join + one groupBy each, lineage truncated per round). Output
+    * are closed by alternating large-star/small-star contraction
+    * ([[graft.ops.TextOps.connectedComponentsStars]] — O(log²) rounds;
+    * the shifted-band graph is chain-shaped, exactly where min-label's
+    * O(diameter) rounds lose: 7.6 s → the stars cut measured at sf0.1,
+    * equivalence with min-label pinned in TextOpsSpec). Output
     * adds the component size, the dedup-policy fan-out knob.
     * Mirrors the reference's duplicate-grouping intent
     * (mopdb_utils.py:495-538 catalog dedup) at corpus scale. */
@@ -153,18 +155,51 @@ object ClusterQueries extends QueryGroup {
     (s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      def tokenRows(block: org.apache.spark.sql.Column) =
-        docs.select($"doc_id".as("doc"), block.as("block"),
-          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
-      val passA = tokenRows(concat($"source", lit("#"),
-        ($"n_chars" / 200).cast("int").cast("string")))
-      val passB = tokenRows(concat($"lang", lit("#"),
-        (($"n_chars" + 50) / 100).cast("int").cast("string")))
-      val edges = TextOps.blockedJaccard(passA)
-        .filter($"jaccard" >= 0.85).select($"d1", $"d2")
-        .unionByName(TextOps.blockedJaccard(passB)
-          .filter($"jaccard" >= 0.85).select($"d1", $"d2"))
-      val labeled = TextOps.connectedComponents(
+      // Candidate generation uses the q182 prefix filter INSIDE each
+      // blocking pass (lossless: a pair at J >= 0.85 must share a
+      // rarest-first prefix token), so a near-dup clique of m docs
+      // costs m^2 x |prefix| join rows instead of m^2 x |tokens| —
+      // and verification intersects broadcast token ARRAYS once per
+      // candidate instead of shuffling pair x token rows. J >= 0.85
+      // is the integer rule 20i >= 17(za+zb-i) on both engines.
+      val tsets = docs.select($"doc_id".as("doc"),
+        array_sort(array_distinct(TextOps.tokens($"text"))).as("tset"))
+        .withColumn("sz", size($"tset").cast("long"))
+        .localCheckpoint(true)
+      val tok = tsets.select($"doc", $"sz", explode($"tset").as("token"))
+      val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc").orderBy($"df".asc, $"token".asc)
+      val pref = tok.join(dfreq, Seq("token"))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter($"rn" <= $"sz" - expr("(17 * sz + 19) div 20") + 1)
+        .select($"doc", $"sz", $"token")
+        .localCheckpoint(true)
+      val blocks = docs.select($"doc_id".as("doc"),
+          concat($"source", lit("#"),
+            ($"n_chars" / 200).cast("int").cast("string")).as("block"))
+        .unionByName(docs.select($"doc_id".as("doc"),
+          concat($"lang", lit("#"),
+            (($"n_chars" + 50) / 100).cast("int").cast("string")).as("block")))
+      val bpref = pref.join(blocks, Seq("doc"))
+      val cands = bpref.as("a").join(bpref.as("b"),
+          $"a.block" === $"b.block" && $"a.token" === $"b.token" &&
+            $"a.doc" < $"b.doc" &&
+            lit(17) * greatest($"a.sz", $"b.sz") <=
+              lit(20) * least($"a.sz", $"b.sz"))
+        .select($"a.doc".as("d1"), $"b.doc".as("d2"),
+          $"a.sz".as("za"), $"b.sz".as("zb"))
+        .distinct()
+      val edges = cands
+        .join(broadcast(tsets.select($"doc".as("d1"), $"tset".as("ta"))),
+          Seq("d1"))
+        .join(broadcast(tsets.select($"doc".as("d2"), $"tset".as("tb"))),
+          Seq("d2"))
+        .select($"d1", $"d2", $"za", $"zb",
+          size(array_intersect($"ta", $"tb")).cast("long").as("i"))
+        .filter(lit(20) * $"i" >= lit(17) * ($"za" + $"zb" - $"i"))
+        .select($"d1", $"d2")
+      val labeled = TextOps.connectedComponentsStars(
         edges, docs.select($"doc_id".as("node")))
       labeled.join(
           labeled.groupBy($"cluster").agg(count(lit(1)).as("cluster_size")),
@@ -197,7 +232,7 @@ object ClusterQueries extends QueryGroup {
       e AS (
         SELECT DISTINCT d1, d2
         FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
-        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.85),
+        WHERE 20 * i >= 17 * (sa.n + sb.n - i)),
       sym AS (SELECT d1 AS s, d2 AS t FROM e
               UNION SELECT d2, d1 FROM e),
       reach(node, label) AS (

@@ -186,6 +186,36 @@ class TextOpsSpec extends SparkSpec {
     assert(oneShot == iterative)
   }
 
+  test("large-star/small-star equals min-label CC on path, clique, forest") {
+    def both(edges: Seq[(Long, Long)], n: Long) = {
+      val e = edges.toDF("d1", "d2")
+      val nodes = (0L until n).toDF("node")
+      val a = TextOps.connectedComponents(e, nodes, maxIters = 200)
+        .orderBy($"node").as[(Long, Long)].collect().toSeq
+      val b = TextOps.connectedComponentsStars(e, nodes)
+        .orderBy($"node").as[(Long, Long)].collect().toSeq
+      (a, b)
+    }
+    // long path: the adversarial case for min-label (O(diameter)) and
+    // the motivating case for stars (O(log^2))
+    val path = (0L until 79L).map(i => (i, i + 1))
+    val (p1, p2) = both(path, 80L)
+    assert(p2 == p1)
+    assert(p2.forall(_._2 == 0L))
+    // clique + separate triangle + singletons
+    val clique = for (i <- 10L until 20L; j <- (i + 1) until 20L) yield (i, j)
+    val tri = Seq((3L, 5L), (5L, 7L), (7L, 3L))
+    val (c1, c2) = both(clique ++ tri, 25L)
+    assert(c2 == c1)
+    // random forest-ish graph, edges in both orientations and dups
+    val rnd = new scala.util.Random(11)
+    val rand = (1 to 150).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter(e => e._1 != e._2)
+    val (r1, r2) = both(rand, 60L)
+    assert(r2 == r1)
+  }
+
   test("urlHost/urlDomain extract the authority and strip one leading www") {
     val df = Seq(
       "https://www.example.co.uk/path?q=1",
