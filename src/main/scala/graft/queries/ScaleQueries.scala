@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Exact, Shard, Sketch, Skew, TextOps}
+import graft.ops.{Exact, Relational, Shard, Sketch, Skew, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Scale-path batch: the rewrites that keep hot keys and distinct
@@ -217,5 +217,201 @@ object ScaleQueries extends QueryGroup {
         FROM hll_est e JOIN ex x ON e.key = x.key ORDER BY e.key"""
     })
 
-  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132, q177)
+  /** Sketch algebra: every PAIRWISE source-vocabulary overlap answered
+    * from per-source sketches alone — the corpus is touched ONCE, all
+    * 190 pair questions are sketch arithmetic ("sketch once, answer n²
+    * questions"). TWO estimators side by side, because the choice is
+    * the textbook lesson of intersection sketching:
+    *
+    *  - HLL inclusion–exclusion est(A)+est(B)−est(A∪B) (union via the
+    *    q177 register-MAX merge): the union estimates are fine, but
+    *    the subtraction inherits BOTH unions' absolute error — for
+    *    intersections ≪ union (this corpus: ~70 of ~2500) the relative
+    *    error explodes. Kept as the audit column showing exactly that.
+    *  - KMV bottom-k: the k smallest union hashes are a uniform sample
+    *    of A∪B, each testable for membership in BOTH sides' sketches
+    *    (h ∈ bottomk(A∪B) ∧ h ∈ A ⟹ h ∈ bottomk(A)), so
+    *    Ĵ = |bku ∩ bka ∩ bkb| / |bku| and |A∩B| ≈ Ĵ·est(A∪B) — the
+    *    MinHash-family answer, with error proportional to J itself.
+    *
+    * The exact intersection (a token self-join PER PAIR — the cost the
+    * sketches avoid) rides along as ground truth for both rel-errs. */
+  private val q189 = Q(
+    "q189_hll_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val tok = Tables(s, dir, "documents")
+        .select($"source", TextOps.tokens($"text").as("ts"))
+        .select($"source", explode(TextOps.shingles("ts", 3)).as("token"))
+      val reg = Sketch.hllRegisters(tok, $"source", $"token")
+        .localCheckpoint(true)
+      val est1 = Sketch.hllEstimate(reg)
+      val keys = reg.select($"key").distinct()
+      val pairs = keys.select($"key".as("s1")).crossJoin(
+          keys.select($"key".as("s2")))
+        .filter($"s1" < $"s2")
+      val merged = pairs
+        .join(reg.select($"key".as("s1"), $"b", $"mreg"), Seq("s1"))
+        .select($"s1", $"s2", $"b", $"mreg")
+        .unionByName(pairs
+          .join(reg.select($"key".as("s2"), $"b", $"mreg"), Seq("s2"))
+          .select($"s1", $"s2", $"b", $"mreg"))
+        .groupBy($"s1", $"s2", $"b").agg(max($"mreg").as("mreg"))
+        .select(concat($"s1", lit("|"), $"s2").as("key"), $"b", $"mreg")
+      val estU = Sketch.hllEstimate(merged)
+        .select(split($"key", "\\|").getItem(0).as("s1"),
+          split($"key", "\\|").getItem(1).as("s2"),
+          $"est_distinct".as("est_union"))
+      // KMV bottom-64 sketches and the pairwise Jaccard-based estimate
+      val k = 64
+      val hv = tok.select($"source".as("key"), TextOps.h64($"token").as("h"))
+        .distinct()
+      val bk = Relational.topKPerGroup(hv, Seq($"key"), Seq($"h".asc), k)
+        .select($"key", $"h").localCheckpoint(true)
+      val pu = pairs
+        .join(bk.select($"key".as("s1"), $"h"), Seq("s1"))
+        .select($"s1", $"s2", $"h")
+        .unionByName(pairs
+          .join(bk.select($"key".as("s2"), $"h"), Seq("s2"))
+          .select($"s1", $"s2", $"h"))
+        .distinct()
+      val bku = Relational.topKPerGroup(pu, Seq($"s1", $"s2"),
+        Seq($"h".asc), k)
+      val marked = bku
+        .join(bk.select($"key".as("s1"), $"h", lit(1L).as("ina")),
+          Seq("s1", "h"), "left")
+        .join(bk.select($"key".as("s2"), $"h", lit(1L).as("inb")),
+          Seq("s2", "h"), "left")
+      val kmv = marked.groupBy($"s1", $"s2")
+        .agg(count(lit(1)).as("nu"), max($"h").as("kth"),
+          sum(when($"ina".isNotNull && $"inb".isNotNull, 1L).otherwise(0L))
+            .as("c"))
+        .select($"s1", $"s2",
+          round($"c".cast("double") / $"nu".cast("double") *
+            when($"nu" < k, $"nu".cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(Sketch.HashSpace) /
+                $"kth".cast("double")), 6).as("est_inter_kmv"))
+      val exact = tok.select($"source", $"token").distinct()
+      val exactInter = exact.select($"source".as("s1"), $"token")
+        .join(exact.select($"source".as("s2"), $"token"), Seq("token"))
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("exact_inter"))
+      estU
+        .join(est1.select($"key".as("s1"), $"est_distinct".as("ea")), Seq("s1"))
+        .join(est1.select($"key".as("s2"), $"est_distinct".as("eb")), Seq("s2"))
+        .join(kmv, Seq("s1", "s2"))
+        .join(exactInter, Seq("s1", "s2"))
+        .select($"s1", $"s2",
+          round($"ea" + $"eb" - $"est_union", 6).as("est_inter_hll"),
+          $"est_inter_kmv", $"exact_inter",
+          round(($"ea" + $"eb" - $"est_union" -
+            $"exact_inter".cast("double")) /
+            $"exact_inter".cast("double"), 6).as("rel_err_hll"),
+          round(($"est_inter_kmv" - $"exact_inter".cast("double")) /
+            $"exact_inter".cast("double"), 6).as("rel_err_kmv"))
+        .orderBy($"s1", $"s2")
+    },
+    Some {
+      val from = """(
+        SELECT source, array_to_string(ts[i:i+2], ' ') AS token
+        FROM (SELECT source, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents), LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 2)) AS i) s
+        WHERE len(ts) >= 3) tok"""
+      val est = "CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)" +
+        " * CAST(36028797018963968.0 AS DOUBLE) / CAST(s AS DOUBLE)" +
+        " <= 160.0 AND v > 0" +
+        " THEN round(CAST(64.0 AS DOUBLE) * ln(CAST(64.0 AS DOUBLE) /" +
+        " CAST(v AS DOUBLE)), 6)" +
+        " ELSE round(CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)" +
+        " * CAST(36028797018963968.0 AS DOUBLE) / CAST(s AS DOUBLE), 6) END"
+      s"""
+      WITH hv AS (
+        SELECT DISTINCT source AS key, ${TextOps.h64Sql("token")} AS h
+        FROM $from),
+      reg AS (
+        SELECT key, h % 64 AS b,
+          MAX(CASE WHEN h // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(h // 64)) END) AS mreg
+        FROM hv GROUP BY key, h % 64),
+      spine AS (
+        SELECT k.key, gs.b
+        FROM (SELECT DISTINCT key FROM reg) k
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs),
+      dense AS (
+        SELECT s.key, s.b, COALESCE(r.mreg, 0) AS mreg
+        FROM spine s LEFT JOIN reg r ON s.key = r.key AND s.b = r.b),
+      single AS (
+        SELECT key, $est AS e FROM (
+          SELECT key, SUM(CAST(1 AS BIGINT) << (55 - mreg)) AS s,
+            SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v
+          FROM dense GROUP BY key)),
+      pairs AS (
+        SELECT a.key AS s1, b.key AS s2
+        FROM (SELECT DISTINCT key FROM reg) a
+        JOIN (SELECT DISTINCT key FROM reg) b ON a.key < b.key),
+      pdense AS (
+        SELECT p.s1, p.s2, da.b, GREATEST(da.mreg, db.mreg) AS mreg
+        FROM pairs p
+        JOIN dense da ON da.key = p.s1
+        JOIN dense db ON db.key = p.s2 AND da.b = db.b),
+      punion AS (
+        SELECT s1, s2, $est AS eu FROM (
+          SELECT s1, s2, SUM(CAST(1 AS BIGINT) << (55 - mreg)) AS s,
+            SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v
+          FROM pdense GROUP BY s1, s2)),
+      bk AS (
+        SELECT key, h FROM (
+          SELECT key, h, ROW_NUMBER() OVER (PARTITION BY key
+            ORDER BY h) AS rn
+          FROM hv) WHERE rn <= 64),
+      pu AS (
+        SELECT DISTINCT s1, s2, h FROM (
+          SELECT p.s1, p.s2, x.h FROM pairs p JOIN bk x ON x.key = p.s1
+          UNION ALL
+          SELECT p.s1, p.s2, x.h FROM pairs p JOIN bk x ON x.key = p.s2)),
+      bku AS (
+        SELECT s1, s2, h FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY s1, s2
+            ORDER BY h) AS rn
+          FROM pu) WHERE rn <= 64),
+      kmv AS (
+        SELECT u.s1, u.s2, CAST(COUNT(*) AS BIGINT) AS nu,
+          MAX(u.h) AS kth,
+          CAST(SUM(CASE WHEN a.h IS NOT NULL AND b2.h IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM bku u
+        LEFT JOIN bk a ON a.key = u.s1 AND a.h = u.h
+        LEFT JOIN bk b2 ON b2.key = u.s2 AND b2.h = u.h
+        GROUP BY u.s1, u.s2),
+      kest AS (
+        SELECT s1, s2,
+          round(CAST(c AS DOUBLE) / CAST(nu AS DOUBLE) *
+            CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                 ELSE 63.0e0 * 1.152921504606846976e18 /
+                   CAST(kth AS DOUBLE) END, 6) AS est_inter_kmv
+        FROM kmv),
+      exd AS (SELECT DISTINCT source AS key, token FROM $from),
+      ex AS (
+        SELECT a.key AS s1, b.key AS s2, CAST(COUNT(*) AS BIGINT)
+          AS exact_inter
+        FROM exd a JOIN exd b ON a.token = b.token AND a.key < b.key
+        GROUP BY a.key, b.key)
+      SELECT p.s1, p.s2,
+        round(sa.e + sb.e - p.eu, 6) AS est_inter_hll,
+        ke.est_inter_kmv,
+        ex.exact_inter,
+        round((sa.e + sb.e - p.eu - CAST(ex.exact_inter AS DOUBLE)) /
+          CAST(ex.exact_inter AS DOUBLE), 6) AS rel_err_hll,
+        round((ke.est_inter_kmv - CAST(ex.exact_inter AS DOUBLE)) /
+          CAST(ex.exact_inter AS DOUBLE), 6) AS rel_err_kmv
+      FROM punion p
+      JOIN single sa ON sa.key = p.s1
+      JOIN single sb ON sb.key = p.s2
+      JOIN kest ke ON ke.s1 = p.s1 AND ke.s2 = p.s2
+      JOIN ex ON ex.s1 = p.s1 AND ex.s2 = p.s2
+      ORDER BY p.s1, p.s2"""
+    })
+
+  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132, q177, q189)
 }
