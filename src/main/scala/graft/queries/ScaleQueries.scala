@@ -413,5 +413,78 @@ object ScaleQueries extends QueryGroup {
       ORDER BY p.s1, p.s2"""
     })
 
-  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132, q177, q189)
+  /** Pre-flight join-size estimation by Count-Min inner product
+    * (Cormode & Muthukrishnan '05 §4.3): |A ⋈ B| = Σ_k a(k)·b(k) is
+    * estimated by min_j Σ_c cmsA[j][c]·cmsB[j][c] — collisions only
+    * ADD mass, so the estimate never underestimates and each row j is
+    * an independent upper bound. This is the planner's question ("can
+    * this join's output fit?") answered from two d×w counter tables
+    * without touching either side again — at 100 TB the sketches ride
+    * the ingest pass and the decision is sketch arithmetic. Everything
+    * is exact integer arithmetic (Kirsch–Mitzenmacher hashes, counter
+    * products), so the estimate is bit-identical across engines; the
+    * true join count rides along as ground truth. */
+  private val q190 = Q(
+    "q190_cms_join_estimate",
+    (s, dir) => {
+      import s.implicits._
+      val d = 4
+      val w = 65536
+      val a = Tables(s, dir, "orders").select($"o_orderkey".as("k"))
+      val b = Tables(s, dir, "lineitem").select($"l_orderkey".as("k"))
+      val cmsA = Sketch.cmsBuild(a, $"k".cast("string"), d, w)
+        .select($"j", $"c", $"cnt".as("ca"))
+      val cmsB = Sketch.cmsBuild(b, $"k".cast("string"), d, w)
+        .select($"j", $"c", $"cnt".as("cb"))
+      val est = cmsA.join(cmsB, Seq("j", "c"))
+        .groupBy($"j").agg(sum($"ca" * $"cb").as("ip"))
+        .agg(min($"ip").as("est_join_rows"))
+      val exact = a.join(b, Seq("k"))
+        .agg(count(lit(1)).as("exact_join_rows"))
+      val sizes = a.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(b.agg(count(lit(1)).as("n_lineitem")))
+      est.crossJoin(exact).crossJoin(sizes)
+        .select($"n_orders", $"n_lineitem", $"est_join_rows",
+          $"exact_join_rows",
+          round(($"est_join_rows" - $"exact_join_rows").cast("double") /
+            $"exact_join_rows".cast("double"), 6).as("rel_overshoot"))
+    },
+    Some(s"""
+      WITH ah AS (
+        SELECT ${TextOps.h64Sql("CAST(o_orderkey AS VARCHAR)")} AS h1,
+          ${TextOps.h64bSql("CAST(o_orderkey AS VARCHAR)")} % ${Sketch.CmsP}
+            AS h2
+        FROM orders),
+      bh AS (
+        SELECT ${TextOps.h64Sql("CAST(l_orderkey AS VARCHAR)")} AS h1,
+          ${TextOps.h64bSql("CAST(l_orderkey AS VARCHAR)")} % ${Sketch.CmsP}
+            AS h2
+        FROM lineitem),
+      cmsa AS (
+        SELECT j, CAST((h1 + j * h2) % 65536 AS INT) AS c,
+          CAST(COUNT(*) AS BIGINT) AS ca
+        FROM ah, (SELECT unnest(generate_series(0, 3)) AS j) js
+        GROUP BY 1, 2),
+      cmsb AS (
+        SELECT j, CAST((h1 + j * h2) % 65536 AS INT) AS c,
+          CAST(COUNT(*) AS BIGINT) AS cb
+        FROM bh, (SELECT unnest(generate_series(0, 3)) AS j) js
+        GROUP BY 1, 2),
+      ip AS (
+        SELECT a.j, CAST(SUM(a.ca * b.cb) AS BIGINT) AS ip
+        FROM cmsa a JOIN cmsb b ON a.j = b.j AND a.c = b.c
+        GROUP BY a.j),
+      est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+      ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      sz AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem)
+      SELECT n_orders, n_lineitem, est_join_rows, exact_join_rows,
+        round(CAST(est_join_rows - exact_join_rows AS DOUBLE) /
+          CAST(exact_join_rows AS DOUBLE), 6) AS rel_overshoot
+      FROM sz, est, ex"""))
+
+  def queries: Seq[Q] = Seq(q73, q74, q91, q115, q132, q177, q189, q190)
 }
