@@ -54,3 +54,51 @@ object Ewma {
       .toDF("key", "t", "tie", "v", "ema")
   }
 }
+
+/** Two-sided CUSUM changepoint detector (Page '54) — the alarm sibling
+  * of [[Ewma]]: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − k)) accumulates
+  * upward drift, S⁻_t = max(0, S⁻_{t−1} + (μ − k − x_t)) downward; a
+  * sustained mean shift grows one of them linearly while noise is
+  * absorbed by the slack k, and crossing h raises the alarm — the
+  * classic sequential drift alarm a windowed mean cannot express (the
+  * max-with-zero reset makes it a genuine left fold).
+  *
+  * Same execution shape as [[Ewma.ema]]: secondary sort + streaming
+  * per-partition fold, state reset at key boundaries, O(1) memory per
+  * key. Same determinism argument: a fixed chain of IEEE ops
+  * (add, sub, max) in the (t, tie) total order — the DuckDB recursive
+  * CTE walking the same order reproduces it bit-for-bit. */
+object Cusum {
+
+  /** Input columns: `key` (string), `t`, `tie` (the in-key total
+    * order), `v`, and the per-key reference `mu` and `sigma` (constant
+    * within a key). The fold runs on the STANDARDIZED value
+    * z = (v − μ)/σ — the textbook formulation (k in σ-units, usually
+    * 0.5; h usually 4–5): on raw heavy-tailed values a fixed slack is
+    * either swamped (reflected-walk steady state σ²/2k above any
+    * threshold) or deaf. Output adds (s_hi, s_lo, alarm). */
+  def cusum(df: DataFrame, k: Double, h: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("key").cast("string"), col("t").cast("long"),
+        col("tie").cast("long"), col("v").cast("double"),
+        col("mu").cast("double"), col("sigma").cast("double"))
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "t", "tie")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .mapPartitions { it =>
+        var cur: String = null
+        var shi = 0.0
+        var slo = 0.0
+        it.map { case (kk, t, tie, v, mu, sigma) =>
+          if (cur == null || kk != cur) { shi = 0.0; slo = 0.0 }
+          val z = (v - mu) / sigma
+          shi = math.max(0.0, shi + (z - k))
+          slo = math.max(0.0, slo + (-z - k))
+          cur = kk
+          (kk, t, tie, v, shi, slo, shi > h || slo > h)
+        }
+      }
+      .toDF("key", "t", "tie", "v", "s_hi", "s_lo", "alarm")
+  }
+}

@@ -547,7 +547,76 @@ object AnalyticsQueries extends QueryGroup {
             CAST(n_ref * n_cur AS DOUBLE)), 6) AS drifted
       FROM dm ORDER BY event_type"""))
 
+  /** Two-sided CUSUM changepoint alarm (Page '54; ops/Cusum) — the
+    * SEQUENTIAL drift detector beside the distributional ones (q159
+    * PSI, q184 KS compare whole windows after the fact; CUSUM raises
+    * the alarm AT the row where cumulative evidence of a mean shift
+    * crosses h). Reference mean per event type comes from the first
+    * half-month (exact decimal mean, 6-rounded, broadcast); the
+    * current window folds through the secondary-sort machinery shared
+    * with EWMA — O(1) state per key, spill-bounded, deterministic as a
+    * fixed IEEE chain in the (ts, event_id) total order that the
+    * recursive-CTE oracle walks identically. */
+  private val q191 = Q(
+    "q191_cusum_changepoint",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val ref = ev.filter($"ts" < cut).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
+          dsum($"value" * $"value").as("sxx"))
+        .select($"event_type", round($"sx" / $"n", 6).as("mu"),
+          round(sqrt(($"n" * $"sxx" - $"sx" * $"sx") /
+            ($"n" * $"n").cast("double")), 6).as("sigma"))
+      // probe window: the first 800 post-cutoff rows per type — the
+      // oracle's recursive CTE pays one iteration per fold STEP, so
+      // its depth (not the engine's) bounds the demonstrated window
+      val wOrd = Window.partitionBy($"key").orderBy($"t", $"tie")
+      val curW = ev.filter($"ts" >= cut)
+        .select($"event_type".as("key"), TimeEnc.usOf($"ts").as("t"),
+          $"event_id".as("tie"), $"value".as("v"))
+        .withColumn("__rn", row_number().over(wOrd))
+        .filter($"__rn" <= 800).drop("__rn")
+        .join(broadcast(ref.select($"event_type".as("key"), $"mu",
+          $"sigma")), Seq("key"))
+      graft.ops.Cusum.cusum(curW, k = 0.5, h = 5.0)
+        .select($"key".as("event_type"), $"tie".as("event_id"),
+          $"v".as("value"), $"s_hi", $"s_lo", $"alarm")
+        .orderBy($"event_type", $"t", $"event_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ref AS (
+        SELECT event_type,
+          round(${sqlSum("value")} / COUNT(*), 6) AS mu,
+          round(sqrt((CAST(COUNT(*) AS DOUBLE) * ${sqlSum("value * value")}
+            - ${sqlSum("value")} * ${sqlSum("value")}) /
+            CAST(COUNT(*) * COUNT(*) AS DOUBLE)), 6) AS sigma
+        FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type),
+      e AS (
+        SELECT ev.event_type, ev.event_id, ev.value,
+          (ev.value - ref.mu) / ref.sigma AS z,
+          ROW_NUMBER() OVER (PARTITION BY ev.event_type
+            ORDER BY ev.ts, ev.event_id) AS rn
+        FROM events ev JOIN ref ON ev.event_type = ref.event_type
+        WHERE ev.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        QUALIFY rn <= 800),
+      r AS (
+        SELECT event_type, event_id, value,
+          GREATEST(0.0e0, z - 0.5e0) AS s_hi,
+          GREATEST(0.0e0, -z - 0.5e0) AS s_lo, rn
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.event_id, e.value,
+          GREATEST(0.0e0, r.s_hi + (e.z - 0.5e0)),
+          GREATEST(0.0e0, r.s_lo + (-e.z - 0.5e0)), e.rn
+        FROM e JOIN r ON e.event_type = r.event_type AND e.rn = r.rn + 1)
+      SELECT event_type, event_id, value, s_hi, s_lo,
+        (s_hi > 5.0e0 OR s_lo > 5.0e0) AS alarm
+      FROM r ORDER BY event_type, rn"""))
+
   def queries: Seq[Q] =
     Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159, q179,
-      q184)
+      q184, q191)
 }
