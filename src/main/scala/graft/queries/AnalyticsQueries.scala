@@ -616,7 +616,129 @@ object AnalyticsQueries extends QueryGroup {
         (s_hi > 5.0e0 OR s_lo > 5.0e0) AS alarm
       FROM r ORDER BY event_type, rn"""))
 
+  /** Source-level drift screen with FDR control: each source's n_chars
+    * distribution is KS-tested against the REST of the corpus (the
+    * q184 integer-exact sup|ΔECDF| machinery, leave-one-out), the
+    * asymptotic p-value comes from the Kolmogorov Q function
+    * (Q(λ) = 2Σ(−1)^{j−1}e^{−2j²λ²}, truncated at j = 10, with the
+    * standard small-sample λ correction (√nₑ+0.12+0.11/√nₑ)·D), and
+    * the 20 simultaneous tests pass through Benjamini–Hochberg
+    * step-up — the piece naive per-test thresholds miss: screening
+    * thousands of slices at α each guarantees false alarms; BH bounds
+    * the EXPECTED FALSE-DISCOVERY FRACTION instead. The Q sum is a
+    * fixed left-to-right chain of exp terms (no commutative float
+    * sum), and the BH step-up is integer rank arithmetic over the
+    * (p, source) total order. */
+  private val q192 = Q(
+    "q192_fdr_drift_screen",
+    (s, dir) => {
+      import s.implicits._
+      val qExpr = (2 to 10).foldLeft("exp(-2.0e0 * 1.0e0 * lam2)") {
+        (acc, j) =>
+          val sign = if (j % 2 == 0) "-" else "+"
+          s"$acc $sign exp(-2.0e0 * ${j * j}.0e0 * lam2)"
+      }
+      val d = Tables(s, dir, "documents")
+      val cnt = d.groupBy($"source", $"n_chars".as("x"))
+        .agg(count(lit(1)).as("c"))
+      val gx = cnt.groupBy($"x").agg(sum($"c").as("g"))
+      val spine = cnt.select($"source").distinct().crossJoin(gx)
+      val full = spine.join(cnt, Seq("source", "x"), "left")
+        .select($"source", $"x", $"g", coalesce($"c", lit(0L)).as("c"))
+      val wCum = Window.partitionBy($"source").orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = full
+        .withColumn("j", sum($"c").over(wCum))
+        .withColumn("i", sum($"g" - $"c").over(wCum))
+      val ns = full.groupBy($"source")
+        .agg(sum($"c").as("n_src"), sum($"g" - $"c").as("n_rest"))
+      val ks = cum.join(broadcast(ns), Seq("source"))
+        .groupBy($"source")
+        .agg(max(abs($"n_src" * $"i" - $"n_rest" * $"j")).as("dnum"),
+          max($"n_src").as("n_src"), max($"n_rest").as("n_rest"))
+        .withColumn("d_stat",
+          $"dnum".cast("double") / ($"n_src" * $"n_rest").cast("double"))
+        .withColumn("ne",
+          ($"n_src" * $"n_rest").cast("double") /
+            ($"n_src" + $"n_rest").cast("double"))
+        .withColumn("lam2",
+          expr("pow((sqrt(ne) + 0.12e0 + 0.11e0 / sqrt(ne)) * d_stat, 2)"))
+        .withColumn("p_value",
+          round(least(lit(1.0), expr(s"2.0e0 * ($qExpr)")), 6))
+      val wRank = Window.orderBy($"p_value".asc, $"source".asc)
+      val wAll = Window.partitionBy(lit(1))
+      ks.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("ok",
+          when($"p_value" <= $"rk".cast("double") * 0.05 / 20.0, $"rk"))
+        .withColumn("maxr", max($"ok").over(wAll))
+        .select($"source", round($"d_stat", 6).as("d_stat"), $"p_value",
+          $"rk".as("p_rank"),
+          ($"maxr".isNotNull && $"rk" <= $"maxr").as("drift_rejected"))
+        .orderBy($"source")
+    },
+    Some {
+      val qExpr = (2 to 10).foldLeft("exp(-2.0e0 * 1.0e0 * lam2)") {
+        (acc, j) =>
+          val sign = if (j % 2 == 0) "-" else "+"
+          s"$acc $sign exp(-2.0e0 * ${j * j}.0e0 * lam2)"
+      }
+      s"""
+      WITH cnt AS (
+        SELECT source, n_chars AS x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars),
+      gx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS g FROM cnt GROUP BY x),
+      spine AS (
+        SELECT s.source, gx.x, gx.g
+        FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN gx),
+      fullt AS (
+        SELECT sp.source, sp.x, sp.g, COALESCE(cnt.c, 0) AS c
+        FROM spine sp LEFT JOIN cnt
+          ON sp.source = cnt.source AND sp.x = cnt.x),
+      cum AS (
+        SELECT source, x, g, c,
+          SUM(c) OVER w AS j, SUM(g - c) OVER w AS i
+        FROM fullt
+        WINDOW w AS (PARTITION BY source ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_src,
+          CAST(SUM(g - c) AS BIGINT) AS n_rest
+        FROM fullt GROUP BY source),
+      ks AS (
+        SELECT c.source, ns.n_src, ns.n_rest,
+          CAST(MAX(ABS(ns.n_src * c.i - ns.n_rest * c.j)) AS BIGINT)
+            AS dnum
+        FROM cum c JOIN ns ON c.source = ns.source
+        GROUP BY c.source, ns.n_src, ns.n_rest),
+      stat AS (
+        SELECT source,
+          CAST(dnum AS DOUBLE) / CAST(n_src * n_rest AS DOUBLE) AS d_stat,
+          CAST(n_src * n_rest AS DOUBLE) /
+            CAST(n_src + n_rest AS DOUBLE) AS ne
+        FROM ks),
+      pv AS (
+        SELECT source, d_stat,
+          round(LEAST(1.0e0, 2.0e0 * ($qExpr)), 6) AS p_value
+        FROM (SELECT source, d_stat,
+                pow((sqrt(ne) + 0.12e0 + 0.11e0 / sqrt(ne)) * d_stat, 2)
+                  AS lam2
+              FROM stat)),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, source)
+          AS BIGINT) AS rk
+        FROM pv),
+      flagged AS (
+        SELECT *, CASE WHEN p_value <= CAST(rk AS DOUBLE) * 0.05 / 20.0
+                       THEN rk END AS ok
+        FROM ranked),
+      thr AS (SELECT MAX(ok) AS maxr FROM flagged)
+      SELECT source, round(d_stat, 6) AS d_stat, p_value,
+        rk AS p_rank,
+        (maxr IS NOT NULL AND rk <= maxr) AS drift_rejected
+      FROM flagged CROSS JOIN thr ORDER BY source"""
+    })
+
   def queries: Seq[Q] =
     Seq(q65, q66, q67, q85, q86, q87, q89, q90, q114, q116, q159, q179,
-      q184, q191)
+      q184, q191, q192)
 }
