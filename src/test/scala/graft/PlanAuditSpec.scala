@@ -537,4 +537,39 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.experimental.extraOptimizations = Nil
   }
+  test("q182 prefix-filter join: broadcast array verify, no token-row verify shuffle") {
+    val p = planOf("q182_prefix_filter_join")
+    // the exact verify intersects BROADCAST token-set arrays per
+    // candidate — a pair x token row shuffle would show as extra
+    // sort-merge joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("array_intersect"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q176 bitext margin: the probe batch broadcasts into the corpus") {
+    val p = planOf("q176_bitext_margin")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q190 CMS join estimate: sketches join sketches, never data x data") {
+    val p = planOf("q190_cms_join_estimate")
+    // the d x w counter tables meet in one small equi-join; the only
+    // data-sized join is the ground-truth audit column
+    assert(!p.contains("CartesianProduct"), p)
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "BroadcastHashJoin")
+      + nodeCount(p, "ShuffledHashJoin") >= 2, p)
+  }
+
+  test("q187 quantile normalization ranks through broadcast histogram offsets") {
+    val p = planOf("q187_quantile_normalize")
+    // the global order comes from histogramRank: bucket offsets are a
+    // histogram-sized BROADCAST side, per-bucket windows do the rest —
+    // the data-sized frame never sorts in one partition
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodeCount(p, "Window") >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
