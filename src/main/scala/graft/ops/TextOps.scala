@@ -373,10 +373,56 @@ object TextOps {
       cur = next
       iter += 1
     }
+    // Unlike min-label propagation (where a stale label is merely
+    // non-minimal), this variant reads labels straight off the edge
+    // frame — a partially contracted edge set would yield silently
+    // INCONSISTENT labels. Non-convergence is therefore a hard error,
+    // not a degraded answer. 25 alternations covers > 2^25-node
+    // components under the O(log²) bound; hitting it means the input
+    // is malformed or maxIters was lowered past the graph's size.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIters " +
+          "alternations; labels off a partially contracted edge set " +
+          "would be inconsistent — raise maxIters")
     // converged: every edge is (member, component-min)
     nodes.join(cur.select(col("s").as("node"), col("d").as("cluster")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
+  /** Size-gated exact-verify attach: join candidate pairs (d1, d2, …)
+    * to the per-doc sorted token-set arrays `tsets` (doc, tset) as
+    * ta/tb, choosing the JOIN STRATEGY by the measured size of the
+    * token-set table. Below `thresholdBytes` the table broadcasts —
+    * one copy per executor, the candidate frame never shuffles, the
+    * right plan at bench scale. Above it (the 100 TB case: `tsets`
+    * grows linearly with the corpus, so an unconditional broadcast
+    * eventually exceeds Spark's broadcast limit and every executor's
+    * memory, dying at index-build time) each doc's set ships through a
+    * SHUFFLE hash join keyed on d1/d2 instead — memory is bounded by a
+    * partition, not the corpus, and the query degrades to an exchange
+    * rather than an OOM. Either way the verify stays a per-pair
+    * array intersection: a token-ROW verify join would shuffle
+    * |pairs|·|tokens| rows (~22M at sf0.1), which no gate setting may
+    * reintroduce. The size estimate is one cheap aggregate over the
+    * (localCheckpointed) set table: Σ(per-doc array bytes + slack).
+    * Output is identical on both paths — the gate is plan-only;
+    * TextQuerySpec forces both and asserts frame equality, and
+    * PlanAuditSpec pins broadcast-below / shuffle-above. */
+  def attachTokenSets(cands: DataFrame, tsets: DataFrame,
+      thresholdBytes: Long): DataFrame = {
+    val est = tsets.agg(coalesce(sum(expr(
+        "aggregate(tset, CAST(32 AS BIGINT), (a, x) -> a + length(x) + 24)")),
+        lit(0L)))
+      .head().getLong(0)
+    val ta = tsets.select(col("doc").as("d1"), col("tset").as("ta"))
+    val tb = tsets.select(col("doc").as("d2"), col("tset").as("tb"))
+    if (est <= thresholdBytes)
+      cands.join(broadcast(ta), Seq("d1")).join(broadcast(tb), Seq("d2"))
+    else
+      cands.join(ta.hint("shuffle_hash"), Seq("d1"))
+        .join(tb.hint("shuffle_hash"), Seq("d2"))
   }
 
   /** Repetition metrics per document over n-gram rows (doc, s) WITH

@@ -622,7 +622,8 @@ object AnalyticsQueries extends QueryGroup {
     * asymptotic p-value comes from the Kolmogorov Q function
     * (Q(λ) = 2Σ(−1)^{j−1}e^{−2j²λ²}, truncated at j = 10, with the
     * standard small-sample λ correction (√nₑ+0.12+0.11/√nₑ)·D), and
-    * the 20 simultaneous tests pass through Benjamini–Hochberg
+    * the m simultaneous tests (m = the source count, derived from the
+    * data, never a literal) pass through Benjamini–Hochberg
     * step-up — the piece naive per-test thresholds miss: screening
     * thousands of slices at α each guarantees false alarms; BH bounds
     * the EXPECTED FALSE-DISCOVERY FRACTION instead. The Q sum is a
@@ -667,9 +668,14 @@ object AnalyticsQueries extends QueryGroup {
           round(least(lit(1.0), expr(s"2.0e0 * ($qExpr)")), 6))
       val wRank = Window.orderBy($"p_value".asc, $"source".asc)
       val wAll = Window.partitionBy(lit(1))
+      // BH denominator m = the ACTUAL number of simultaneous tests
+      // (count over the source-sized frame), not a literal — a corpus
+      // with a different source count would silently mis-scale the FDR
+      // threshold on both engines otherwise
       ks.withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("m", count(lit(1)).over(wAll).cast("double"))
         .withColumn("ok",
-          when($"p_value" <= $"rk".cast("double") * 0.05 / 20.0, $"rk"))
+          when($"p_value" <= $"rk".cast("double") * 0.05 / $"m", $"rk"))
         .withColumn("maxr", max($"ok").over(wAll))
         .select($"source", round($"d_stat", 6).as("d_stat"), $"p_value",
           $"rk".as("p_rank"),
@@ -728,7 +734,8 @@ object AnalyticsQueries extends QueryGroup {
           AS BIGINT) AS rk
         FROM pv),
       flagged AS (
-        SELECT *, CASE WHEN p_value <= CAST(rk AS DOUBLE) * 0.05 / 20.0
+        SELECT *, CASE WHEN p_value <= CAST(rk AS DOUBLE) * 0.05 /
+                         CAST(COUNT(*) OVER () AS DOUBLE)
                        THEN rk END AS ok
         FROM ranked),
       thr AS (SELECT MAX(ok) AS maxr FROM flagged)

@@ -139,8 +139,13 @@ object ClusterQueries extends QueryGroup {
     * cross-block graph q62's one-shuffle union-find cannot close.
     * Two independent blocking passes (entity-resolution "meta-blocking":
     * pass A bands by source × 200-char length bucket, pass B by lang ×
-    * offset 100-char bucket — the shifted bands guarantee any pair
-    * within 50 chars of length co-blocks in at least one pass) each emit
+    * offset 100-char bucket — for a pair sharing a SOURCE or a LANG,
+    * the shifted bands guarantee co-blocking in at least one pass when
+    * the lengths are within 50 chars; a near-dup pair differing in
+    * BOTH source and lang is out of scope by design, the standard
+    * blocking recall/cost trade — cross-attribute recall needs an
+    * attribute-independent pass, which is q47's LSH family's job) each
+    * emit
     * token-Jaccard ≥ 0.85 edges; their UNION spans blocks, so components
     * are closed by alternating large-star/small-star contraction
     * ([[graft.ops.TextOps.connectedComponentsStars]] — O(log²) rounds;

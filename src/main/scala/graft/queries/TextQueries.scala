@@ -1082,16 +1082,18 @@ object TextQueries extends QueryGroup {
       val copies = reps.select($"doc", $"n_copies")
       // verify via per-pair array_intersect on the carried token SETS:
       // joining token ROWS would shuffle |pairs|·|tokens| rows (22M at
-      // sf0.1); the array join ships each doc's set once per pair and
-      // intersects map-side
+      // sf0.1). HOW the sets reach the candidates is size-gated
+      // (TextOps.attachTokenSets): broadcast below the gate (bench
+      // scale — zero candidate shuffle), shuffle hash join above it
+      // (100 TB — the set table grows with the corpus and must ship
+      // through an exchange, not to every executor). Gate override:
+      // spark.graft.verify.broadcastBytes (default 64 MiB).
       val tsets = rdocs.select($"doc",
         array_sort(array_distinct(TextOps.tokens($"text"))).as("tset"))
         .localCheckpoint(true)
-      cands
-        .join(broadcast(tsets.select($"doc".as("d1"), $"tset".as("ta"))),
-          Seq("d1"))
-        .join(broadcast(tsets.select($"doc".as("d2"), $"tset".as("tb"))),
-          Seq("d2"))
+      val gate = s.conf.getOption("spark.graft.verify.broadcastBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      TextOps.attachTokenSets(cands, tsets, gate)
         .select($"d1", $"d2", $"za", $"zb",
           size(array_intersect($"ta", $"tb")).cast("long").as("i"))
         .filter(lit(5) * $"i" >= lit(4) * ($"za" + $"zb" - $"i"))

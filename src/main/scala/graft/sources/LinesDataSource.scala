@@ -204,8 +204,15 @@ private[sources] class LinesReaderFactory(fields: Array[String])
   * speculated task leaves nothing but an unreferenced tmp that
   * `abort` removes. Overwrite mode arrives as `truncate()`
   * (SupportsTruncate) and deletes prior `part-*` files inside the
-  * same driver commit, so readers never observe a half-truncated
-  * directory. `_SUCCESS` is written last, as the commit marker.
+  * driver commit. Guarantee, stated precisely: readers never observe a
+  * PARTIAL part file (tasks write hidden dot-files; only whole-file
+  * renames become visible), but the delete-then-rename sequence is not
+  * atomic as a set — a reader overlapping the commit window can see a
+  * mix of old and new part files. Snapshot isolation across overwrite
+  * needs a directory-swap or manifest commit (what Iceberg/Delta do);
+  * this connector's contract is crash-safety (no partial/torn files,
+  * aborted jobs leave the old snapshot intact), not reader isolation.
+  * `_SUCCESS` is written last, as the commit marker.
   *
   * Scale shape: no driver-side data movement — the driver handles
   * one rename pair per TASK, not per row; writers never buffer more
@@ -262,20 +269,33 @@ private[sources] class LinesWriterFactory(path: String, lineIdx: Int)
       // racing this write never sees a partial part file
       private val tmp = new java.io.File(dir,
         f".tmp-$partitionId%05d-$taskId")
-      private val out = new java.io.PrintWriter(
+      // BufferedWriter, NOT PrintWriter: PrintWriter swallows
+      // IOExceptions behind an internal error flag, so a disk-full or
+      // I/O failure would commit a silently truncated part file —
+      // defeating the 2PC guarantee. Write failures must THROW so the
+      // task aborts and the driver never sees its commit message.
+      private val out = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(
           new java.io.FileOutputStream(tmp), "UTF-8"))
 
-      override def write(row: InternalRow): Unit =
-        out.println(row.getUTF8String(lineIdx).toString)
+      override def write(row: InternalRow): Unit = {
+        out.write(row.getUTF8String(lineIdx).toString)
+        out.write('\n')
+      }
 
       override def commit(): WriterCommitMessage = {
+        // close() flushes; a buffered failure surfaces HERE, before the
+        // commit message exists — the task fails instead of publishing
         out.close()
         LinesCommit(tmp.getAbsolutePath, f"part-$partitionId%05d-$taskId.txt")
       }
 
-      override def abort(): Unit = { out.close(); tmp.delete() }
-      override def close(): Unit = out.close()
+      override def abort(): Unit = {
+        try out.close() catch { case _: java.io.IOException => () }
+        tmp.delete()
+      }
+      override def close(): Unit =
+        try out.close() catch { case _: java.io.IOException => () }
     }
   }
 }

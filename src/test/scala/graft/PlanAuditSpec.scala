@@ -537,14 +537,25 @@ class PlanAuditSpec extends SparkSpec {
       }
     } finally spark.experimental.extraOptimizations = Nil
   }
-  test("q182 prefix-filter join: broadcast array verify, no token-row verify shuffle") {
+  test("q182 prefix-filter join: size-gated verify — broadcast below the " +
+      "gate, shuffle-hash above, array verify and no cartesian on BOTH paths") {
+    // default gate (64 MiB): the sf token-set table is far below it, so
+    // the verify broadcasts — zero candidate shuffle at bench scale
     val p = planOf("q182_prefix_filter_join")
-    // the exact verify intersects BROADCAST token-set arrays per
-    // candidate — a pair x token row shuffle would show as extra
-    // sort-merge joins
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("array_intersect"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // force the above-gate (100 TB) path: the verify must degrade to a
+    // SHUFFLE hash join — each doc's set ships through the exchange,
+    // never to every executor — and must NOT fall back to a token-row
+    // verify shuffle or a cartesian
+    spark.conf.set("spark.graft.verify.broadcastBytes", "0")
+    try {
+      val p2 = planOf("q182_prefix_filter_join")
+      assert(p2.contains("ShuffledHashJoin"), p2)
+      assert(p2.contains("array_intersect"), p2)
+      assert(!p2.contains("CartesianProduct"), p2)
+    } finally spark.conf.unset("spark.graft.verify.broadcastBytes")
   }
 
   test("q176 bitext margin: the probe batch broadcasts into the corpus") {

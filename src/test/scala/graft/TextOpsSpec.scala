@@ -28,6 +28,21 @@ class TextOpsSpec extends SparkSpec {
     assert(capped == Set((7L, 8L))) // hot bucket gone, cold pair kept
   }
 
+  test("q182 verify gate: broadcast and shuffle-hash paths return identical rows") {
+    // the gate is plan-only — forcing the above-gate (100 TB) shuffle
+    // path must not change a single output row vs the broadcast path
+    def run(): Seq[String] =
+      graft.queries.Registry.runMap("q182_prefix_filter_join")(
+        spark, "/root/testdata/sf0.001").collect().map(_.toString).sorted.toSeq
+    val below = run()
+    spark.conf.set("spark.graft.verify.broadcastBytes", "0")
+    try {
+      val above = run()
+      assert(below.nonEmpty)
+      assert(below == above)
+    } finally spark.conf.unset("spark.graft.verify.broadcastBytes")
+  }
+
   test("catalog CSV loader round-trips the mapping layout") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val csv =
