@@ -116,7 +116,14 @@ object Bench {
     // per-round joins — does the ROUND COUNT grow with data?), and the
     // prefix-filter exact join (candidate volume is the clique mass —
     // the quadratic-output risk the per-source work unit bounds)
-    "q174_global_components", "q182_prefix_filter_join")
+    "q174_global_components", "q182_prefix_filter_join",
+    // r9 (r8 verdict #4): round 8's heaviest otherwise-unscaled
+    // queries — Lloyd training (rounds × corpus pass), the PCA-reduced
+    // ANN audit (d²-frame iterations + full-space exact rider), the
+    // sketch-overlap matrix (sketch×sketch joins + exact rider), and
+    // DoReMi (domain-sized loop frames over a corpus-sized base)
+    "q147_trained_ivf_search", "q160_pca_reduced_ann",
+    "q189_hll_overlap", "q167_doremi_reweight")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -290,7 +297,32 @@ object Bench {
     val prefixes = named.map(_._1.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct}")
-    val runs = timePasses(spark, sfDir, named, passes)
+    // Heavy-tail hygiene (r8 verdict #3): the untimed warm-up removes
+    // the cold-read class, but HOST interference (another process
+    // stealing the cores mid-pass) can still disturb one pass, and
+    // with 3 kept passes that outlier sits next to the median (r8's
+    // q147: [2.22, 17.91, 8.23] reported 8.23 s — 4× its repeatable
+    // cost). Queries whose kept passes spread max/min > 3 get two
+    // extra passes and report the median-of-5, so one disturbed pass
+    // can never be the p50 neighbor. Sub-0.5 s queries are exempt —
+    // their spread is JIT/GC jitter, not host interference.
+    def widen(runsIn: Array[Vector[Double]],
+        namedIn: Seq[(String, (SparkSession, String) => DataFrame)],
+        dir: String): Array[Vector[Double]] = {
+      val noisy = namedIn.indices.filter { i =>
+        val ok = runsIn(i).filter(_ > 0)
+        ok.nonEmpty && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 3.0
+      }
+      if (noisy.isEmpty) runsIn
+      else {
+        val extra = timePasses(spark, dir, noisy.map(namedIn), 2)
+        val out = runsIn.clone()
+        noisy.zipWithIndex.foreach { case (qi, ei) =>
+          out(qi) = out(qi) ++ extra(ei) }
+        out
+      }
+    }
+    val runs = widen(timePasses(spark, sfDir, named, passes), named, sfDir)
     val results = named.indices.map(i => named(i)._1 -> median(runs(i)))
     // scale tier: replicate sf0.1 `scaleCopies`× into /tmp and re-time
     // the heavy set there — sf0.1 medians sit at the plan+codegen fixed
@@ -307,7 +339,8 @@ object Bench {
         Tables.all.foreach(t =>
           Tables(spark, scaleDir, t).write.format("noop").mode("overwrite").save())
         val heavy = named.filter(q => scaleTierQueries.contains(q._1))
-        val sruns = timePasses(spark, scaleDir, heavy, passes)
+        val sruns = widen(timePasses(spark, scaleDir, heavy, passes),
+          heavy, scaleDir)
         s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
           s""""spread":${spreadJson(heavy, sruns)},""" +
           s""""runs":${runsJson(heavy, sruns)},""" +
