@@ -262,6 +262,40 @@ object Bench {
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
+  /** Same rehearsal for the round-9 v2 pipeline (normalized dedup →
+    * quality/sample → containment → line scrub → cluster → keep →
+    * grouped split → chunk → per-split shards) PLUS its two standing
+    * audits (split-leakage tabulation, per-source PSI drift gate) —
+    * the full promotion gate a production corpus run executes. Build
+    * and audits are timed as one pass: they share the document-level
+    * DAG, and a real run pays both. */
+  private def composedV2Section(spark: SparkSession, scaleDir: String,
+      passes: Int): String = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val runs = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val docs = Tables(spark, scaleDir, "documents")
+        graft.ops.CorpusPipelineV2.build(docs)
+          .write.format("noop").mode("overwrite").save()
+        graft.ops.CorpusPipelineV2.audits(docs)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      tally.drain()
+      val mb = 1024.0 * 1024.0
+      s""","composed_v2":{"stages":"q149>q76>q143>q99>q62>q126>q150>q88>q132+audits(q151,q159)",""" +
+        s""""runs":[${runs.map(fmt).mkString(",")}],""" +
+        s""""shuffle_write_mb":${fmt(tally.write / mb / passes)},""" +
+        s""""shuffle_read_mb":${fmt(tally.read / mb / passes)},""" +
+        s""""peak_stage_shuffle_write_mb":${fmt(tally.peakStageWrite / mb)},""" +
+        s""""disk_spill_mb":${fmt(tally.spill / mb / passes)}}"""
+    } catch { case e: Throwable =>
+      s""","composed_v2":{"error":"${e.getClass.getSimpleName}"}"""
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -345,7 +379,8 @@ object Bench {
           s""""spread":${spreadJson(heavy, sruns)},""" +
           s""""runs":${runsJson(heavy, sruns)},""" +
           s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}}""" +
-          composedSection(spark, scaleDir, passes)
+          composedSection(spark, scaleDir, passes) +
+          composedV2Section(spark, scaleDir, passes)
       } catch { case e: Throwable =>
         s""","scale":{"error":"${e.getClass.getSimpleName}"}"""
       }

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The round-8-generation composed corpus pipeline — [[CorpusPipeline]]
+  * extended with the stages a production pretraining run added since
+  * that DAG was frozen (r8 verdict, Next #5):
+  *
+  *   normalized dedup (q149)  fuzzy-exact collapse: lowercase /
+  *                            punctuation-strip / whitespace-collapse,
+  *                            md5 group, keep the min-id canonical
+  *   → corpus build (q76)     quality gates + keep-first near-dup
+  *                            suppression + deterministic hash sample
+  *   → containment (q143)     asymmetric subset-dedup: a short doc
+  *                            quoted whole inside a longer one scores
+  *                            C = 1 where symmetric Jaccard ≈ 0 — the
+  *                            subsumed side is dropped
+  *   → line dedup (q99)       corpus-wide boilerplate line scrub
+  *   → clustering (q62)       blocked-Jaccard near-dup components over
+  *                            the CLEANED text
+  *   → quality keep (q126)    longest document per cluster
+  *   → grouped split (q150)   leakage-safe train/val/test: keyed on the
+  *                            NORMALIZED content hash, so every
+  *                            formatting variant of a document
+  *                            co-travels into one split
+  *   → chunk (q88)            32-token windows, stride 16
+  *   → shard (q132)           per-SPLIT serpentine deal over the
+  *                            counting-sort rank — 8 balanced shards
+  *                            inside each split
+  *
+  * plus the two standing AUDITS a real run gates promotion on
+  * ([[audits]]): the cross-split near-dup leakage tabulation (q151)
+  * and the per-source PSI drift gate (q159) of the kept corpus against
+  * the raw input — "did the cleaning pipeline silently reshape a
+  * source's length distribution".
+  *
+  * Stage boundaries are DataFrame hand-offs with executor-side
+  * materialization barriers at the three fan-out points (see [[cp]]) —
+  * no driver round-trips, no loops, no collect. The scale tier times
+  * the end-to-end cost (BENCH_DETAIL "composed_v2"). Every shuffle
+  * keys on doc/hash/cluster/(split, len) ids; full text crosses the
+  * wire only where a stage's semantics need the text itself (line
+  * reassembly, chunking), exactly as in v1.
+  *
+  * Input `docs`: (doc_id, text, source, n_chars) — the documents
+  * table. [[build]] output: one row per chunk,
+  * (doc_id, chunk_id, chunk_len, chunk_hash, split, shard).
+  * [[audits]] output: (check, key, value, pass) — small (cells +
+  * sources)-sized frame.
+  */
+object CorpusPipelineV2 {
+
+  private def blockOf(nChars: Column) =
+    (nChars / 100).cast("int").cast("string")
+
+  /** Stage-boundary materialization barrier. The v2 DAG is DEEP and its
+    * stages each fan out internally (the containment/cluster self-joins
+    * read their input twice, the shard rank reads the chunk frame
+    * twice, the audits read the kept frame four times) — purely lazy
+    * composition would multiply those fan-outs into ~20 recomputations
+    * of the base scan chain. A production pipeline materializes stage
+    * boundaries (that is what writing intermediate tables between
+    * stages IS); localCheckpoint(true) is the in-session form: data
+    * stays on executors, nothing round-trips to the driver.
+    * `checkpoint = false` keeps the plan pure end to end so the plan
+    * audit can SEE every stage's join shape (a checkpoint truncates
+    * the visible plan at the barrier). */
+  private def cp(df: DataFrame, checkpoint: Boolean): DataFrame =
+    if (checkpoint) df.localCheckpoint(true) else df
+
+  /** Stages 1–7: the document-level pipeline, shared by [[build]] and
+    * [[audits]]. Output: (doc_id, source, clean_text, n_chars, split)
+    * — one row per KEPT document. */
+  private def keptWithSplit(docs: DataFrame,
+      checkpoint: Boolean): DataFrame = {
+    // stage 0/1 — normalized exact dedup (q149): the cheap collapse
+    // runs FIRST so every later stage (quality gates, token joins,
+    // minhash) pays for one copy of each formatting-variant group
+    val withH = docs.select(col("doc_id"), col("text"), col("source"),
+      col("n_chars"),
+      md5(TextOps.normalizeText(col("text")).cast("binary")).as("norm_hash"))
+    val canon = withH.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val uniq = withH.join(canon, Seq("norm_hash", "doc_id"))
+
+    // stage 2 — corpus build (q76): quality gates, keep-first near-dup
+    // suppression, deterministic 50% hash sample (map-side predicate)
+    val kept = TextOps.corpusDecisions(uniq)
+      .filter(col("decision") === "kept").select(col("doc_id"))
+    val sampled = cp(
+      Sampling.hashRateSample(uniq.join(kept, Seq("doc_id")),
+        col("doc_id").cast("string"), num = 500, den = 1000),
+      checkpoint)
+
+    // stage 3 — containment dedup (q143): source-blocked (containment
+    // pairs docs of very different LENGTHS, so the block key must not
+    // band by length), C >= 0.9 drops the subsumed (shorter) side
+    val ctok = sampled.select(col("doc_id").as("doc"),
+      col("source").as("block"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val subsumed = TextOps.blockedContainment(ctok)
+      .filter(col("containment") >= 0.9)
+      .select(col("subsumed").as("doc_id")).distinct()
+    val unquoted = sampled.join(subsumed, Seq("doc_id"), "left_anti")
+
+    // stage 4 — line dedup (q99): 10-word lines cut map-side, lines in
+    // >= 2 distinct docs dropped corpus-wide, survivors reassembled
+    val lines = unquoted
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(words) - 1) div 10),
+           n -> array_join(slice(words, n * 10 + 1, 10), ' '))"""))
+        .as(Seq("line_no", "line")))
+    val cleaned = cp(
+      TextOps.lineDedupe(lines, maxDocFreq = 2, sep = " ")
+        .join(unquoted.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long")),
+      checkpoint)
+
+    // stage 5 — near-dup clustering (q62) over the CLEANED text
+    val tr = cleaned.select(col("doc_id").as("doc"),
+      concat(col("source"), lit("#"), blockOf(col("n_chars"))).as("block"),
+      explode(array_distinct(TextOps.tokens(col("clean_text")))).as("token"))
+    val edges = TextOps.blockedJaccard(tr)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("d1"), col("d2"))
+    val docBlocks = cleaned.select(col("doc_id").as("doc"),
+      concat(col("source"), lit("#"), blockOf(col("n_chars"))).as("block"))
+    val clustered = TextOps.blockLocalComponents(edges, docBlocks,
+        cleaned.select(col("doc_id").as("node")))
+      .select(col("node").as("doc_id"), col("cluster"))
+
+    // stage 6 — quality-priority keep (q126): longest doc per cluster
+    val sized = clustered.join(
+      cleaned.select(col("doc_id"), col("source"), col("n_chars"),
+        col("clean_text")),
+      Seq("doc_id"))
+    val keepers = Relational.topOnePerGroup(sized, Seq(col("cluster")),
+      Seq(col("n_chars").desc, col("doc_id").asc))
+
+    // stage 7 — leakage-safe grouped split (q150): keyed on NORMALIZED
+    // content, never the row id — a map-side projection, and the only
+    // split rule under which fuzzy-exact duplicates provably co-travel
+    keepers.select(col("doc_id"), col("source"), col("clean_text"),
+      col("n_chars"),
+      Sampling.hashSplit(TextOps.normalizeText(col("clean_text")),
+        den = 10, train = 8, valSlots = 1).as("split"))
+  }
+
+  /** Stages 1–9: chunk + per-split serpentine shards over the kept
+    * documents. One declarative DAG; the shard rank reuses q132's
+    * counting-sort form (histogram-sized broadcast offsets + per-bucket
+    * windows — the corpus-sized frame never sorts in one partition),
+    * partitioned by split so each split carries 8 balanced shards. */
+  def build(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    val chunks = cp(keptWithSplit(docs, checkpoint), checkpoint)
+      .select(col("doc_id"), col("split"),
+        TextOps.tokens(col("clean_text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("split"), col("ts"),
+        explode(expr("sequence(0, (n - 1) div 16)")).as("chunk_id"))
+      .select(col("doc_id"), col("split"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        expr("slice(ts, CAST(chunk_id * 16 + 1 AS INT), 32)").as("chunk"))
+      .select(col("doc_id"), col("split"), col("chunk_id"),
+        size(col("chunk")).as("chunk_len"),
+        TextOps.h64(array_join(col("chunk"), " ")).as("chunk_hash"))
+    // per-split counting-sort rank: offsets per (split, len) bucket —
+    // a histogram-sized window, broadcast back into the chunk frame
+    val tagged = chunks.withColumn("__b", col("chunk_len"))
+    val hist = tagged.groupBy(col("split"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val histOrd = Window.partitionBy(col("split")).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col("split"), col("__b"),
+      coalesce(sum(col("__n")).over(histOrd), lit(0L)).as("__off"))
+    val inBucket = Window.partitionBy(col("split"), col("__b"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+    tagged.join(broadcast(offsets), Seq("split", "__b"))
+      .withColumn("__rnk", col("__off") + row_number().over(inBucket))
+      .withColumn("shard", Shard.serpentineShard(col("__rnk"), 8).cast("int"))
+      .drop("__b", "__off", "__rnk")
+  }
+
+  /** The two standing audit gates over the SAME document-level DAG:
+    *
+    *  - `split_leakage` (q151): MinHash-LSH candidate pairs (est.
+    *    Jaccard ≥ 0.5) over the kept documents' cleaned text, tabulated
+    *    by the split assignment of each side — cross-split cells are
+    *    the contamination the grouped split could not prevent; pass =
+    *    the cell is train↔train/val↔val/test↔test (within-split pairs
+    *    are residual dedup work, not leakage).
+    *  - `psi_drift` (q159): per-source PSI of the kept corpus's
+    *    n_chars distribution against the RAW input corpus (reference
+    *    deciles frozen from the raw side); pass = PSI < 0.2, the
+    *    standard "significant shift" screen — a cleaning stage that
+    *    guts one source's long tail fails here before training does.
+    *
+    * Output: (check, key, value, pass), a (cells + sources)-sized
+    * frame. */
+  def audits(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    val kept = cp(keptWithSplit(docs, checkpoint), checkpoint)
+    // q151 — cross-split near-dup leakage over the final text
+    val sh = kept
+      .withColumn("ts", TextOps.tokens(col("clean_text")))
+      .select(col("doc_id"), explode(TextOps.shingles("ts", 3)).as("s"))
+      .distinct()
+    val mh = TextOps.minhash(sh, col("doc_id"), col("s"), k = 8)
+    val cands = TextOps.lshCandidates(mh, r = 4)
+    val pairs = TextOps.estJaccard(cands, mh, k = 8)
+      .filter(col("est_jaccard") >= 0.5)
+    val assigned = kept.select(col("doc_id"), col("split"))
+    val leakage = pairs
+      .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")),
+        Seq("d1"))
+      .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")),
+        Seq("d2"))
+      .select(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("split_leakage").as("check"),
+        concat(col("split_a"), lit("->"), col("split_b")).as("key"),
+        col("n").cast("double").as("value"),
+        (col("split_a") === col("split_b")).as("pass"))
+    // q159 — per-source PSI of kept vs raw n_chars (raw = reference)
+    val drift = Drift.psi(
+        docs.select(col("source"), col("n_chars"), col("doc_id")),
+        kept.select(col("source"), col("n_chars"), col("doc_id")),
+        Seq("source"), col("n_chars"), col("doc_id"),
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9), eps = 1.0e-4)
+      .select(lit("psi_drift").as("check"), col("source").as("key"),
+        col("psi").cast("double").as("value"), (col("psi") < 0.2).as("pass"))
+    leakage.unionByName(drift)
+  }
+}

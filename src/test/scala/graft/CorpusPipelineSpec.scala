@@ -72,4 +72,94 @@ class CorpusPipelineSpec extends SparkSpec {
     // q126's keeper is still a keyed top-1 window, not a self-join
     assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
   }
+
+  // ---- v2 (round-9): normalized dedup + containment + grouped split ----
+
+  // ids chosen so every doc survives the deterministic 50% hash sample
+  // (h64(id) % 1000 < 500 for 2,5,10,11,15,18,19): the sample stage must
+  // never be the reason a v2 assertion is vacuous.
+  private def mkDocsV2 = {
+    val longWords = (1 to 60).map(i => s"word$i").mkString(" ")
+    val twinWords = (1 to 60).map(i => s"tcom$i").mkString(" ")
+    val fmtWords = (1 to 22).map(i => s"norm$i")
+    Seq(
+      // formatting variants: identical after normalizeText — q149
+      // keeps the min id (2), 5 must never reach chunking
+      (2L, fmtWords.mkString(" "), "src1"),
+      (5L, fmtWords.map(_.capitalize).mkString(", ") + "!", "src1"),
+      // containment: 11 is the first 25 tokens of 10, quoted whole —
+      // J = 25/61 (not a q76 duplicate) but C = 1 → 11 is subsumed
+      (10L, longWords + " alphatail", "src1"),
+      (11L, (1 to 25).map(i => s"word$i").mkString(" "), "src1"),
+      // near-twins (J ≈ 0.97, same source+block): at most one survives
+      (18L, twinWords + " alpha", "src2"),
+      (19L, twinWords + " omega", "src2"),
+      // solo control
+      (15L, (100 to 160).map(i => s"xyz$i").mkString(" "), "src3"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  test("v2 end-to-end: normalized dedup, containment drop, grouped split, per-split shards") {
+    val docs = mkDocsV2
+    val rows = graft.ops.CorpusPipelineV2.build(docs)
+      .select($"doc_id", $"split", $"chunk_id", $"chunk_len", $"shard")
+      .collect()
+    val outDocs = rows.map(_.getLong(0)).toSet
+    // q149: the formatting variant (5) collapses into its canonical (2)
+    assert(!outDocs.contains(5L))
+    assert(outDocs.contains(2L))
+    // q143: the quoted-whole doc (11) is subsumed by 10 and dropped,
+    // while 10 itself survives — symmetric Jaccard alone missed this
+    assert(!outDocs.contains(11L))
+    assert(outDocs.contains(10L))
+    // near-twins: exactly one survives the dup suppression + cluster keep
+    assert(outDocs.intersect(Set(18L, 19L)).size == 1)
+    assert(outDocs.contains(15L))
+    // split values are the q150 domain; all chunks of a doc share one
+    val bySplit = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).distinct)
+    assert(bySplit.values.forall(s => s.length == 1 &&
+      Set("train", "val", "test").contains(s.head)))
+    // shard domain: [0, 8) inside every split
+    assert(rows.forall(r => r.getInt(4) >= 0 && r.getInt(4) < 8))
+    // determinism: a rerun is bit-identical (hash splits, no randomness)
+    val again = graft.ops.CorpusPipelineV2.build(docs)
+      .select($"doc_id", $"split", $"chunk_id", $"chunk_len", $"shard")
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("v2 audits: leakage cells carry split-pair semantics, PSI gate rows per source") {
+    val docs = mkDocsV2
+    val a = graft.ops.CorpusPipelineV2.audits(docs).collect()
+    val checks = a.map(_.getString(0)).toSet
+    assert(checks.subsetOf(Set("split_leakage", "psi_drift")))
+    // the drift gate emits one row per source that survives to the kept
+    // corpus, value >= 0, pass <=> psi < 0.2
+    val psi = a.filter(_.getString(0) == "psi_drift")
+    assert(psi.nonEmpty)
+    assert(psi.forall(r => r.getDouble(2) >= 0.0 &&
+      r.getBoolean(3) == (r.getDouble(2) < 0.2)))
+    // leakage rows: pass exactly when the pair stayed within one split
+    val leak = a.filter(_.getString(0) == "split_leakage")
+    assert(leak.forall { r =>
+      val k = r.getString(1).split("->")
+      r.getBoolean(3) == (k(0) == k(1))
+    })
+  }
+
+  test("v2 composed plan: no cartesian, anti joins survive, offsets broadcast") {
+    // checkpoint = false: the PURE plan — a stage-boundary barrier
+    // would truncate the visible DAG and hide the upstream join shapes
+    val plan = graft.ops.CorpusPipelineV2.build(mkDocsV2, checkpoint = false)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // containment drop AND line scrub are both anti joins
+    assert("LeftAnti".r.findAllIn(plan).size >= 2, plan)
+    // the shard rank's bucket offsets ride a broadcast, so the
+    // chunk-sized frame never sorts in one partition
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
