@@ -37,7 +37,8 @@ object Registry {
     RetrievalQueries,
     AssemblyQueries,
     PcaQueries,
-    CmorQueries)
+    CmorQueries,
+    MediaQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

@@ -574,6 +574,25 @@ class PlanAuditSpec extends SparkSpec {
       + nodeCount(p, "ShuffledHashJoin") >= 2, p)
   }
 
+  test("q194 media block-simhash: map-side signatures, banded equi-join, no cartesian") {
+    val p = planOf("q194_media_block_simhash")
+    // the signature fold is one groupBy with map-side partials (a wide
+    // conditional-sum row per doc, never |blocks|x32 exploded rows)
+    assert(nodeCount(p, "HashAggregate") >= 2, p)
+    // candidates come from the (band, bits) equi-join — any join
+    // strategy is fine, a cartesian never is
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bit_count"), p)
+  }
+
+  test("q193 media exact dedup: hash-group and join-back share one shuffle key") {
+    val p = planOf("q193_media_exact_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // payloads never shuffle: every exchange key is the 16-byte hash or
+    // the sort — the binary column stays in the scan-side project
+    assert(nodeCount(p, "Exchange") <= 3, p)
+  }
+
   test("q187 quantile normalization ranks through broadcast histogram offsets") {
     val p = planOf("q187_quantile_normalize")
     // the global order comes from histogramRank: bucket offsets are a
