@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   * on one side contributes a large-but-finite term, never ±∞. */
 object Drift {
 
+  /** Kolmogorov asymptotic tail Q(λ) = 2Σ(−1)^{j−1}e^{−2j²λ²},
+    * truncated at j = 10, as a FIXED left-to-right chain of exp terms
+    * over a column named `lam2` — never a commutative float sum, so
+    * Spark, DuckDB, and the streaming twin agree bit-wise. Shared by
+    * q192's batch screen and [[graft.streaming.StreamDriftScreen]]. */
+  val kolmogorovQSql: String =
+    (2 to 10).foldLeft("exp(-2.0e0 * 1.0e0 * lam2)") { (acc, j) =>
+      val sign = if (j % 2 == 0) "-" else "+"
+      s"$acc $sign exp(-2.0e0 * ${j * j}.0e0 * lam2)"
+    }
+
   /** The frozen bin-edge table: per group, the sorted exact
     * nearest-rank quantiles of the reference as an array column
     * `__th`. Groups-sized; broadcasts into every consumer (the batch
@@ -77,6 +88,69 @@ object Drift {
       .groupBy(kcols: _*)
       .agg(Exact.dsum(col("__term")).as("psi"),
         max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"))
+  }
+
+  /** Leave-one-out KS drift screen with Benjamini–Hochberg FDR control
+    * over a binned histogram frame (`key`, bin, c) — the q192 fold,
+    * factored so the batch screen and the streaming twin
+    * ([[graft.streaming.StreamDriftScreen]]) run the IDENTICAL
+    * arithmetic: each key's binned distribution KS-tests against the
+    * rest of the corpus (integer-exact sup |n_src·i − n_rest·j|), the
+    * p-value is the fixed-chain [[kolmogorovQSql]] with the
+    * small-sample λ correction, and the m simultaneous tests (m
+    * derived from the frame, never a literal) pass through the BH
+    * step-up. `bin` may be a raw value (q192 uses n_chars itself — the
+    * exact ECDF) or a frozen-edge bin index (the streaming path);
+    * the fold only needs bins ordered and shared across keys.
+    * Output: (key, d_stat, p_value, p_rank, drift_rejected). */
+  def ksScreenFold(hist: DataFrame, key: String, alpha: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gx = hist.groupBy(col("bin")).agg(sum(col("c")).as("g"))
+    val spine = hist.select(col(key)).distinct().crossJoin(gx)
+    // renamed join-back: spine derives from hist, so both join sides
+    // share attribute ids when hist is not a fresh scan (e.g. a
+    // streaming memory-sink table) and dataset aliases stay ambiguous;
+    // re-aliasing the right side's columns mints fresh ids
+    val hh = hist.select(col(key).as("__k"), col("bin").as("__bin"),
+      col("c").as("__c"))
+    val full = spine.join(hh,
+        col(key) === col("__k") && col("bin") === col("__bin"), "left")
+      .select(col(key), col("bin"), col("g"),
+        coalesce(col("__c"), lit(0L)).as("c"))
+    val wCum = Window.partitionBy(col(key)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full
+      .withColumn("j", sum(col("c")).over(wCum))
+      .withColumn("i", sum(col("g") - col("c")).over(wCum))
+    val ns = full.groupBy(col(key))
+      .agg(sum(col("c")).as("n_src"), sum(col("g") - col("c")).as("n_rest"))
+      .select(col(key).as("__nk"), col("n_src"), col("n_rest"))
+    val ks = cum.join(broadcast(ns), col(key) === col("__nk")).drop("__nk")
+      .groupBy(col(key))
+      .agg(max(abs(col("n_src") * col("i") - col("n_rest") * col("j")))
+          .as("dnum"),
+        max(col("n_src")).as("n_src"), max(col("n_rest")).as("n_rest"))
+      .withColumn("d_stat",
+        col("dnum").cast("double") / (col("n_src") * col("n_rest")).cast("double"))
+      .withColumn("ne",
+        (col("n_src") * col("n_rest")).cast("double") /
+          (col("n_src") + col("n_rest")).cast("double"))
+      .withColumn("lam2",
+        expr("pow((sqrt(ne) + 0.12e0 + 0.11e0 / sqrt(ne)) * d_stat, 2)"))
+      .withColumn("p_value",
+        round(least(lit(1.0), expr(s"2.0e0 * ($kolmogorovQSql)")), 6))
+    val wRank = Window.orderBy(col("p_value").asc, col(key).asc)
+    val wAll = Window.partitionBy(lit(1))
+    ks.withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("ok",
+        when(col("p_value") <= col("rk").cast("double") * alpha / col("m"),
+          col("rk")))
+      .withColumn("maxr", max(col("ok")).over(wAll))
+      .select(col(key), round(col("d_stat"), 6).as("d_stat"), col("p_value"),
+        col("rk").as("p_rank"),
+        (col("maxr").isNotNull && col("rk") <= col("maxr"))
+          .as("drift_rejected"))
   }
 
   /** Oracle twin of the PSI fold given CTEs hr(keys, bin, cr) and

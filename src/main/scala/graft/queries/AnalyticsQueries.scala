@@ -634,52 +634,15 @@ object AnalyticsQueries extends QueryGroup {
     "q192_fdr_drift_screen",
     (s, dir) => {
       import s.implicits._
-      val qExpr = (2 to 10).foldLeft("exp(-2.0e0 * 1.0e0 * lam2)") {
-        (acc, j) =>
-          val sign = if (j % 2 == 0) "-" else "+"
-          s"$acc $sign exp(-2.0e0 * ${j * j}.0e0 * lam2)"
-      }
-      val d = Tables(s, dir, "documents")
-      val cnt = d.groupBy($"source", $"n_chars".as("x"))
+      // the screen fold (leave-one-out ECDF sup, fixed-chain Q p-value,
+      // BH step-up with m derived from the data) is the SHARED
+      // Drift.ksScreenFold — the streaming twin StreamDriftScreen runs
+      // the identical arithmetic over frozen-edge bins; here bin = the
+      // raw n_chars value, i.e. the exact ECDF
+      val hist = Tables(s, dir, "documents")
+        .groupBy($"source", $"n_chars".as("bin"))
         .agg(count(lit(1)).as("c"))
-      val gx = cnt.groupBy($"x").agg(sum($"c").as("g"))
-      val spine = cnt.select($"source").distinct().crossJoin(gx)
-      val full = spine.join(cnt, Seq("source", "x"), "left")
-        .select($"source", $"x", $"g", coalesce($"c", lit(0L)).as("c"))
-      val wCum = Window.partitionBy($"source").orderBy($"x")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = full
-        .withColumn("j", sum($"c").over(wCum))
-        .withColumn("i", sum($"g" - $"c").over(wCum))
-      val ns = full.groupBy($"source")
-        .agg(sum($"c").as("n_src"), sum($"g" - $"c").as("n_rest"))
-      val ks = cum.join(broadcast(ns), Seq("source"))
-        .groupBy($"source")
-        .agg(max(abs($"n_src" * $"i" - $"n_rest" * $"j")).as("dnum"),
-          max($"n_src").as("n_src"), max($"n_rest").as("n_rest"))
-        .withColumn("d_stat",
-          $"dnum".cast("double") / ($"n_src" * $"n_rest").cast("double"))
-        .withColumn("ne",
-          ($"n_src" * $"n_rest").cast("double") /
-            ($"n_src" + $"n_rest").cast("double"))
-        .withColumn("lam2",
-          expr("pow((sqrt(ne) + 0.12e0 + 0.11e0 / sqrt(ne)) * d_stat, 2)"))
-        .withColumn("p_value",
-          round(least(lit(1.0), expr(s"2.0e0 * ($qExpr)")), 6))
-      val wRank = Window.orderBy($"p_value".asc, $"source".asc)
-      val wAll = Window.partitionBy(lit(1))
-      // BH denominator m = the ACTUAL number of simultaneous tests
-      // (count over the source-sized frame), not a literal — a corpus
-      // with a different source count would silently mis-scale the FDR
-      // threshold on both engines otherwise
-      ks.withColumn("rk", row_number().over(wRank).cast("long"))
-        .withColumn("m", count(lit(1)).over(wAll).cast("double"))
-        .withColumn("ok",
-          when($"p_value" <= $"rk".cast("double") * 0.05 / $"m", $"rk"))
-        .withColumn("maxr", max($"ok").over(wAll))
-        .select($"source", round($"d_stat", 6).as("d_stat"), $"p_value",
-          $"rk".as("p_rank"),
-          ($"maxr".isNotNull && $"rk" <= $"maxr").as("drift_rejected"))
+      graft.ops.Drift.ksScreenFold(hist, "source", alpha = 0.05)
         .orderBy($"source")
     },
     Some {
