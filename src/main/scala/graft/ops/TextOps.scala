@@ -391,6 +391,63 @@ object TextOps {
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
+  /** Variable-length repeated-substring spans (the Lee et al. '22
+    * "Deduplicating Training Data Makes Language Models Better"
+    * modality — remove every substring of ≥ some length that occurs
+    * more than once in the corpus), computed by the bounded
+    * anchor-and-merge construction instead of a suffix array:
+    *
+    *  1. ANCHOR: every w-token window is content-hashed ([[h64]]) and
+    *     windows whose hash occurs ≥ 2 times corpus-wide (across docs
+    *     OR within one — self-repetition counts, as in the paper) are
+    *     the duplicated anchors;
+    *  2. MERGE: per doc, overlapping-or-adjacent duplicated anchors
+    *     (gap ≤ w tokens) union into maximal spans — a repeated
+    *     substring of L ≥ w tokens appears as L−w+1 consecutive
+    *     duplicated anchors, so its maximal span is recovered with
+    *     exact variable length.
+    *
+    * Documented bound: repeats SHORTER than w tokens are invisible (w
+    * is the minimum-match length knob, the paper's 50; choose it per
+    * corpus), and a merged span certifies every w-window inside it is
+    * duplicated somewhere, which is the removal criterion production
+    * implementations of the paper apply. Suffix-automaton exactness
+    * below w is not worth its non-distributable construction.
+    *
+    * Scale shape: anchors are a map-side explode (|tokens| rows of
+    * (doc, pos, hash)), the multiplicity filter is one hash-keyed
+    * groupBy join, and the merge is a per-doc ordered window
+    * (lag + running sum — the gaps-and-islands form), never a
+    * self-join. Output: (doc, span_start, span_end, span_len),
+    * token-indexed, 0-based inclusive. */
+  def repeatedSpans(df: DataFrame, doc: Column, text: Column,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(doc.as("doc"), tokens(text).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= w)
+    val sp = t
+      .select(col("doc"), explode(expr(s"sequence(0, n - $w)")).as("pos"),
+        col("ts"))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        h64(expr(s"array_join(slice(ts, CAST(pos + 1 AS INT), $w), ' ')"))
+          .as("h"))
+    val freq = sp.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val dup = sp.join(freq, Seq("h")).filter(col("occ") >= 2)
+    val wOrd = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val isl = dup
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("island", sum(
+        when(col("prev").isNull || col("pos") > col("prev") + w, 1L)
+          .otherwise(0L)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"))
+      .select(col("doc"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   /** Size-gated exact-verify attach: join candidate pairs (d1, d2, …)
     * to the per-doc sorted token-set arrays `tsets` (doc, tset) as
     * ta/tb, choosing the JOIN STRATEGY by the measured size of the

@@ -1147,6 +1147,50 @@ object TextQueries extends QueryGroup {
       WHERE 5 * i.i >= 4 * (i.za + i.zb - i.i)
       ORDER BY i.d1, i.d2"""))
 
+  /** Variable-length repeated-substring spans
+    * ([[graft.ops.TextOps.repeatedSpans]], Lee et al. '22): the one
+    * text-dedup modality the fixed-w span family (q110/q144/q152)
+    * cannot express — q110 counts duplicated w-windows, this recovers
+    * the MAXIMAL duplicated region with its exact variable length by
+    * merging overlapping/adjacent duplicated anchors per doc
+    * (gaps-and-islands over an ordered window, never a self-join).
+    * Bound: repeats shorter than w = 10 tokens are invisible; every
+    * emitted span certifies all its w-windows duplicated corpus-wide,
+    * the paper's removal criterion. All arithmetic is integer
+    * (positions, islands), so both engines agree bit-wise. */
+  private val q195 = Q(
+    "q195_repeated_substrings",
+    (s, dir) => {
+      import s.implicits._
+      TextOps.repeatedSpans(docs(s, dir), $"doc_id", $"text", w = 10)
+        .orderBy($"doc", $"span_start")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      sp AS (
+        SELECT doc_id AS doc, CAST(i - 1 AS BIGINT) AS pos,
+          ${TextOps.h64Sql("array_to_string(ts[i:i+9], ' ')")} AS h
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(1, len(ts) - 9)) AS i) g
+        WHERE len(ts) >= 10),
+      freq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM sp GROUP BY h),
+      dup AS (SELECT sp.doc, sp.pos FROM sp JOIN freq USING (h)
+              WHERE occ >= 2),
+      lagged AS (
+        SELECT doc, pos,
+          LAG(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+        FROM dup),
+      isl AS (
+        SELECT doc, pos,
+          SUM(CASE WHEN prev IS NULL OR pos > prev + 10 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc ORDER BY pos) AS island
+        FROM lagged)
+      SELECT doc, MIN(pos) AS span_start,
+        MAX(pos) + 9 AS span_end,
+        MAX(pos) + 9 - MIN(pos) + 1 AS span_len
+      FROM isl GROUP BY doc, island ORDER BY doc, span_start"""))
+
   /** Gini coefficient of token-frequency concentration per source —
     * the inequality audit beside Zipf's slope (q163 fits the power
     * law's EXPONENT; Gini summarizes how much of the token mass the
@@ -1203,5 +1247,5 @@ object TextQueries extends QueryGroup {
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175, q180, q181, q182, q188)
+      q172, q175, q180, q181, q182, q188, q195)
 }
