@@ -38,7 +38,8 @@ object Registry {
     AssemblyQueries,
     PcaQueries,
     CmorQueries,
-    MediaQueries)
+    MediaQueries,
+    EvalQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
