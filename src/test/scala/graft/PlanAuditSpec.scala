@@ -593,6 +593,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Exchange") <= 3, p)
   }
 
+  test("q197 bloom gate: the filter is a broadcast word table, probes map-side, no cartesian") {
+    val p = planOf("q197_bloom_membership")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the exact ground-truth membership join rides as an equi-join too
+    assert(nodeCount(p, "SortMergeJoin") + nodeCount(p, "ShuffledHashJoin")
+      + nodeCount(p, "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("q196 lsh recall audit: banded candidates and blocked truth, never all-pairs") {
+    val p = planOf("q196_lsh_recall_audit")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198 embedding drift folds over centroid frames via broadcasts") {
+    val p = planOf("q198_embedding_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q187 quantile normalization ranks through broadcast histogram offsets") {
     val p = planOf("q187_quantile_normalize")
     // the global order comes from histogramRank: bucket offsets are a
