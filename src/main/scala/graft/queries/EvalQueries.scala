@@ -399,5 +399,377 @@ object EvalQueries extends QueryGroup {
       FROM e JOIN sums s ON e.alpha = s.alpha
       ORDER BY e.source, e.alpha"""))
 
-  def queries: Seq[Q] = Seq(q196, q197, q198, q199, q200)
+  private val silCosSql =
+    "CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / " +
+      "(sqrt(CAST(SUM(CAST(a2 AS DECIMAL(18,6))) AS DOUBLE)) * " +
+      "sqrt(CAST(SUM(CAST(b2 AS DECIMAL(18,6))) AS DOUBLE)))"
+
+  /** Simplified silhouette per IVF cell (Vendramin '10 calls this the
+    * centroid-based silhouette): for each vector, a = cosine distance
+    * to its OWN centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a)/max(a, b) — the clustering-quality audit for the
+    * index every ANN ladder serves from. Full silhouette is O(n²)
+    * pairwise; the simplified form is the n×K centroid sweep the
+    * assignment already pays, so the audit is free at index-build
+    * time. Cosines are exact-decimal and rounded per convention;
+    * cells aggregate a decimal-exact mean. */
+  private val q201 = Q(
+    "q201_cell_silhouette",
+    (s, dir) => {
+      import s.implicits._
+      val all = graft.ops.Similarity.withNorms(
+        Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val cos = all.crossJoin(broadcast(cents))
+        .select($"id", $"cid",
+          round(graft.ops.Similarity.dotExact("emb", "cemb") /
+            (sqrt($"norm2") * sqrt($"cnorm2")), 6).as("ccos"))
+      val own = graft.ops.Relational.topOnePerGroup(cos, Seq($"id"),
+          Seq($"ccos".desc, $"cid".asc))
+        .select($"id", $"cid".as("own_cid"), $"ccos".as("own_cos"))
+      val other = cos.join(own, Seq("id")).filter($"cid" =!= $"own_cid")
+        .groupBy($"id").agg(max($"ccos").as("other_cos"))
+      val sil = own.join(other, Seq("id"))
+        .select($"id", $"own_cid".as("cid"),
+          (lit(1.0) - $"own_cos").as("a"), (lit(1.0) - $"other_cos").as("b"))
+        .withColumn("sv", when(greatest($"a", $"b") > 0,
+          round(($"b" - $"a") / greatest($"a", $"b"), 6)).otherwise(lit(0.0)))
+      sil.groupBy($"cid")
+        .agg(count(lit(1)).as("n"),
+          round(Exact.dsum($"sv") / count(lit(1)), 6).as("mean_silhouette"))
+        .orderBy($"cid")
+    },
+    Some(s"""
+      WITH comp AS (
+        SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS e
+        FROM embeddings),
+      parts AS (
+        SELECT v.id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      cosv AS (
+        SELECT id, cid, round($silCosSql, 6) AS ccos
+        FROM parts GROUP BY id, cid),
+      own AS (
+        SELECT id, cid AS own_cid, ccos AS own_cos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY ccos DESC, cid) AS rn
+          FROM cosv) WHERE rn = 1),
+      oth AS (
+        SELECT c.id, MAX(c.ccos) AS other_cos
+        FROM cosv c JOIN own o ON c.id = o.id AND c.cid <> o.own_cid
+        GROUP BY c.id),
+      sil AS (
+        SELECT o.own_cid AS cid, 1.0e0 - o.own_cos AS a,
+               1.0e0 - t.other_cos AS b
+        FROM own o JOIN oth t ON o.id = t.id),
+      sil2 AS (
+        SELECT cid, CASE WHEN GREATEST(a, b) > 0
+          THEN round((b - a) / GREATEST(a, b), 6) ELSE 0.0e0 END AS sv
+        FROM sil)
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+        round(${Exact.sqlSum("sv")} / COUNT(*), 6) AS mean_silhouette
+      FROM sil2 GROUP BY cid ORDER BY cid"""))
+
+  /** Language-ID calibration (reliability diagram + ECE): the q44
+    * lexicon classifier's confidence — Laplace-smoothed posterior
+    * (hits_best + 1)/(hits_total + 4) over the 4-language lexicon, so
+    * confidence GROWS with evidence instead of saturating at 1.0 on a
+    * single hit — bucketed into 5 bins against the ground-truth lang
+    * column — per bin the mean confidence vs empirical accuracy, plus
+    * the expected calibration error Σ (n_b/N)·|acc_b − conf_b|. A
+    * classifier that says 0.9 and is right 60% of the time poisons
+    * every downstream lang-keyed decision (splits, mixing, fertility);
+    * this is the audit that catches it. Confidence ratios and bin
+    * edges are IEEE-identical on both engines; means are decimal-exact
+    * over 6-decimal terms. */
+  private val q202 = Q(
+    "q202_langid_calibration",
+    (s, dir) => {
+      import s.implicits._
+      val lexicon = s.createDataFrame(Seq(
+        ("the", "en"), ("a", "en"), ("of", "en"),
+        ("le", "fr"), ("la", "fr"), ("et", "fr"),
+        ("der", "de"), ("und", "de"), ("die", "de"),
+        ("el", "es"), ("los", "es"), ("y", "es"))).toDF("token", "lang_guess")
+      val d = docs(s, dir)
+      val hits = d.select($"doc_id".as("doc"), $"lang",
+          explode(TextOps.tokens($"text")).as("token"))
+        .join(broadcast(lexicon), Seq("token"))
+        .groupBy($"doc", $"lang", $"lang_guess").agg(count(lit(1)).as("hits"))
+      val tot = hits.groupBy($"doc").agg(sum($"hits").as("tot"))
+      val best = graft.ops.Relational.topOnePerGroup(hits, Seq($"doc"),
+        Seq($"hits".desc, $"lang_guess".asc))
+      val conf = best.join(tot, Seq("doc"))
+        .select($"doc",
+          (($"hits" + 1).cast("double") / ($"tot" + 4).cast("double"))
+            .as("conf"),
+          ($"lang_guess" === $"lang").cast("long").as("correct"))
+        .withColumn("bin", least(lit(5L), ceil($"conf" * 5)).cast("long"))
+      val wAll = Window.partitionBy(lit(1))
+      conf.groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          round(Exact.dsum(round($"conf", 6)) / count(lit(1)), 6)
+            .as("mean_conf"),
+          (sum($"correct").cast("double") / count(lit(1)).cast("double"))
+            .as("accuracy"))
+        .withColumn("__tot", sum($"n").over(wAll))
+        .withColumn("ece", round(sum(
+            round(($"n".cast("double") / $"__tot".cast("double")) *
+              abs($"accuracy" - $"mean_conf"), 6).cast("decimal(18,6)"))
+          .over(wAll).cast("double"), 6))
+        .select($"bin", $"n", $"mean_conf", $"accuracy", $"ece")
+        .orderBy($"bin")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id AS doc, lang,
+          unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents),
+      lex(token, lang_guess) AS (VALUES
+        ('the','en'), ('a','en'), ('of','en'),
+        ('le','fr'), ('la','fr'), ('et','fr'),
+        ('der','de'), ('und','de'), ('die','de'),
+        ('el','es'), ('los','es'), ('y','es')),
+      hits AS (
+        SELECT doc, lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS hits
+        FROM tok JOIN lex USING (token) GROUP BY doc, lang, lang_guess),
+      tot AS (SELECT doc, CAST(SUM(hits) AS BIGINT) AS tot
+              FROM hits GROUP BY doc),
+      best AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc
+            ORDER BY hits DESC, lang_guess) AS rn
+          FROM hits) WHERE rn = 1),
+      conf AS (
+        SELECT b.doc,
+          CAST(b.hits + 1 AS DOUBLE) / CAST(t.tot + 4 AS DOUBLE) AS conf,
+          CASE WHEN b.lang_guess = b.lang THEN 1 ELSE 0 END AS correct
+        FROM best b JOIN tot t ON b.doc = t.doc),
+      binned AS (
+        SELECT LEAST(5, CAST(ceil(conf * 5) AS BIGINT)) AS bin,
+          conf, correct
+        FROM conf),
+      agg AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          round(${Exact.sqlSum("round(conf, 6)")} / COUNT(*), 6)
+            AS mean_conf,
+          CAST(SUM(correct) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS accuracy
+        FROM binned GROUP BY bin),
+      tots AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM agg),
+      terms AS (
+        SELECT bin, n, mean_conf, accuracy,
+          CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+            ABS(accuracy - mean_conf), 6) AS DECIMAL(18,6)) AS term
+        FROM agg CROSS JOIN tots),
+      ecet AS (SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS ece FROM terms)
+      SELECT bin, n, mean_conf, accuracy, ece
+      FROM terms CROSS JOIN ecet ORDER BY bin"""))
+
+  /** Confident-learning label-noise estimate (Northcutt '21, binary
+    * form): the q135 NB quality classifier's scores against its own
+    * heuristic labels — per class, the class-mean score is the
+    * self-confidence threshold, and an example whose score crosses the
+    * OTHER class's threshold is a suspected label error. The
+    * off-diagonal mass estimates how noisy the heuristic labels are —
+    * the number that decides whether a learned filter can outperform
+    * the rules that trained it. Thresholds are decimal-exact means of
+    * 6-decimal scores; every comparison is a deterministic double. */
+  private val q203 = Q(
+    "q203_label_noise_estimate",
+    (s, dir) => {
+      import s.implicits._
+      def ts = TextOps.tokens($"text")
+      val isPos = (size(ts) >= 20) and
+        (aggregate(transform(ts, t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / size(ts).cast("double") >= 3.5)
+      // the GIVEN labels are the heuristic that trained the model (the
+      // nbScore output's `label` is its PREDICTION, not the given one)
+      val given = docs(s, dir).select($"doc_id".as("doc"), isPos.as("given"))
+      val scored = LmScore.nbScore(docs(s, dir), $"doc_id", $"text",
+          isPos, vocabK = 50)
+        .select($"doc", $"score")
+        .join(given, Seq("doc"))
+      val th = scored.groupBy($"given")
+        .agg(round(Exact.dsum(round($"score", 6)) / count(lit(1)), 6)
+          .as("t"))
+      val tpos = th.filter($"given").select($"t".as("t_pos"))
+      val tneg = th.filter(!$"given").select($"t".as("t_neg"))
+      scored.crossJoin(broadcast(tpos)).crossJoin(broadcast(tneg))
+        .withColumn("suspect",
+          when($"given", $"score" <= $"t_neg")
+            .otherwise($"score" >= $"t_pos").cast("long"))
+        .groupBy($"given".as("given_label"))
+        .agg(count(lit(1)).as("n_total"), sum($"suspect").as("n_suspect"))
+        .withColumn("suspect_rate",
+          $"n_suspect".cast("double") / $"n_total".cast("double"))
+        .orderBy($"given_label")
+    },
+    Some {
+      val tsSql = "string_split_regex(trim(text), '\\s+')"
+      val labelSql = s"""(len($tsSql) >= 20 AND
+        CAST(list_sum(list_transform($tsSql, t -> length(t))) AS DOUBLE)
+        / CAST(len($tsSql) AS DOUBLE) >= 3.5e0)"""
+      s"""
+      WITH ${LmScore.nbScoreSql("doc_id", "text", labelSql, 50)},
+      given AS (SELECT doc_id AS doc, $labelSql AS given FROM documents),
+      j AS (SELECT g.given, o.score
+            FROM nbout o JOIN given g ON o.doc = g.doc),
+      th AS (
+        SELECT given,
+          round(${Exact.sqlSum("round(score, 6)")} / COUNT(*), 6) AS t
+        FROM j GROUP BY given),
+      flagged AS (
+        SELECT j.given AS given_label,
+          CASE WHEN j.given THEN
+            CASE WHEN j.score <= tn.t THEN 1 ELSE 0 END
+          ELSE CASE WHEN j.score >= tp.t THEN 1 ELSE 0 END END AS suspect
+        FROM j
+        CROSS JOIN (SELECT t FROM th WHERE given) tp
+        CROSS JOIN (SELECT t FROM th WHERE NOT given) tn)
+      SELECT given_label, CAST(COUNT(*) AS BIGINT) AS n_total,
+        CAST(SUM(suspect) AS BIGINT) AS n_suspect,
+        CAST(SUM(suspect) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS suspect_rate
+      FROM flagged GROUP BY given_label ORDER BY given_label"""
+    })
+
+  /** Dedup-threshold sweep: the aggressiveness curve a pipeline owner
+    * reads before picking the Jaccard knob — for t ∈ {0.7, 0.8, 0.9},
+    * how many near-dup pairs exist, how many docs the keep-first
+    * policy would drop, and how much distinct-token mass goes with
+    * them. One blocked self-join computes ALL thresholds (the pair
+    * frame is built once; each threshold is an integer test
+    * 10i ≥ t₁₀(za+zb−i) over it), so the sweep costs one q49, not
+    * three. */
+  private val q204 = Q(
+    "q204_dedup_threshold_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val tr = docs(s, dir)
+        .select($"doc_id".as("doc"),
+          concat($"source", lit("#"),
+            ($"n_chars" / 100).cast("int").cast("string")).as("block"),
+          explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val sizes = tr.groupBy($"doc").agg(count(lit(1)).as("n"))
+      val inter = tr.as("a").join(tr.as("b"),
+          $"a.block" === $"b.block" && $"a.token" === $"b.token" &&
+            $"a.doc" < $"b.doc")
+        .groupBy($"a.doc".as("d1"), $"b.doc".as("d2"))
+        .agg(count(lit(1)).as("i"))
+      val pairs = inter
+        .join(sizes.select($"doc".as("d1"), $"n".as("na")), Seq("d1"))
+        .join(sizes.select($"doc".as("d2"), $"n".as("nb")), Seq("d2"))
+        .select($"d1", $"d2", $"i", $"na", $"nb",
+          explode(array(lit(7L), lit(8L), lit(9L))).as("thresh10"))
+        .filter(lit(10) * $"i" >= $"thresh10" * ($"na" + $"nb" - $"i"))
+      val np = pairs.groupBy($"thresh10").agg(count(lit(1)).as("n_pairs"))
+      val dropped = pairs.select($"thresh10", $"d2", $"nb").distinct()
+        .groupBy($"thresh10")
+        .agg(count(lit(1)).as("n_docs_dropped"),
+          sum($"nb").as("n_tokens_dropped"))
+      np.join(dropped, Seq("thresh10"))
+        .orderBy($"thresh10")
+    },
+    Some("""
+      WITH tr AS (
+        SELECT DISTINCT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR)
+            AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+            AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2, i.i, sa.n AS na, sb.n AS nb, t.thresh10
+        FROM inter i
+        JOIN sz sa ON i.d1 = sa.doc JOIN sz sb ON i.d2 = sb.doc
+        CROSS JOIN (SELECT unnest(ARRAY[CAST(7 AS BIGINT),
+          CAST(8 AS BIGINT), CAST(9 AS BIGINT)]) AS thresh10) t
+        WHERE 10 * i.i >= t.thresh10 * (sa.n + sb.n - i.i)),
+      np AS (
+        SELECT thresh10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY thresh10),
+      dropped AS (
+        SELECT thresh10, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+          CAST(SUM(nb) AS BIGINT) AS n_tokens_dropped
+        FROM (SELECT DISTINCT thresh10, d2, nb FROM pairs)
+        GROUP BY thresh10)
+      SELECT np.thresh10, np.n_pairs, d.n_docs_dropped, d.n_tokens_dropped
+      FROM np JOIN dropped d ON np.thresh10 = d.thresh10
+      ORDER BY np.thresh10"""))
+
+  /** IVF cell-balance audit: the load-factor summary of the inverted
+    * file every ANN query fans into — max/mean imbalance is the
+    * straggler-task predictor at serving time (a 10× hot cell means
+    * nprobe=1 queries into it cost 10× the median), and the CV is the
+    * one-number rebalance trigger. cv = √(k·Σn² − (Σn)²)/Σn keeps the
+    * radicand an exact integer. */
+  private val q205 = Q(
+    "q205_ivf_cell_balance",
+    (s, dir) => {
+      import s.implicits._
+      val all = graft.ops.Similarity.withNorms(
+        Tables.spread(s, dir, "embeddings"), $"vec_id", $"embedding")
+      val cents = all.filter($"id" < 16)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val counts = graft.ops.Similarity.ivfAssign(all, cents)
+        .groupBy($"cid").agg(count(lit(1)).as("n"))
+      counts.agg(
+          count(lit(1)).as("n_cells"),
+          min($"n").as("n_min"), max($"n").as("n_max"),
+          sum($"n").as("__s"), sum($"n" * $"n").as("__s2"))
+        .select($"n_cells", $"n_min", $"n_max",
+          round($"__s".cast("double") / $"n_cells".cast("double"), 6)
+            .as("mean_sz"),
+          round($"n_max".cast("double") /
+            ($"__s".cast("double") / $"n_cells".cast("double")), 6)
+            .as("imbalance"),
+          round(sqrt(($"n_cells" * $"__s2" - $"__s" * $"__s")
+            .cast("double")) / $"__s".cast("double"), 6).as("cv"))
+    },
+    Some(s"""
+      WITH comp AS (
+        SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS e
+        FROM embeddings),
+      parts AS (
+        SELECT v.id, c.id AS cid, v.e * c.e AS p,
+               v.e * v.e AS a2, c.e * c.e AS b2
+        FROM comp v JOIN comp c ON v.i = c.i
+        WHERE c.id < 16),
+      cosv AS (
+        SELECT id, cid, $silCosSql AS ccos
+        FROM parts GROUP BY id, cid),
+      own AS (
+        SELECT id, cid FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY ccos DESC, cid) AS rn
+          FROM cosv) WHERE rn = 1),
+      counts AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM own GROUP BY cid),
+      summ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          MIN(n) AS n_min, MAX(n) AS n_max,
+          CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS s2
+        FROM counts)
+      SELECT n_cells, n_min, n_max,
+        round(CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) AS mean_sz,
+        round(CAST(n_max AS DOUBLE) /
+          (CAST(s AS DOUBLE) / CAST(n_cells AS DOUBLE)), 6) AS imbalance,
+        round(sqrt(CAST(n_cells * s2 - s * s AS DOUBLE)) /
+          CAST(s AS DOUBLE), 6) AS cv
+      FROM summ"""))
+
+  def queries: Seq[Q] =
+    Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -43,6 +43,29 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.verify.broadcastBytes")
   }
 
+  test("repeatedSpans: self-repeats merge to one maximal span, sub-w repeats invisible") {
+    // doc 1: 24 tokens where tokens 0..11 repeat as 12..23 -> with w=4
+    // every 4-window is duplicated (pos p matches p+12 or p-12), so the
+    // islands merge into ONE maximal span [0, 23] of exact length 24
+    val rep = (0 until 12).map(i => s"t$i").mkString(" ")
+    // doc 2: unique tokens except a 3-token repeat (below w) -> no span
+    val sub = ((0 until 20).map(i => s"u$i") ++ Seq("u0", "u1", "u2"))
+      .mkString(" ")
+    val df = Seq((1L, rep + " " + rep), (2L, sub)).toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(df, $"doc_id", $"text", w = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 23L, 24L)))
+  }
+
+  test("repeatedSpans: cross-doc duplicate yields whole-doc spans in both docs") {
+    val words = (0 until 15).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, words), (2L, words), (3L, "x1 x2 x3 x4 x5 x6 x7"))
+      .toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(df, $"doc_id", $"text", w = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 14L, 15L), (2L, 0L, 14L, 15L)))
+  }
+
   test("catalog CSV loader round-trips the mapping layout") {
     val dir = Files.createTempDirectory("graft-cat").toString
     val csv =
