@@ -236,4 +236,45 @@ object Sketch {
                * CAST(36028797018963968.0 AS DOUBLE) / CAST(s AS DOUBLE), 6)
         END AS est_distinct
       FROM hll_sums)"""
+
+  /** Pinned-layout Bloom filter BUILD over (h1, h2) hash rows: k = 3
+    * Kirsch–Mitzenmacher probes p_j = (h1 + j·h2) mod m, packed as
+    * m/32 32-bit words in BIGINTs via bit_or (bit 63 would overflow
+    * DuckDB's checked shift — the oracle twin runs the identical
+    * arithmetic). The word table is the filter's PINNED serialization:
+    * merge across shards/batches is elementwise bit_or, exactly like
+    * the HLL register-MAX, so the sketch is partitioning- and
+    * delivery-order-independent. Output: (word, bits), ≤ m/32 rows —
+    * broadcastable at any corpus size. */
+  def bloomWords(hashes: DataFrame, m: Long): DataFrame =
+    hashes.select(explode(expr("sequence(0, 2)")).as("j"),
+        col("h1"), col("h2"))
+      .select(pmod(col("h1") + col("j") * col("h2"), lit(m)).as("p"))
+      .select(expr("p div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+
+  /** Pinned-layout Bloom PROBE: adds `bloom_hit` to rows carrying
+    * (h1, h2) — true iff all three probe bits are set. Three broadcast
+    * joins against the word table, NO aggregation — a pure row-grain
+    * map, so the same function probes static frames and append-mode
+    * streams (the q197 batch gate and StreamBloom are the same code).
+    * No false negatives by construction; false positives are the
+    * audited fpp. */
+  def bloomProbe(df: DataFrame, bloom: DataFrame, m: Long): DataFrame =
+    (0 to 2).foldLeft(df) { (acc, j) =>
+      val b = bloom.select(col("word").as(s"__w$j"), col("bits").as(s"__b$j"))
+      acc
+        .withColumn(s"__p$j", pmod(col("h1") + lit(j.toLong) * col("h2"), lit(m)))
+        .withColumn(s"__w$j", expr(s"__p$j div 32"))
+        .withColumn(s"__m$j",
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 32 AS INT))"))
+        .join(broadcast(b), Seq(s"__w$j"), "left")
+        .withColumn(s"__ok$j",
+          col(s"__b$j").isNotNull &&
+            (col(s"__b$j").bitwiseAND(col(s"__m$j")) =!= 0L))
+        .drop(s"__p$j", s"__w$j", s"__m$j", s"__b$j")
+    }
+      .withColumn("bloom_hit", col("__ok0") && col("__ok1") && col("__ok2"))
+      .drop("__ok0", "__ok1", "__ok2")
 }

@@ -149,23 +149,9 @@ object EvalQueries extends QueryGroup {
       val refSrc = Seq("src0", "src1", "src2")
       val ref = sp.filter($"source".isin(refSrc: _*))
       val cur = sp.filter(!$"source".isin(refSrc: _*))
-      val bloom = ref
-        .select(explode(expr("sequence(0, 2)")).as("j"), $"h1", $"h2")
-        .select(pmod($"h1" + $"j" * $"h2", lit(m)).as("p"))
-        .select(expr("p div 32").as("word"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
-        .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
-      val probes = cur
-        .select($"doc", $"h1", $"h2", explode(expr("sequence(0, 2)")).as("j"))
-        .withColumn("p", pmod($"h1" + $"j" * $"h2", lit(m)))
-        .select($"doc", $"h1", $"h2", expr("p div 32").as("word"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
-        .join(broadcast(bloom), Seq("word"), "left")
-        .withColumn("__ok",
-          when($"bits".isNotNull && ($"bits".bitwiseAND($"mask") =!= 0L), 1L)
-            .otherwise(0L))
-      val perSpan = probes.groupBy($"doc", $"h1", $"h2")
-        .agg((sum($"__ok") === 3L).as("bloom_hit"))
+      val bloom = graft.ops.Sketch.bloomWords(ref.select($"h1", $"h2"), m)
+      val perSpan = graft.ops.Sketch
+        .bloomProbe(cur.select($"doc", $"h1", $"h2"), bloom, m)
       val inRef = perSpan.join(
         ref.select($"h1", $"h2").distinct().withColumn("__r", lit(1L)),
         Seq("h1", "h2"), "left")
@@ -770,6 +756,181 @@ object EvalQueries extends QueryGroup {
           CAST(s AS DOUBLE), 6) AS cv
       FROM summ"""))
 
+  /** Cap-constrained mixture realization by water-filling: q200's
+    * temperature weights say what share each source SHOULD contribute;
+    * this allocates an actual token budget B = 50% of the corpus under
+    * the hard per-source caps (a source cannot contribute more tokens
+    * than it has — the real constraint every mixing recipe hits when a
+    * small source's target share exceeds its size). Water-filling in
+    * CLOSED FORM: sort sources by cap/w ascending, prefix-sum caps and
+    * weights, λ_k = (B − C_{k−1})/(W − W_{k−1}) for each cutoff k, and
+    * the first k with λ_k ≤ r_k is the exact solution — alloc_i =
+    * min(cap_i, λ·w_i), saturated sources take their cap, the rest
+    * split the remainder ∝ w. No iteration, no driver loop: two
+    * source-sized window passes. */
+  private val q206 = Q(
+    "q206_budget_waterfill",
+    (s, dir) => {
+      import s.implicits._
+      val wAll = Window.partitionBy(lit(1))
+      val caps = docs(s, dir)
+        .select($"source", size(TextOps.tokens($"text")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("cap"))
+      val base = caps
+        .withColumn("ctot", sum($"cap").over(wAll))
+        .withColumn("w", round(expr(
+          "pow(CAST(cap AS DOUBLE) / CAST(ctot AS DOUBLE), " +
+            "CAST(0.7 AS DOUBLE))"), 6))
+        .withColumn("budget", $"ctot".cast("double") * 0.5)
+        .withColumn("r", $"cap".cast("double") / $"w")
+      val ord = Window.orderBy($"r".asc, $"source".asc)
+      val ordPre = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val pre = base
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cpre", coalesce(sum($"cap").over(ordPre), lit(0L)))
+        .withColumn("wtot",
+          sum($"w".cast("decimal(18,6)")).over(wAll).cast("double"))
+        .withColumn("wpre", coalesce(
+          sum($"w".cast("decimal(18,6)")).over(ordPre).cast("double"),
+          lit(0.0)))
+        .withColumn("lam_k",
+          ($"budget" - $"cpre".cast("double")) / ($"wtot" - $"wpre"))
+      // feasibility always holds at k = n when B <= total cap, so the
+      // 1-row limit is total (the frame is sources-sized)
+      val lam = pre.filter($"lam_k" <= $"r").orderBy($"rk".asc).limit(1)
+        .select($"lam_k".as("lam"))
+      pre.crossJoin(broadcast(lam))
+        .select($"source", $"cap", $"w",
+          round(least($"cap".cast("double"), $"lam" * $"w"), 6).as("alloc"),
+          ($"r" <= $"lam").as("saturated"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+        FROM documents),
+      caps AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS cap
+               FROM toks GROUP BY source),
+      b1 AS (SELECT source, cap, CAST(SUM(cap) OVER () AS BIGINT) AS ctot
+             FROM caps),
+      b2 AS (
+        SELECT *, round(pow(CAST(cap AS DOUBLE) / CAST(ctot AS DOUBLE),
+            CAST(0.7 AS DOUBLE)), 6) AS w,
+          CAST(ctot AS DOUBLE) * 0.5e0 AS budget
+        FROM b1),
+      b3 AS (SELECT *, CAST(cap AS DOUBLE) / w AS r FROM b2),
+      b4 AS (
+        SELECT *,
+          ROW_NUMBER() OVER (ORDER BY r, source) AS rk,
+          COALESCE(CAST(SUM(cap) OVER (ORDER BY r, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS cpre,
+          CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER () AS DOUBLE) AS wtot,
+          COALESCE(CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER (
+            ORDER BY r, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE),
+            0.0e0) AS wpre
+        FROM b3),
+      b5 AS (
+        SELECT *, (budget - CAST(cpre AS DOUBLE)) / (wtot - wpre) AS lam_k
+        FROM b4),
+      lam AS (SELECT lam_k AS lam FROM b5
+              WHERE lam_k <= r ORDER BY rk LIMIT 1)
+      SELECT source, cap, w,
+        round(LEAST(CAST(cap AS DOUBLE), lam * w), 6) AS alloc,
+        (r <= lam) AS saturated
+      FROM b5 CROSS JOIN lam ORDER BY source"""))
+
+  /** Mergeable histogram quantile sketch with an exact-error audit:
+    * per-source P50/P90/P99 of n_chars estimated from a 32-bucket
+    * equi-width histogram over the GLOBAL range — the sketch is
+    * (source, bucket, count) rows, O(buckets) state, mergeable by
+    * count addition across shards/batches (the streaming-quantile
+    * shape), with every bucket edge an exact integer. The exact
+    * nearest-rank quantile rides along as ground truth, and the bucket
+    * width is the PROVEN error bound the estimate must sit inside —
+    * the audit a scale pipeline runs before trusting sketched
+    * percentiles for SLOs. Estimates are bucket upper edges, so
+    * est ≥ exact always; everything is integer arithmetic. */
+  private val q207 = Q(
+    "q207_histogram_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("x"))
+      val g = d.agg(min($"x").as("gmin"), max($"x").as("gmax"))
+      val hist = d.crossJoin(broadcast(g))
+        .withColumn("span", $"gmax" - $"gmin" + 1)
+        .withColumn("bucket", expr("((x - gmin) * 32) div span"))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("c"), max($"gmin").as("gmin"),
+          max($"span").as("span"))
+      val wCum = Window.partitionBy($"source").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wS = Window.partitionBy($"source")
+      val cum = hist
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wS))
+      val picks = graft.ops.Relational.topOnePerGroup(
+        cum.select($"source", $"bucket", $"cum", $"n", $"gmin", $"span",
+            explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+          .filter($"cum" >= greatest(lit(1L), ceil($"q" * $"n"))),
+        Seq($"source", $"q"), Seq($"bucket".asc))
+        .withColumn("est", $"gmin" + expr("((bucket + 1) * span) div 32") - 1)
+        .withColumn("err_bound", expr("(span + 31) div 32"))
+      val exact = WindowOps.exactQuantiles(d, Seq(col("source")), $"x",
+          $"doc_id", Seq(0.5, 0.9, 0.99))
+        .select($"source", $"q", $"qvalue".as("exact"))
+      picks.join(exact, Seq("source", "q"))
+        .select($"source", $"q", $"est", $"exact",
+          abs($"est" - $"exact").as("abs_err"), $"err_bound")
+        .orderBy($"source", $"q")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+                 FROM documents),
+      g AS (SELECT MIN(x) AS gmin, MAX(x) AS gmax FROM d),
+      hist AS (
+        SELECT source, ((x - gmin) * 32) // (gmax - gmin + 1) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS c,
+          MAX(gmin) AS gmin, MAX(gmax - gmin + 1) AS span
+        FROM d CROSS JOIN g GROUP BY 1, 2),
+      cum AS (
+        SELECT *,
+          CAST(SUM(c) OVER (PARTITION BY source ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum,
+          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM hist),
+      qq AS (SELECT unnest(ARRAY[CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        CAST(0.99 AS DOUBLE)]) AS q),
+      picks AS (
+        SELECT source, q, bucket, gmin, span FROM (
+          SELECT c.*, qq.q, ROW_NUMBER() OVER (PARTITION BY c.source, qq.q
+            ORDER BY c.bucket) AS rn
+          FROM cum c CROSS JOIN qq
+          WHERE c.cum >= GREATEST(1, CAST(ceil(qq.q * c.n) AS BIGINT)))
+        WHERE rn = 1),
+      r AS (
+        SELECT source, x, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM d),
+      exact AS (
+        SELECT source, q, x AS exact
+        FROM r CROSS JOIN qq
+        WHERE rn = GREATEST(1, CAST(ceil(q * n) AS BIGINT)))
+      SELECT p.source, p.q,
+        p.gmin + ((p.bucket + 1) * p.span) // 32 - 1 AS est,
+        e.exact,
+        ABS(p.gmin + ((p.bucket + 1) * p.span) // 32 - 1 - e.exact)
+          AS abs_err,
+        (p.span + 31) // 32 AS err_bound
+      FROM picks p JOIN exact e ON p.source = e.source AND p.q = e.q
+      ORDER BY p.source, p.q"""))
+
   def queries: Seq[Q] =
-    Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
+      q206, q207)
 }
