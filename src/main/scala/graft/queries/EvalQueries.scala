@@ -930,7 +930,111 @@ object EvalQueries extends QueryGroup {
       FROM picks p JOIN exact e ON p.source = e.source AND p.q = e.q
       ORDER BY p.source, p.q"""))
 
+  /** Winsorized robust stats per source: clamp n_chars to the exact
+    * [P1, P99] nearest-rank band and report raw vs winsorized means —
+    * the robust-statistics pass corpus dashboards run so one pathological
+    * crawl artifact (a 100 MB "document") cannot move a source's
+    * reported average. Thresholds are a source-sized broadcast; sums
+    * are exact integers (n_chars is integral), so the means are two
+    * deterministic divisions. */
+  private val q208 = Q(
+    "q208_winsorized_stats",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"source", $"doc_id", $"n_chars".cast("long").as("x"))
+      val th = WindowOps.exactQuantiles(d, Seq(col("source")), $"x",
+          $"doc_id", Seq(0.01, 0.99))
+        .groupBy($"source").agg(
+          max(when($"q" === 0.01, $"qvalue")).as("lo"),
+          max(when($"q" === 0.99, $"qvalue")).as("hi"))
+      d.join(broadcast(th), Seq("source"))
+        .withColumn("wx", least(greatest($"x", $"lo"), $"hi"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"x").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean"),
+          round(sum($"wx").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("wins_mean"),
+          sum(($"x" < $"lo" || $"x" > $"hi").cast("long")).as("n_clamped"))
+        .orderBy($"source")
+    },
+    Some("""
+      WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+                 FROM documents),
+      r AS (
+        SELECT source, x,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM d),
+      th AS (
+        SELECT source,
+          MAX(CASE WHEN rn = GREATEST(1,
+            CAST(ceil(0.01e0 * n) AS BIGINT)) THEN x END) AS lo,
+          MAX(CASE WHEN rn = GREATEST(1,
+            CAST(ceil(0.99e0 * n) AS BIGINT)) THEN x END) AS hi
+        FROM r GROUP BY source),
+      w AS (
+        SELECT d.source, d.x, LEAST(GREATEST(d.x, th.lo), th.hi) AS wx,
+          CASE WHEN d.x < th.lo OR d.x > th.hi THEN 1 ELSE 0 END AS clamped
+        FROM d JOIN th ON d.source = th.source)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
+        round(CAST(SUM(wx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          AS wins_mean,
+        CAST(SUM(clamped) AS BIGINT) AS n_clamped
+      FROM w GROUP BY source ORDER BY source"""))
+
+  /** Length-confound audit: Spearman rank correlation between document
+    * length and LM perplexity per language — ρ = 1 − 6Σd²/(n(n²−1))
+    * over integer ranks (ties broken by doc id, the documented
+    * simplification of tie-averaged ranks). A "quality" score that is
+    * mostly a length proxy re-implements the length gate with extra
+    * steps; a strong |ρ| here says exactly that before anyone mixes on
+    * it. Σd² is an exact integer; one double division per language. */
+  private val q209 = Q(
+    "q209_length_confound",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val scored = LmScore.lmScore(d, $"doc_id", $"text",
+          vocabK = 50, pplFlag = 32.0)
+        .select($"doc".as("doc_id"), $"ppl")
+      val j = d.select($"doc_id", $"lang", $"n_chars")
+        .join(scored, Seq("doc_id"))
+      val w1 = Window.partitionBy($"lang").orderBy($"n_chars".asc, $"doc_id".asc)
+      val w2 = Window.partitionBy($"lang").orderBy($"ppl".asc, $"doc_id".asc)
+      j.withColumn("r1", row_number().over(w1).cast("long"))
+        .withColumn("r2", row_number().over(w2).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          sum(($"r1" - $"r2") * ($"r1" - $"r2")).as("sd2"))
+        .select($"lang", $"n",
+          round(lit(1.0) - lit(6.0) * $"sd2".cast("double") /
+            ($"n" * ($"n" * $"n" - 1)).cast("double"), 6)
+            .as("spearman_rho"))
+        .orderBy($"lang")
+    },
+    Some(s"""
+      WITH ${LmScore.lmScoreSql("doc_id", "text", 50, 32.0)},
+      j AS (
+        SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+          l.ppl
+        FROM documents d JOIN lmout l ON d.doc_id = l.doc),
+      ranked AS (
+        SELECT lang,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id) AS BIGINT) AS r1,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY ppl, doc_id) AS BIGINT) AS r2
+        FROM j)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        round(1.0e0 - 6.0e0 * CAST(SUM((r1 - r2) * (r1 - r2)) AS DOUBLE) /
+          CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6)
+          AS spearman_rho
+      FROM ranked GROUP BY lang ORDER BY lang"""))
+
   def queries: Seq[Q] =
     Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207)
+      q206, q207, q208, q209)
 }
