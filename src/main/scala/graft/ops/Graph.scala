@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over edge frames.
+  *
+  * The reference pipeline has no graph stage, but a pretraining corpus
+  * run does: Common-Crawl-scale curation ranks hosts by link authority
+  * before sampling (OpenWebText's karma gate, CCNet's head/tail split
+  * by rank), and the near-dup graph operators here already produce
+  * edge frames (TextOps.connectedComponents). PageRank (Page & Brin,
+  * "The PageRank citation ranking", Stanford TR 1999) is the canonical
+  * iterative member of that family, and its Spark shape is the
+  * canonical "iterate over a data-sized frame" pattern:
+  *
+  *   - `edges` is the only data-sized frame (one row per link); the
+  *     rank vector is node-sized.
+  *   - Each iteration is ONE equi-join of ranks into edges on `src`
+  *     (shuffle hash join — both sides hash-partition on the node id;
+  *     no broadcast, the node set is corpus-sized at 100 TB) and ONE
+  *     groupBy on `dst` with a partially-aggregated sum, so celebrity
+  *     sinks (the skew case) combine map-side before the exchange.
+  *   - The loop runs over ITERATIONS, never the data: lineage is cut
+  *     with `localCheckpoint(true)` each round (the q185/q174 lesson —
+  *     an iterative plan that re-derives round k-1 from scratch turns
+  *     O(k) work into O(k²)).
+  *
+  * Cross-engine exactness (the DuckDB oracle walks the identical
+  * arithmetic): every per-edge contribution `rank/outdeg` is rounded
+  * to 6 decimals and summed as DECIMAL — an unordered double sum is
+  * never compared raw; the damping blend runs in decimal
+  * (`0.85 * sum + base`, both exact) and rounds back to 6 decimals,
+  * so each iteration's rank vector is bit-identical on both engines.
+  *
+  * Dangling nodes: callers pass a SYMMETRIC edge set (every node with
+  * an in-edge has an out-edge), which removes the dangling-mass
+  * redistribution term entirely. That is the honest formulation for
+  * undirected similarity/affiliation graphs; a crawl-graph caller
+  * with true dangling nodes would add the standard uniform
+  * redistribution — a one-row aggregate, not a new shuffle.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over `edges(src, dst)`.
+    * Returns (node, pagerank). `edges` must be distinct and symmetric
+    * (see class doc); `damping` is fixed at 85/100 as exact decimal
+    * weights so no double multiply decides a rank. */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // out-degree and the node universe (= all srcs, by symmetry);
+    // node-sized, reused every round
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // 1-row frame carrying N, the uniform start 1/N and the teleport
+    // base 0.15/N (both rounded to 6 decimals once — every engine
+    // derives later ranks from these exact decimals)
+    val nrow = deg.agg(count(lit(1)).as("n"))
+      .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
+        round(lit(0.15) / $"n", 6).as("base"))
+    var ranks = deg.crossJoin(broadcast(nrow))
+      .select($"src".as("node"), $"r0".as("r"))
+      .localCheckpoint(true)
+    val eWithDeg = edges.join(deg, Seq("src"))
+      .select($"src", $"dst", $"outdeg")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = eWithDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst", round($"r" / $"outdeg", 6).as("c"))
+      val sums = contrib.groupBy($"dst")
+        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
+      ranks = sums.crossJoin(broadcast(nrow))
+        .select($"dst".as("node"),
+          round($"base".cast("decimal(18,6)") +
+            expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
+            .cast("double").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select($"node", $"r".as("pagerank"))
+  }
+
+  /** Oracle twin: the `WITH`-clause body (no leading WITH) that walks
+    * the identical iteration chain in DuckDB over an `ed(src, dst)`
+    * CTE the caller defines. Exposes `prout(node, pagerank)`. */
+  def pageRankSql(iters: Int): String = {
+    val head = """
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM ed GROUP BY src),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(1 AS DOUBLE) / COUNT(*), 6) AS r0,
+               round(CAST(0.15 AS DOUBLE) / COUNT(*), 6) AS base
+             FROM deg),
+      pr0 AS (SELECT src AS node, r0 AS r FROM deg, nn)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      sm$k AS (
+        SELECT e.dst AS node,
+          SUM(CAST(round(r.r / d.outdeg, 6) AS DECIMAL(18,6))) AS sm
+        FROM ed e
+        JOIN pr${k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+      pr$k AS (
+        SELECT node,
+          CAST(round(CAST(base AS DECIMAL(18,6)) +
+            CAST(0.85 AS DECIMAL(3,2)) * sm, 6) AS DOUBLE) AS r
+        FROM sm$k, nn)"""
+    }.mkString(",")
+    s"$head,$steps,\n      prout AS (SELECT node, r AS pagerank FROM pr$iters)"
+  }
+}

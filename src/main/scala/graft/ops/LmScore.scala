@@ -104,7 +104,13 @@ object LmScore {
         Exact.dsumBounded($"lp", 2).as("__slp"))
       .withColumn("nll", -$"__slp" / $"n_bigrams".cast("double"))
       .withColumn("ppl", round(exp($"nll"), 6))
-      .select($"doc", $"n_bigrams", $"nll", $"ppl",
+      // nll_num: the NEGATED exact log-prob sum (a 6-decimal quantum,
+      // so later decimal casts are boundary-free — unlike `nll`, a
+      // division result whose low bits can sit on a decimal-cast
+      // half-ulp). Aggregators that average losses across docs should
+      // fold (nll_num, n_bigrams), not nll — see doremiReweightWeighted.
+      .select($"doc", $"n_bigrams", $"nll", (-$"__slp").as("nll_num"),
+        $"ppl",
         when($"ppl" > pplFlag, "flagged").otherwise("kept").as("decision"))
   }
 
@@ -168,10 +174,11 @@ object LmScore {
       JOIN c1 ON b.mw = c1.mw),
     lmscore AS (
       SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        -${Exact.sqlSum("lp")} / CAST(COUNT(*) AS DOUBLE) AS nll
+        -${Exact.sqlSum("lp")} / CAST(COUNT(*) AS DOUBLE) AS nll,
+        -${Exact.sqlSum("lp")} AS nll_num
       FROM lp GROUP BY doc),
     lmout AS (
-      SELECT doc, n_bigrams, nll, ROUND(EXP(nll), 6) AS ppl,
+      SELECT doc, n_bigrams, nll, nll_num, ROUND(EXP(nll), 6) AS ppl,
         CASE WHEN ROUND(EXP(nll), 6) > ${pplFlag}e0
              THEN 'flagged' ELSE 'kept' END AS decision
       FROM lmscore)"""

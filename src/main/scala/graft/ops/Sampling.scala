@@ -207,6 +207,58 @@ object Sampling {
         col("excess"), col("weight"))
   }
 
+  /** [[doremiReweight]] with a RATIO loss — the domain loss is
+    * Σ num / Σ den instead of a mean of per-document divisions. With
+    * (num, den) = (exact log-prob sum, bigram count) this is DoReMi's
+    * actual per-TOKEN domain loss, and it is also the numerically
+    * robust form: a per-doc `nll` is a division result whose low bits
+    * can land on a decimal-cast half-ulp where Spark (exact-expansion
+    * HALF_UP) and DuckDB (scaled-double) disagree — one hit among
+    * thousands of docs shifts the domain mean by ~1e-6/n (observed at
+    * sf0.1). Here `num` must be a 6-decimal quantum (e.g. a rounded-
+    * term decimal sum), so its decimal cast is boundary-free and the
+    * single final division runs on bit-identical inputs. */
+  def doremiReweightWeighted(losses: DataFrame, domain: Column,
+      num: Column, den: Column, eta: Double, smooth: Double): DataFrame = {
+    val perDom = losses.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        (Exact.dsum(num) / sum(den).cast("double")).as("mean_loss"))
+    val base = perDom.agg(min(col("mean_loss")).as("__base"))
+    val scored = perDom.crossJoin(broadcast(base))
+      .withColumn("excess", round(col("mean_loss") - col("__base"), 6))
+      .withColumn("__e", round(exp(lit(eta) * col("excess")), 6))
+    val tot = scored.agg(Exact.dsumFine(col("__e")).as("__tot"),
+      count(lit(1)).cast("double").as("__nd"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(lit(1.0 - smooth) * (col("__e") / col("__tot")) +
+          lit(smooth) / col("__nd"), 6))
+      .select(col("domain"), col("n_docs"), col("mean_loss"),
+        col("excess"), col("weight"))
+  }
+
+  /** DuckDB twin of [[doremiReweightWeighted]] over a CTE
+    * `dl(domain, num, den)` — same terminal `doremi` shape. */
+  def doremiWeightedSql(eta: Double, smooth: Double): String = s"""
+    ddom AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ${Exact.sqlSum("num")} / CAST(SUM(den) AS DOUBLE) AS mean_loss
+      FROM dl GROUP BY domain),
+    dex AS (
+      SELECT domain, n_docs, mean_loss,
+        round(mean_loss - (SELECT MIN(mean_loss) FROM ddom), 6) AS excess
+      FROM ddom),
+    des AS (
+      SELECT *, round(exp(${eta}e0 * excess), 6) AS e FROM dex),
+    dtot AS (
+      SELECT ${Exact.sqlSumFine("e")} AS tot,
+        CAST(COUNT(*) AS DOUBLE) AS nd FROM des),
+    doremi AS (
+      SELECT domain, n_docs, mean_loss, excess,
+        round(${1.0 - smooth}e0 * (e / (SELECT tot FROM dtot)) +
+          ${smooth}e0 / (SELECT nd FROM dtot), 6) AS weight
+      FROM des)"""
+
   /** DuckDB twin of [[doremiReweight]] over a CTE `dl(domain, loss)` —
     * ends in `doremi(domain, n_docs, mean_loss, excess, weight)`. */
   def doremiSql(eta: Double, smooth: Double): String = s"""

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Graph, Shard, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph and ordered-neighborhood operators: PageRank over the
+  * order-derived supplier↔customer affiliation graph, and classic
+  * sorted-neighborhood record linkage over the documents table. Both
+  * follow the iterative-exactness conventions (6-decimal terms,
+  * decimal-exact sums, integer thresholds) so the DuckDB oracle walks
+  * the identical arithmetic.
+  */
+object GraphQueries extends QueryGroup {
+
+  /** PageRank over the bipartite supplier↔customer graph (an edge per
+    * distinct supplier→customer delivery, symmetrized). The corpus
+    * analog: rank hosts by link authority before sampling — the
+    * OpenWebText/CCNet-style popularity gate. 3 damped iterations;
+    * every iteration is one shuffle join (ranks into edges on src) and
+    * one map-side-combined groupBy (contributions by dst) — the
+    * canonical data-sized-edges / node-sized-ranks split that scales
+    * to a 1000-executor crawl graph. Top-100 by (rank desc, node) via
+    * TakeOrderedAndProject. */
+  private val q210 = Q(
+    "q210_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      Graph.pageRank(edges, iters = 3)
+        .orderBy($"pagerank".desc, $"node".asc)
+        .limit(100)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      ${Graph.pageRankSql(3)}
+      SELECT node, pagerank FROM prout
+      ORDER BY pagerank DESC, node LIMIT 100"""))
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95): sort
+    * the corpus by a normalized key, compare only records within a
+    * sliding window of w=4 ranks, verify candidates with the exact
+    * integer token-Jaccard test (J ≥ 0.8 ⟺ 9i ≥ 4(za+zb)). The global
+    * rank comes from Shard.histogramRank — a counting sort bucketed on
+    * the key's 4-char prefix, so no whole-frame single-partition
+    * window ever runs (the offsets frame is distinct-prefix-sized and
+    * broadcasts). Window pairs come from a rank-block equi-join
+    * (block b joins b and b+1), bounding the candidate fan-out at
+    * 2(w−1) per record — the complement to hash blocking: it catches
+    * near-dups whose edit lands IN the blocking key, as long as the
+    * sort key's prefix survives. */
+  private val q211 = Q(
+    "q211_sorted_neighborhood",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val keyed = d.select($"doc_id", $"source",
+        substring(TextOps.normalizeText($"text"), 1, 24).as("k24"))
+      val ranked = Shard.histogramRank(
+        keyed, substring($"k24", 1, 4), bucketAsc = true,
+        Seq($"k24".asc, $"doc_id".asc), "rnk")
+      val blk = floor(($"rnk" - 1) / lit(4)).cast("long")
+      val left = ranked.select($"doc_id".as("d1"), $"source",
+          $"rnk".as("r1"), explode(array(blk, blk + 1)).as("jb"))
+      val right = ranked.select($"doc_id".as("d2"), $"rnk".as("r2"),
+        blk.as("jb"))
+      val cands = left.join(right, Seq("jb"))
+        .filter($"r2" - $"r1" >= 1 && $"r2" - $"r1" <= 3)
+        .select($"d1", $"d2", $"source")
+      // exact verify: candidate fan-out is ≤ 2(w-1) per doc, so the
+      // token rows blow up by a bounded constant through the pair join
+      val tok = d.select($"doc_id",
+          explode(TextOps.tokens($"text")).as("token")).distinct()
+      val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("z"))
+      val i2 = cands
+        .join(tok.select($"doc_id".as("d1"), $"token"), Seq("d1"))
+        .join(tok.select($"doc_id".as("d2"), $"token"), Seq("d2", "token"))
+        .groupBy($"d1", $"d2").agg(count(lit(1)).as("i"))
+      cands
+        .join(i2, Seq("d1", "d2"), "left")
+        .join(sz.select($"doc_id".as("d1"), $"z".as("za")), Seq("d1"))
+        .join(sz.select($"doc_id".as("d2"), $"z".as("zb")), Seq("d2"))
+        .withColumn("dup",
+          when(lit(9) * coalesce($"i", lit(0L)) >=
+            lit(4) * ($"za" + $"zb"), 1L).otherwise(0L))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_cands"), sum($"dup").as("n_dups"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          substr(${TextOps.normalizeTextSql("text")}, 1, 24) AS k24
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, k24,
+          CAST(ROW_NUMBER() OVER (ORDER BY k24, doc_id) AS BIGINT) AS rnk
+        FROM t),
+      c AS (
+        SELECT a.doc_id AS d1, a.source, b.doc_id AS d2
+        FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3),
+      tok AS (
+        SELECT DISTINCT doc_id,
+          unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS z
+             FROM tok GROUP BY doc_id),
+      i2 AS (
+        SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM c
+        JOIN tok t1 ON c.d1 = t1.doc_id
+        JOIN tok t2 ON c.d2 = t2.doc_id AND t1.token = t2.token
+        GROUP BY c.d1, c.d2)
+      SELECT c.source, CAST(COUNT(*) AS BIGINT) AS n_cands,
+        CAST(SUM(CASE WHEN 9 * COALESCE(i2.i, 0) >= 4 * (sa.z + sb.z)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+      FROM c
+      LEFT JOIN i2 ON c.d1 = i2.d1 AND c.d2 = i2.d2
+      JOIN sz sa ON c.d1 = sa.doc_id
+      JOIN sz sb ON c.d2 = sb.doc_id
+      GROUP BY c.source
+      ORDER BY c.source"""))
+
+  def queries: Seq[Q] = Seq(q210, q211)
+}

@@ -39,7 +39,8 @@ object Registry {
     PcaQueries,
     CmorQueries,
     MediaQueries,
-    EvalQueries)
+    EvalQueries,
+    GraphQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 

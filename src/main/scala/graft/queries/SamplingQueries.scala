@@ -381,12 +381,16 @@ object SamplingQueries extends QueryGroup {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** DoReMi domain-reweighting step (Xie et al. '23): each source
-    * domain is scored by its mean bigram-LM NLL (the q127 CCNet proxy),
-    * high-loss domains are exponentially up-weighted and the mixture is
-    * smoothed 20% toward uniform — the data-side step of mixture
-    * optimization. One corpus pass for the LM scores, one for the
-    * domain means; everything after is domain-count-sized broadcast
-    * arithmetic. */
+    * domain is scored by its per-TOKEN bigram-LM NLL — Σ(per-doc exact
+    * log-prob sums)/Σ(bigram counts), the paper's token-normalized
+    * domain loss — high-loss domains are exponentially up-weighted and
+    * the mixture is smoothed 20% toward uniform: the data-side step of
+    * mixture optimization. One corpus pass for the LM scores, one for
+    * the domain sums; everything after is domain-count-sized broadcast
+    * arithmetic. The token-weighted fold is also the numerically exact
+    * one: it aggregates 6-decimal-quantum numerators and integer
+    * denominators (no per-doc division result ever crosses a decimal
+    * cast — the sf0.1 half-ulp lesson). */
   private val q167 = Q(
     "q167_doremi_reweight",
     (s, dir) => {
@@ -394,18 +398,18 @@ object SamplingQueries extends QueryGroup {
       val d = Tables(s, dir, "documents")
       val lm = graft.ops.LmScore.lmScore(d, $"doc_id", $"text",
         vocabK = 50, pplFlag = 32.0)
-      val dl = lm.select($"doc", $"nll")
+      val dl = lm.select($"doc", $"nll_num", $"n_bigrams")
         .join(d.select($"doc_id".as("doc"), $"source"), Seq("doc"))
-      Sampling.doremiReweight(dl, $"source", $"nll",
-          eta = 1.0, smooth = 0.2)
+      Sampling.doremiReweightWeighted(dl, $"source", $"nll_num",
+          $"n_bigrams", eta = 1.0, smooth = 0.2)
         .orderBy($"domain")
     },
     Some(s"""
       WITH ${graft.ops.LmScore.lmScoreSql("doc_id", "text", 50, 32.0)},
       dl AS (
-        SELECT d.source AS domain, l.nll AS loss
+        SELECT d.source AS domain, l.nll_num AS num, l.n_bigrams AS den
         FROM lmout l JOIN documents d ON l.doc = d.doc_id),
-      ${Sampling.doremiSql(eta = 1.0, smooth = 0.2)}
+      ${Sampling.doremiWeightedSql(eta = 1.0, smooth = 0.2)}
       SELECT * FROM doremi ORDER BY domain"""))
 
   /** Neyman optimal stratified allocation (Neyman '34 / Cochran):

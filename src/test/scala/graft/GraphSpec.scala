@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: (String, String)*) = {
+    val fwd = pairs.toDF("src", "dst")
+    fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("pageRank: a symmetric 2-cycle is a fixed point at 1/2") {
+    // contrib = 0.5/1; new = 0.15/2 + 0.85*0.5 = 0.5 exactly, per round
+    val r = Graph.pageRank(sym(("a", "b")), iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(r == Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: star center dominates, leaves tie, mass ~ 1") {
+    val r = Graph.pageRank(
+      sym(("c", "l1"), ("c", "l2"), ("c", "l3")), iters = 3)
+      .as[(String, Double)].collect().toMap
+    val leaves = Seq("l1", "l2", "l3").map(r)
+    assert(leaves.distinct.size == 1) // symmetry → identical ranks
+    assert(r("c") > leaves.head * 2)
+    // damped PR over a connected symmetric graph conserves rank mass
+    // up to the 6-decimal per-term rounding (4 nodes × 3 rounds)
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRank: hand-walked star iteration 1") {
+    // N=4: base = 0.0375, r0 = 0.25. Center receives 3 leaf whole-ranks,
+    // a leaf receives round(0.25/3, 6) of the center's.
+    val r1 = Graph.pageRank(
+      sym(("c", "l1"), ("c", "l2"), ("c", "l3")), iters = 1)
+      .as[(String, Double)].collect().toMap
+    val center = BigDecimal("0.0375") + BigDecimal("0.85") * BigDecimal("0.75")
+    assert(r1("c") ==
+      center.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val leaf = BigDecimal("0.0375") +
+      (BigDecimal("0.85") * BigDecimal("0.083333"))
+    assert(r1("l1") ==
+      leaf.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("pageRank is invariant to input partitioning") {
+    val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
+    val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
+    val b = Graph.pageRank(edges.repartition(13), 3)
+      .as[(String, Double)].collect().toSet
+    assert(a == b)
+  }
+}

@@ -18,6 +18,7 @@ class LmScoreSpec extends SparkSpec {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val out = LmScore.lmScore(docs, $"doc_id", $"text",
         vocabK = 2, pplFlag = 2.0)
+      .select($"doc", $"n_bigrams", $"nll", $"ppl", $"decision")
       .orderBy($"doc").as[(Long, Long, Double, Double, String)].collect()
 
     val pAB = r6(math.log(4.0 / 6.0)) // (c2+1)/(c1(a)+3)
@@ -101,6 +102,7 @@ class LmScoreSpec extends SparkSpec {
       .toDF("doc_id", "text")
     def lmRows(df: org.apache.spark.sql.DataFrame) =
       LmScore.lmScore(df, $"doc_id", $"text", 5, 10.0)
+        .select($"doc", $"n_bigrams", $"nll", $"nll_num", $"decision")
         .as[(Long, Long, Double, Double, String)].collect().toSet
     def dsRows(df: org.apache.spark.sql.DataFrame) =
       LmScore.dsirLogWeights(df, $"doc_id", $"text",

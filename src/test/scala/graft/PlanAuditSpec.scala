@@ -622,4 +622,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "Window") >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q210 pagerank: top-100 is TakeOrderedAndProject over the " +
+      "checkpointed rank vector — no global sort") {
+    // each iteration's join+agg shape is pinned in GraphSpec via the
+    // arithmetic (localCheckpoint cuts it out of the final plan here)
+    val p = planOf("q210_pagerank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q211 sorted-neighborhood: counting-sort rank (broadcast offsets), " +
+      "window pairs by rank-block equi-join, no cartesian") {
+    val p = planOf("q211_sorted_neighborhood")
+    assert(p.contains("BroadcastHashJoin"), p) // histogramRank offsets
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ranked subtree is expanded per consumer (left/right/i2), so
+    // Window nodes repeat — each is a per-bucket window or the
+    // metadata-sized histogram prefix sum, never a whole-frame sort
+    // (the counting-sort contract pinned functionally in ShardSpec)
+  }
 }

@@ -31,6 +31,7 @@ class StreamLmSpec extends SparkSpec {
   test("streamed LM scores are bit-identical to the batch operator") {
     val expected = LmScore
       .lmScore(corpus, $"doc_id", $"text", vocabK = K, pplFlag = 8.0)
+      .select($"doc", $"n_bigrams", $"nll", $"ppl", $"decision")
       .orderBy($"doc")
       .as[(Long, Long, Double, Double, String)].collect().toSeq
     val events = corpus.as[(Long, String)].collect().toSeq
