@@ -51,6 +51,19 @@ object Similarity {
   /** Exact squared L2 norm of a float-array column, as double. */
   def sqNormExact(a: String): Column = dotExact(a, a)
 
+  /** Exact squared euclidean distance between two float-array columns:
+    * each component's squared difference rounds to a 6-decimal term,
+    * the fold is decimal — same order-free cross-engine contract as
+    * [[dotExact]], returned as double (a 6-decimal quantum, so
+    * downstream LEAST/compare chains stay bit-identical). */
+  def sqDistExact(a: String, b: String): Column =
+    expr(s"""CAST(aggregate(
+      zip_with($a, $b, (p, q) ->
+        CAST((CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) *
+             (CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) AS DECIMAL(18,6))),
+      CAST(0 AS DECIMAL(28,6)),
+      (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS DOUBLE)""")
+
   /** (id, emb, norm2) — norms computed once per vector. */
   def withNorms(df: DataFrame, id: Column, emb: Column): DataFrame =
     df.select(id.as("id"), emb.as("emb"))

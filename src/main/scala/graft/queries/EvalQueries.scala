@@ -1034,7 +1034,60 @@ object EvalQueries extends QueryGroup {
           AS spearman_rho
       FROM ranked GROUP BY lang ORDER BY lang"""))
 
+  /** Corpus self-redundancy by clipped bigram precision — the micro-
+    * averaged Self-BLEU-2 idea (Zhu et al. '18, Texygen): for each
+    * document, how many of its bigram OCCURRENCES also occur elsewhere
+    * in the corpus (clipped at the elsewhere-count, BLEU's modified
+    * precision), aggregated per source as Σclipped/Σbigrams. distinct-n
+    * (q170) counts unique n-grams; this weights by occurrence mass, so
+    * a source that is one template stamped 1000× scores ~1.0 even when
+    * its distinct-2 looks healthy. All-integer until one division per
+    * source: two map-side-combined groupBys and one equi-join on the
+    * bigram — the corpus-count table is vocab²-bounded, the join is
+    * the standard n-gram-keyed shuffle. */
+  private val q212 = Q(
+    "q212_selfbleu_redundancy",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val bc = d.withColumn("ts", TextOps.tokens($"text"))
+        .select($"doc_id", $"source",
+          explode(TextOps.shingles("ts", 2)).as("g"))
+        .groupBy($"doc_id", $"source", $"g")
+        .agg(count(lit(1)).as("c"))
+      val cc = bc.groupBy($"g").agg(sum($"c").as("ct"))
+      bc.join(cc, Seq("g"))
+        .groupBy($"source")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          sum(least($"c", $"ct" - $"c")).cast("long").as("n_clipped"),
+          sum($"c").cast("long").as("n_bigrams"))
+        .withColumn("self_bleu2",
+          round($"n_clipped".cast("double") / $"n_bigrams".cast("double"),
+            6))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ts
+                 FROM documents),
+      bg AS (
+        SELECT doc_id, source, unnest(list_transform(
+          generate_series(1, len(ts) - 1),
+          i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM t),
+      bc AS (SELECT doc_id, source, g, CAST(COUNT(*) AS BIGINT) AS c
+             FROM bg GROUP BY 1, 2, 3),
+      cc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ct FROM bc GROUP BY g)
+      SELECT bc.source,
+        CAST(COUNT(DISTINCT bc.doc_id) AS BIGINT) AS n_docs,
+        CAST(SUM(LEAST(bc.c, cc.ct - bc.c)) AS BIGINT) AS n_clipped,
+        CAST(SUM(bc.c) AS BIGINT) AS n_bigrams,
+        round(CAST(SUM(LEAST(bc.c, cc.ct - bc.c)) AS DOUBLE) /
+          CAST(SUM(bc.c) AS DOUBLE), 6) AS self_bleu2
+      FROM bc JOIN cc ON bc.g = cc.g
+      GROUP BY bc.source ORDER BY bc.source"""))
+
   def queries: Seq[Q] =
     Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q208, q209)
+      q206, q207, q208, q209, q212)
 }

@@ -1196,7 +1196,94 @@ object SimilarityQueries extends QueryGroup {
       SELECT qid, doc, 4, mmr FROM p4
       ORDER BY qid, pick_order"""))
 
+  /** Oracle chain for [[q213]]: unrolled greedy steps — each pick is a
+    * scalar subquery, each distance stage the exact decimal fold. */
+  private def kcenterSql(k: Int): String = {
+    val b = new StringBuilder
+    b ++= """
+      p1 AS (SELECT MIN(vec_id) AS id FROM embeddings),
+      sel1 AS (SELECT id FROM p1),
+      d1 AS (SELECT x.id,
+          CAST(SUM(CAST((x.e - c.e) * (x.e - c.e) AS DECIMAL(18,6)))
+            AS DOUBLE) AS d
+        FROM comp x JOIN comp c ON x.i = c.i AND c.id = (SELECT id FROM p1)
+        GROUP BY x.id),
+      m1 AS (SELECT id, d FROM d1)"""
+    for (step <- 2 to k) {
+      b ++= s""",
+      p$step AS (SELECT id, d FROM m${step - 1}
+        WHERE id NOT IN (SELECT id FROM sel${step - 1})
+        ORDER BY d DESC, id LIMIT 1),
+      sel$step AS (SELECT id FROM sel${step - 1}
+        UNION ALL SELECT id FROM p$step)"""
+      if (step < k) b ++= s""",
+      d$step AS (SELECT x.id,
+          CAST(SUM(CAST((x.e - c.e) * (x.e - c.e) AS DECIMAL(18,6)))
+            AS DOUBLE) AS d
+        FROM comp x
+        JOIN comp c ON x.i = c.i AND c.id = (SELECT id FROM p$step)
+        GROUP BY x.id),
+      m$step AS (SELECT m.id, LEAST(m.d, dd.d) AS d
+        FROM m${step - 1} m JOIN d$step dd ON m.id = dd.id)"""
+    }
+    b.toString
+  }
+
+  /** Greedy k-center coreset selection (Gonzalez '85 farthest-point
+    * 2-approximation; Sener & Savarese ICLR '18 use exactly this as
+    * the coreset selector for data-efficient training): seed with the
+    * lowest-id vector, then repeatedly pick the point FARTHEST from
+    * the selected set. The pick sequence's min-distance column is the
+    * coverage-radius curve — the number a data-selection run reads to
+    * choose its budget. The loop runs over PICKS, never the corpus:
+    * the running min-distance frame updates per pick via ONE broadcast
+    * of the single-row new center (least of two exact 6-decimal
+    * quanta — no rounding boundary), and each argmax is a
+    * TakeOrderedAndProject(1); localCheckpoint per pick cuts the
+    * lineage (the q185 lesson). At 100 TB the same shape holds — the
+    * corpus-sized frame is touched once per pick with a map-side
+    * distance, k is small, and nothing ever pairs data×data. */
+  private val q213 = Q(
+    "q213_kcenter_coreset",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir).select($"id", $"emb")
+      val k = 5
+      val first = all.orderBy($"id".asc).limit(1).localCheckpoint(true)
+      var picks = first.select($"id", lit(1L).as("pick_order"),
+        lit(null).cast("double").as("min_dist2"))
+      var mind = all
+        .crossJoin(broadcast(first.select($"emb".as("cemb"))))
+        .select($"id", $"emb",
+          Similarity.sqDistExact("emb", "cemb").as("d"))
+        .localCheckpoint(true)
+      for (step <- 2 to k) {
+        val pick = mind
+          .join(picks.select($"id"), Seq("id"), "left_anti")
+          .orderBy($"d".desc, $"id".asc).limit(1)
+          .localCheckpoint(true)
+        picks = picks.unionByName(pick.select($"id",
+          lit(step.toLong).as("pick_order"), $"d".as("min_dist2")))
+        if (step < k)
+          mind = mind
+            .crossJoin(broadcast(pick.select($"emb".as("cemb"))))
+            .select($"id", $"emb",
+              least($"d", Similarity.sqDistExact("emb", "cemb")).as("d"))
+            .localCheckpoint(true)
+      }
+      picks.orderBy($"pick_order")
+    },
+    Some(s"""
+      WITH $compSql,
+      ${kcenterSql(5)}
+      SELECT CAST(1 AS BIGINT) AS pick_order, id,
+        CAST(NULL AS DOUBLE) AS min_dist2 FROM p1
+      ${(2 to 5).map(st =>
+        s"UNION ALL SELECT CAST($st AS BIGINT), id, d FROM p$st")
+        .mkString("\n      ")}
+      ORDER BY pick_order"""))
+
   def queries: Seq[Q] =
     Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121,
-      q162, q176, q185)
+      q162, q176, q185, q213)
 }

@@ -643,4 +643,14 @@ class PlanAuditSpec extends SparkSpec {
     // metadata-sized histogram prefix sum, never a whole-frame sort
     // (the counting-sort contract pinned functionally in ShardSpec)
   }
+
+  test("q212 self-bleu redundancy: n-gram equi-join with map-side " +
+      "partials, no cartesian") {
+    val p = planOf("q212_selfbleu_redundancy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // doc-grain and corpus-grain counts both partial-aggregate before
+    // their exchanges (count tables, never raw n-gram rows, shuffle)
+    assert(nodeCount(p, "HashAggregate") >= 4, p)
+  }
 }
