@@ -81,6 +81,80 @@ object Graph {
     ranks.select($"node", $"r".as("pagerank"))
   }
 
+  /** Personalized PageRank (Haveliwala, WWW '02 topic-sensitive
+    * PageRank): the teleport vector is uniform over a SEED set instead
+    * of all nodes — ranks measure proximity to the seeds, which is the
+    * seed-expanded curation move (WebText's "pages a trusted set links
+    * to", domain-seeded crawl scoping). Same per-iteration shape as
+    * [[pageRank]], but the rank vector stays SPARSE: only nodes the
+    * mass has reached carry rows, so early iterations touch a frontier
+    * — at 100 TB with a small seed set, round k's join only moves the
+    * k-hop neighborhood through the shuffle. `seeds(node)` must be a
+    * subset of the edge srcs. Returns (node, ppr). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val srow = seeds.agg(count(lit(1)).as("ns"))
+      .select(round(lit(1.0) / $"ns", 6).as("r0"),
+        round(lit(0.15) / $"ns", 6).as("base"))
+    val seedBase = seeds.crossJoin(broadcast(srow)).localCheckpoint(true)
+    var ranks = seedBase.select($"node", $"r0".as("r"))
+    val eWithDeg = edges.join(deg, Seq("src"))
+      .select($"src", $"dst", $"outdeg")
+      .localCheckpoint(true)
+    val zero = expr("CAST(0 AS DECIMAL(18,6))")
+    for (_ <- 1 to iters) {
+      val contrib = eWithDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst", round($"r" / $"outdeg", 6).as("c"))
+      val sums = contrib.groupBy($"dst".as("node"))
+        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
+      ranks = sums
+        .join(seedBase.select($"node", $"base"), Seq("node"), "full_outer")
+        .select($"node",
+          round(coalesce($"base", lit(0.0)).cast("decimal(18,6)") +
+            expr("CAST(0.85 AS DECIMAL(3,2))") * coalesce($"sm", zero), 6)
+            .cast("double").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select($"node", $"r".as("ppr"))
+  }
+
+  /** Oracle twin of [[pageRankPersonalized]] over caller-defined
+    * `ed(src, dst)` and `seeds(node)` CTEs; exposes `pprout(node, ppr)`. */
+  def pageRankPersonalizedSql(iters: Int): String = {
+    val head = """
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM ed GROUP BY src),
+      srow AS (SELECT round(CAST(1 AS DOUBLE) / COUNT(*), 6) AS r0,
+                 round(CAST(0.15 AS DOUBLE) / COUNT(*), 6) AS base
+               FROM seeds),
+      ppr0 AS (SELECT node, r0 AS r FROM seeds, srow)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      psm$k AS (
+        SELECT e.dst AS node,
+          SUM(CAST(round(r.r / d.outdeg, 6) AS DECIMAL(18,6))) AS sm
+        FROM ed e
+        JOIN ppr${k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+      ppr$k AS (
+        SELECT COALESCE(s.node, b.node) AS node,
+          CAST(round(
+            CAST(COALESCE(b.base, 0) AS DECIMAL(18,6)) +
+            CAST(0.85 AS DECIMAL(3,2)) *
+              COALESCE(s.sm, CAST(0 AS DECIMAL(18,6))), 6) AS DOUBLE) AS r
+        FROM psm$k s
+        FULL OUTER JOIN (SELECT node, base FROM seeds, srow) b
+          ON s.node = b.node)"""
+    }.mkString(",")
+    s"$head,$steps,\n      pprout AS (SELECT node, r AS ppr FROM ppr$iters)"
+  }
+
   /** Oracle twin: the `WITH`-clause body (no leading WITH) that walks
     * the identical iteration chain in DuckDB over an `ed(src, dst)`
     * CTE the caller defines. Exposes `prout(node, pagerank)`. */

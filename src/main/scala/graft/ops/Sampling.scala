@@ -167,7 +167,7 @@ object Sampling {
       .crossJoin(broadcast(budget))
       .filter(col("__run") <= col("__budget") - col("__spent"))
     selFull.select(col("doc"), col("quality"), col("n_tokens"))
-      .unionAll(part.select(col("doc"), col("quality"), col("n_tokens")))
+      .union(part.select(col("doc"), col("quality"), col("n_tokens")))
   }
 
   /** One DoReMi exponentiated-gradient step (Xie et al. NeurIPS '23,

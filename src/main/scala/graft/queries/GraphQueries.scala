@@ -138,5 +138,54 @@ object GraphQueries extends QueryGroup {
       GROUP BY c.source
       ORDER BY c.source"""))
 
-  def queries: Seq[Q] = Seq(q210, q211)
+  /** Personalized PageRank from a trusted seed set — the seed-expanded
+    * curation score (rank everything by link-proximity to nation-0's
+    * suppliers; the corpus analog ranks hosts by proximity to a
+    * hand-curated allowlist before sampling). Ranks stay SPARSE (the
+    * 3-hop frontier of the seeds), the teleport mass lands only on
+    * seeds via a node-keyed full-outer join — no dense rank vector
+    * ever materializes. Top-50 via TakeOrderedAndProject. */
+  private val q215 = Q(
+    "q215_personalized_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val sup = Tables(s, dir, "supplier")
+        .filter($"s_nationkey" === 0)
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+      // seeds must live in the graph: semi-join onto the edge srcs
+      val seeds = sup.join(edges.select($"src".as("node")).distinct(),
+        Seq("node"), "left_semi")
+      Graph.pageRankPersonalized(edges, seeds, iters = 3)
+        .orderBy($"ppr".desc, $"node".asc)
+        .limit(50)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier
+        WHERE s_nationkey = 0
+          AND 's' || CAST(s_suppkey AS VARCHAR) IN (SELECT src FROM ed)),
+      ${Graph.pageRankPersonalizedSql(3)}
+      SELECT node, ppr FROM pprout
+      ORDER BY ppr DESC, node LIMIT 50"""))
+
+  def queries: Seq[Q] = Seq(q210, q211, q215)
 }

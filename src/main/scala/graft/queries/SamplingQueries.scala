@@ -634,7 +634,88 @@ object SamplingQueries extends QueryGroup {
       FROM r JOIN g ON g.grank = (r.r * r.n + r.ns - 1) // r.ns
       ORDER BY r.doc"""))
 
+  /** Purged/embargoed temporal split (López de Prado '18, purged
+    * k-fold; the time-series analog of the q150/q151 leakage-safe
+    * split): train strictly BEFORE cutoff−gap, test at-or-after the
+    * cutoff, and the 2-day embargo between them dropped entirely, so
+    * no training row's look-ahead window overlaps evaluation time.
+    * The cutoff is the exact nearest-rank 80th-percentile timestamp —
+    * computed with the counting-sort histogramRank bucketed by DAY
+    * (never a whole-frame window), the rank index ⌈0.8n⌉ in pure
+    * integer arithmetic. The audit column the purge cannot fix rides
+    * along: users appearing on both sides (panel-identity leakage —
+    * the signal that a user-grouped split like q150 is ALSO needed).
+    * Everything is microsecond-integer comparisons. */
+  private val q214 = Q(
+    "q214_embargo_split",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+      val ranked = graft.ops.Shard.histogramRank(
+        ev, to_date($"ts"), bucketAsc = true,
+        Seq($"ts".asc, $"event_id".asc), "rnk")
+      val n = ev.agg(count(lit(1)).as("n"))
+      val cut = ranked.crossJoin(broadcast(n))
+        .filter($"rnk" === expr("(8 * n + 9) div 10"))
+        .select($"ts".as("cutoff"))
+      val flagged = ev.crossJoin(broadcast(cut))
+        .withColumn("part",
+          when($"ts" < $"cutoff" - expr("INTERVAL 2 DAY"), "train")
+            .when($"ts" >= $"cutoff", "test")
+            .otherwise("purged"))
+      val counts = flagged.groupBy($"event_type")
+        .agg(sum(when($"part" === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when($"part" === "purged", 1L).otherwise(0L)).as("n_purged"),
+          sum(when($"part" === "test", 1L).otherwise(0L)).as("n_test"))
+      val trainU = flagged.filter($"part" === "train")
+        .select($"event_type", $"user_id").distinct()
+      val testU = flagged.filter($"part" === "test")
+        .select($"event_type", $"user_id").distinct()
+      val both = trainU.join(testU, Seq("event_type", "user_id"),
+          "left_semi")
+        .groupBy($"event_type").agg(count(lit(1)).as("n_users_both"))
+      counts.join(both, Seq("event_type"), "left")
+        .select($"event_type", $"n_train", $"n_purged", $"n_test",
+          coalesce($"n_users_both", lit(0L)).as("n_users_both"))
+        .orderBy($"event_type")
+    },
+    Some(s"""
+      WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+      rk AS (
+        SELECT ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rnk
+        FROM events),
+      cut AS (
+        SELECT ts AS cutoff FROM rk, nn WHERE rnk = (8 * n + 9) // 10),
+      fl AS (
+        SELECT e.event_type, e.user_id,
+          CASE WHEN e.ts < c.cutoff - INTERVAL 2 DAY THEN 'train'
+               WHEN e.ts >= c.cutoff THEN 'test'
+               ELSE 'purged' END AS part
+        FROM events e, cut c),
+      counts AS (
+        SELECT event_type,
+          CAST(SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_train,
+          CAST(SUM(CASE WHEN part = 'purged' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_purged,
+          CAST(SUM(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_test
+        FROM fl GROUP BY event_type),
+      ub AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users_both
+        FROM (SELECT DISTINCT event_type, user_id FROM fl
+                WHERE part = 'train'
+              INTERSECT
+              SELECT DISTINCT event_type, user_id FROM fl
+                WHERE part = 'test')
+        GROUP BY event_type)
+      SELECT c.event_type, c.n_train, c.n_purged, c.n_test,
+        COALESCE(b.n_users_both, 0) AS n_users_both
+      FROM counts c LEFT JOIN ub b ON c.event_type = b.event_type
+      ORDER BY c.event_type"""))
+
   def queries: Seq[Q] =
     Seq(q69, q70, q71, q72, q76, q117, q118, q119, q129, q150, q151,
-      q167, q183, q186, q187)
+      q167, q183, q186, q187, q214)
 }

@@ -45,6 +45,29 @@ class GraphSpec extends SparkSpec {
       leaf.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("personalized pageRank: mass stays on the seed frontier") {
+    // two disjoint 2-cycles; seeding {a} must leave c,d unranked
+    val edges = sym(("a", "b"), ("c", "d"))
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.pageRankPersonalized(edges, seeds, iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(!r.contains("c") && !r.contains("d"))
+    // it1: a=0.15, b=0.85. it2: a = 0.15 + 0.85·0.85, b = 0.85·0.15
+    def dec(s: String) = BigDecimal(s)
+    assert(r("a") == (dec("0.15") + dec("0.85") * dec("0.85"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r("b") == (dec("0.85") * dec("0.15"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("personalized pageRank: seeds with no returned mass keep base") {
+    // path a-b-c seeded {a}: after 1 iter b carries 0.85, a keeps base
+    val r = Graph.pageRankPersonalized(
+      sym(("a", "b"), ("b", "c")), Seq("a").toDF("node"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(r("a") == 0.15 && r("b") == 0.85 && !r.contains("c"))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
