@@ -155,6 +155,61 @@ object Graph {
     s"$head,$steps,\n      pprout AS (SELECT node, r AS ppr FROM ppr$iters)"
   }
 
+  /** Bounded k-core peel (Seidman '83 k-cores; the distributed peel is
+    * Batagelj-Zaveršnik run breadth-first): repeatedly delete nodes
+    * with degree < k, `rounds` times, over a SYMMETRIC distinct edge
+    * set. The fixed round count makes the operator deterministic and
+    * oracle-unrollable; it returns the per-round shrink curve
+    * (round, n_nodes, n_edges) — after round r every surviving node
+    * had degree ≥ k in round r−1's graph, and the curve flattening is
+    * the convergence signal (a production run loops until
+    * n_nodes stops moving — same per-round plan). Per round: one
+    * map-side-combined degree count and two semi-joins of the edge
+    * frame against the survivor set, localCheckpoint per round — the
+    * corpus-sized frame is only ever equi-joined on node ids. The
+    * LLM-pipeline reading: the k-core of a near-dup graph is its
+    * boilerplate backbone (template cliques survive, incidental pairs
+    * peel away). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges.localCheckpoint(true)
+    var stats = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("__d"))
+        .filter($"__d" >= k).select($"src".as("node"))
+      e = e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint(true)
+      stats = stats :+ e.agg(
+        countDistinct($"src").as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+    }
+    stats.reduce(_.unionByName(_)).orderBy($"round")
+  }
+
+  /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
+    * CTE; exposes `kcout(round, n_nodes, n_edges)`. */
+  def kCorePeelSql(k: Int, rounds: Int): String = {
+    val head = "e0 AS (SELECT src, dst FROM ed)"
+    val steps = (1 to rounds).map { r =>
+      s"""
+      kp$r AS (SELECT src AS node FROM e${r - 1}
+               GROUP BY src HAVING COUNT(*) >= $k),
+      e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+              JOIN kp$r a ON e.src = a.node
+              JOIN kp$r b ON e.dst = b.node)"""
+    }.mkString(",")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e$r) AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges"""
+    }.mkString("\n      UNION ALL ")
+    s"$head,$steps,\n      kcout AS (\n      $rows)"
+  }
+
   /** Oracle twin: the `WITH`-clause body (no leading WITH) that walks
     * the identical iteration chain in DuckDB over an `ed(src, dst)`
     * CTE the caller defines. Exposes `prout(node, pagerank)`. */

@@ -187,5 +187,38 @@ object GraphQueries extends QueryGroup {
       SELECT node, ppr FROM pprout
       ORDER BY ppr DESC, node LIMIT 50"""))
 
-  def queries: Seq[Q] = Seq(q210, q211, q215)
+  /** Bounded 30-core peel of the affiliation graph: the per-round
+    * shrink curve as low-degree customers (and then under-connected
+    * suppliers) peel away — the dense-backbone extraction a dup-graph
+    * run uses to isolate boilerplate cliques before keeper selection.
+    * Three rounds, each one degree-count + two semi-joins. */
+  private val q216 = Q(
+    "q216_kcore_peel",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      Graph.kCorePeel(edges, k = 30, rounds = 3)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      ${Graph.kCorePeelSql(30, 3)}
+      SELECT round, n_nodes, n_edges FROM kcout ORDER BY round"""))
+
+  def queries: Seq[Q] = Seq(q210, q211, q215, q216)
 }

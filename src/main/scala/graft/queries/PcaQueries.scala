@@ -200,5 +200,96 @@ object PcaQueries extends QueryGroup {
       FROM red3 r LEFT JOIN exact3 e ON r.id1 = e.id1 AND r.id2 = e.id2
       GROUP BY r.id1 ORDER BY r.id1"""))
 
-  def queries: Seq[Q] = Seq(q155, q156, q157, q160)
+  /** Johnson–Lindenstrauss ±1 random projection + distortion audit
+    * (Achlioptas '03 "database-friendly" projections: signs, not
+    * Gaussians, so the matrix is a HASH, never materialized or
+    * broadcast): project 64-d embeddings to t=8 dims with
+    * s(i,j) = ±1 keyed on h64(i|j), then measure
+    * dist²_proj/(t·dist²_orig) on the deterministic (id, id+1) pair
+    * sample per label — the data-INDEPENDENT reduction arm beside
+    * PCA's data-dependent one (q155–q160): no training pass, any
+    * executor can regenerate any matrix entry from the hash, and the
+    * audit tells you whether 8 hashed dims suffice before you pay for
+    * a PCA fit. Signed components sum exactly in decimal per (id, j);
+    * distortion ratios are 6-rounded; the mean is a decimal-exact
+    * sum with one final division. */
+  private val q218 = Q(
+    "q218_jl_projection",
+    (s, dir) => {
+      import s.implicits._
+      val comp = Tables.spread(s, dir, "embeddings")
+        .select($"vec_id".as("id"),
+          posexplode($"embedding").as(Seq("i", "e")))
+        .withColumn("e", $"e".cast("double"))
+      val signed = comp
+        .withColumn("j", explode(expr("sequence(0, 7)")))
+        .withColumn("se", when(
+          pmod(graft.ops.TextOps.h64(
+            concat($"i".cast("string"), lit("|"), $"j".cast("string"))),
+            lit(2L)) === 0, $"e").otherwise(-$"e"))
+      val proj = signed.groupBy($"id", $"j")
+        .agg(sum($"se".cast("decimal(18,6)")).cast("double").as("p"))
+      val pairsP = proj.select($"id".as("id1"), $"j", $"p".as("pa"))
+        .filter($"id1" % 5 === 0)
+        .join(proj.select(($"id" - 1).as("id1"), $"j", $"p".as("pb")),
+          Seq("id1", "j"))
+        .groupBy($"id1")
+        .agg(sum((($"pa" - $"pb") * ($"pa" - $"pb"))
+          .cast("decimal(18,6)")).cast("double").as("d8"))
+      val emb = vecs(s, dir)
+      val pairsO = emb.select($"id".as("id1"), $"emb".as("ea"))
+        .filter($"id1" % 5 === 0)
+        .join(emb.select(($"id" - 1).as("id1"), $"emb".as("eb")),
+          Seq("id1"))
+        .select($"id1", Similarity.sqDistExact("ea", "eb").as("d64"))
+      val lbl = Tables(s, dir, "embeddings")
+        .select($"vec_id".as("id1"), $"label")
+      pairsP.join(pairsO, Seq("id1")).join(lbl, Seq("id1"))
+        .filter($"d64" > 0)
+        .withColumn("ratio", round($"d8" / (lit(8.0) * $"d64"), 6))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(graft.ops.Exact.dsum($"ratio") / count(lit(1)), 6)
+            .as("mean_ratio"),
+          min($"ratio").as("min_ratio"),
+          max($"ratio").as("max_ratio"))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH $compSql,
+      js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      signed AS (
+        SELECT c.id, c.i, j.j,
+          CASE WHEN ${graft.ops.TextOps.h64Sql(
+            "CAST(c.i AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)")} % 2 = 0
+            THEN c.e ELSE -c.e END AS se
+        FROM comp c, js j),
+      proj AS (
+        SELECT id, j,
+          CAST(SUM(CAST(se AS DECIMAL(18,6))) AS DOUBLE) AS p
+        FROM signed GROUP BY id, j),
+      pp AS (
+        SELECT a.id AS id1,
+          CAST(SUM(CAST((a.p - b.p) * (a.p - b.p) AS DECIMAL(18,6)))
+            AS DOUBLE) AS d8
+        FROM proj a JOIN proj b ON b.id = a.id + 1 AND a.j = b.j
+        WHERE a.id % 5 = 0 GROUP BY a.id),
+      po AS (
+        SELECT a.id AS id1,
+          CAST(SUM(CAST((a.e - b.e) * (a.e - b.e) AS DECIMAL(18,6)))
+            AS DOUBLE) AS d64
+        FROM comp a JOIN comp b ON b.id = a.id + 1 AND a.i = b.i
+        WHERE a.id % 5 = 0 GROUP BY a.id),
+      rr AS (
+        SELECT e.label, round(pp.d8 / (8.0e0 * po.d64), 6) AS ratio
+        FROM pp JOIN po ON pp.id1 = po.id1
+        JOIN embeddings e ON e.vec_id = pp.id1
+        WHERE po.d64 > 0)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        round(${graft.ops.Exact.sqlSum("ratio")} /
+          CAST(COUNT(*) AS DOUBLE), 6) AS mean_ratio,
+        MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+      FROM rr GROUP BY label ORDER BY label"""))
+
+  def queries: Seq[Q] = Seq(q155, q156, q157, q160, q218)
 }

@@ -1283,7 +1283,104 @@ object SimilarityQueries extends QueryGroup {
         .mkString("\n      ")}
       ORDER BY pick_order"""))
 
+  /** Greedy facility-location selection (Cornuéjols '77; the
+    * submodular sum-coverage objective Wei/Iyer/Bilmes '15 use for
+    * speech/LM data subset selection): pick 4 representatives from a
+    * 60-candidate pool maximizing Σ_x max(0, max_{c∈S} cos(x,c)) —
+    * the third greedy data-selection objective beside MMR's
+    * relevance-diversity (q185) and k-center's worst-case radius
+    * (q213), with the classic (1−1/e) guarantee from submodularity.
+    * The candidate pool comes from a cheaper pass at scale (here:
+    * lowest ids), so the sims frame is corpus × pool via ONE broadcast
+    * of the pool — never data×data; the greedy loop then runs over
+    * PICKS: each step is a map-side gain clip, a pool-sized groupBy,
+    * a TakeOrderedAndProject(1), and a single-row broadcast to update
+    * the coverage frame. Gains sum clipped 6-decimal quanta in
+    * decimal — boundary-free, so the greedy trajectory is
+    * engine-deterministic. */
+  private val q217 = Q(
+    "q217_facility_location",
+    (s, dir) => {
+      import s.implicits._
+      val all = vecs(s, dir)
+      val pool = all.filter($"id" < 60)
+        .select($"id".as("cid"), $"emb".as("cemb"), $"norm2".as("cnorm2"))
+      val sims = all.crossJoin(broadcast(pool))
+        .select($"id".as("x"), $"cid",
+          round(Similarity.dotExact("emb", "cemb") /
+            (sqrt($"norm2") * sqrt($"cnorm2")), 6).as("sim"))
+        .localCheckpoint(true)
+      var picks: DataFrame = null
+      var cur: DataFrame = null
+      for (step <- 1 to 4) {
+        val base =
+          if (cur == null) sims.withColumn("cur", lit(0.0))
+          else sims.join(cur, Seq("x"))
+        val cand =
+          if (picks == null) base
+          else base.join(picks.select($"cid"), Seq("cid"), "left_anti")
+        val pick = cand.groupBy($"cid")
+          .agg(sum(greatest($"sim" - $"cur", lit(0.0))
+            .cast("decimal(18,6)")).as("g"))
+          .orderBy($"g".desc, $"cid".asc).limit(1)
+          .select($"cid", lit(step.toLong).as("pick_order"),
+            $"g".cast("double").as("gain"))
+          .localCheckpoint(true)
+        picks = if (picks == null) pick else picks.unionByName(pick)
+        val pickSims = sims
+          .join(broadcast(pick.select($"cid")), Seq("cid"))
+          .select($"x", $"sim")
+        cur =
+          (if (cur == null) pickSims.select($"x",
+              greatest($"sim", lit(0.0)).as("cur"))
+           else cur.join(pickSims, Seq("x"))
+             .select($"x", greatest($"cur", $"sim").as("cur")))
+          .localCheckpoint(true)
+      }
+      picks.select($"pick_order", $"cid", $"gain").orderBy($"pick_order")
+    },
+    Some {
+      val simsSql = s"""
+      fparts AS (
+        SELECT a.id AS x, b.id AS cid, a.e * b.e AS p,
+               a.e * a.e AS a2, b.e * b.e AS b2
+        FROM comp a JOIN comp b ON a.i = b.i AND b.id < 60),
+      fsims AS (SELECT x, cid, round($cosSql, 6) AS sim
+                FROM fparts GROUP BY x, cid)"""
+      val b = new StringBuilder(simsSql)
+      for (step <- 1 to 4) {
+        val curJoin =
+          if (step == 1) "SELECT s.cid, s.sim, CAST(0 AS DOUBLE) AS cur FROM fsims s"
+          else s"SELECT s.cid, s.sim, c.cur FROM fsims s JOIN fc${step - 1} c ON s.x = c.x"
+        val notSel =
+          if (step == 1) ""
+          else "WHERE s.cid NOT IN (" +
+            (1 until step).map(j => s"SELECT cid FROM fp$j").mkString(" UNION ALL ") + ")"
+        b ++= s""",
+      fg$step AS (
+        SELECT cid, SUM(CAST(GREATEST(sim - cur, 0) AS DECIMAL(18,6))) AS g
+        FROM ($curJoin $notSel) GROUP BY cid),
+      fp$step AS (SELECT cid, CAST(g AS DOUBLE) AS gain FROM fg$step
+                  ORDER BY g DESC, cid LIMIT 1)"""
+        if (step < 4) b ++= (
+          if (step == 1) s""",
+      fc1 AS (SELECT x, GREATEST(sim, 0) AS cur FROM fsims
+              WHERE cid = (SELECT cid FROM fp1))"""
+          else s""",
+      fc$step AS (SELECT c.x, GREATEST(c.cur, s.sim) AS cur
+                  FROM fc${step - 1} c JOIN fsims s ON s.x = c.x
+                   AND s.cid = (SELECT cid FROM fp$step))""")
+      }
+      s"""
+      WITH $compSql,
+      ${b.toString}
+      ${(1 to 4).map(st =>
+        s"SELECT CAST($st AS BIGINT) AS pick_order, cid, gain FROM fp$st")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY pick_order"""
+    })
+
   def queries: Seq[Q] =
     Seq(q50, q51, q52, q53, q97, q98, q104, q106, q107, q109, q112, q121,
-      q162, q176, q185, q213)
+      q162, q176, q185, q213, q217)
 }

@@ -68,6 +68,26 @@ class GraphSpec extends SparkSpec {
     assert(r("a") == 0.15 && r("b") == 0.85 && !r.contains("c"))
   }
 
+  test("kCorePeel: pendant peels, the 3-core clique is stable") {
+    // 4-clique (every degree 3) plus a pendant e hanging off d
+    val clique = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    val edges = sym(clique :+ (("d", "e")): _*)
+    val out = Graph.kCorePeel(edges, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // round 1 drops e (degree 1) and its edge; round 2 is a fixed point
+    assert(out == Seq((1L, 4L, 12L), (2L, 4L, 12L)))
+  }
+
+  test("kCorePeel: k above the max degree empties the graph") {
+    val out = Graph.kCorePeel(sym(("a", "b"), ("b", "c")), k = 5,
+        rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet

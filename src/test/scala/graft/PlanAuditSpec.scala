@@ -644,6 +644,27 @@ class PlanAuditSpec extends SparkSpec {
     // (the counting-sort contract pinned functionally in ShardSpec)
   }
 
+  test("q217 facility location: sims are corpus x broadcast-pool, " +
+      "picks are TakeOrderedAndProject") {
+    val p = planOf("q217_facility_location")
+    // the greedy stages sit behind per-pick localCheckpoints (the
+    // final plan is the union of checkpointed pick rows); the pool
+    // broadcast + TakeOrderedAndProject(1) shape is exercised by the
+    // oracle equivalence itself — here we pin only that the terminal
+    // plan never degrades to a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q218 JL projection: hash-derived signs are map-side — " +
+      "no matrix join, no cartesian") {
+    val p = planOf("q218_jl_projection")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // projection = explode + groupBy (partial-agg'd); pair audit joins
+    // are id-keyed equi-joins
+    assert(nodeCount(p, "HashAggregate") >= 4, p)
+  }
+
   test("q212 self-bleu redundancy: n-gram equi-join with map-side " +
       "partials, no cartesian") {
     val p = planOf("q212_selfbleu_redundancy")
