@@ -861,7 +861,83 @@ object CorpusQueries extends QueryGroup {
           FILTER (WHERE NOT drop_line), '') AS clean_text
       FROM flagged GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Rendezvous (highest-random-weight) shard assignment + the
+    * minimal-disruption audit (Thaler & Ravishankar '98 — the
+    * consistent-placement scheme behind cache/object stores): doc d
+    * goes to argmax_s h64(d|s). Growing 8 → 10 shards moves ONLY the
+    * docs whose new argmax is a new shard (≈ 2/10 of the corpus);
+    * mod-hashing (shard = h mod k) reshuffles ≈ 8/10 — the audit
+    * carries both counts so the contrast is measured, not asserted.
+    * For a 100 TB incremental corpus build this is the difference
+    * between re-copying a fifth of the store and re-copying it all.
+    * The per-doc argmax is max(struct(h, s)) — a map-side-combined
+    * aggregate over the 10-way explode, no window, no shuffle beyond
+    * the doc-keyed combine; everything is 60-bit integer hashing. */
+  private val q219 = Q(
+    "q219_rendezvous_shards",
+    (s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents").select($"doc_id", $"source")
+      def hrw(nShards: Int, out: String) =
+        d.withColumn("sh", explode(expr(s"sequence(0, ${nShards - 1})")))
+          .withColumn("h", TextOps.h64(
+            concat($"doc_id".cast("string"), lit("|"), $"sh".cast("string"))))
+          .groupBy($"doc_id")
+          .agg(max(struct($"h", $"sh")).getField("sh").as(out))
+      val h8 = hrw(8, "s8")
+      val h10 = hrw(10, "s10")
+      d.join(h8, Seq("doc_id")).join(h10, Seq("doc_id"))
+        .withColumn("hmod", TextOps.h64($"doc_id".cast("string")))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"s8" =!= $"s10", 1L).otherwise(0L)).as("n_moved_hrw"),
+          sum(when(pmod($"hmod", lit(8L)) =!= pmod($"hmod", lit(10L)), 1L)
+            .otherwise(0L)).as("n_moved_mod"))
+        .withColumn("frac_hrw",
+          round($"n_moved_hrw".cast("double") / $"n_docs".cast("double"), 6))
+        .withColumn("frac_mod",
+          round($"n_moved_mod".cast("double") / $"n_docs".cast("double"), 6))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH sh8 AS (
+        SELECT doc_id, s AS s8 FROM (
+          SELECT d.doc_id, s.s,
+            ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+              ${TextOps.h64Sql(
+                "CAST(d.doc_id AS VARCHAR) || '|' || CAST(s.s AS VARCHAR)")}
+              DESC, s.s DESC) AS rn
+          FROM documents d,
+            (SELECT unnest(generate_series(0, 7)) AS s) s)
+        WHERE rn = 1),
+      sh10 AS (
+        SELECT doc_id, s AS s10 FROM (
+          SELECT d.doc_id, s.s,
+            ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+              ${TextOps.h64Sql(
+                "CAST(d.doc_id AS VARCHAR) || '|' || CAST(s.s AS VARCHAR)")}
+              DESC, s.s DESC) AS rn
+          FROM documents d,
+            (SELECT unnest(generate_series(0, 9)) AS s) s)
+        WHERE rn = 1),
+      j AS (
+        SELECT d.source, a.s8, b.s10,
+          ${TextOps.h64Sql("CAST(d.doc_id AS VARCHAR)")} AS hmod
+        FROM documents d
+        JOIN sh8 a ON d.doc_id = a.doc_id
+        JOIN sh10 b ON d.doc_id = b.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved_hrw,
+        CAST(SUM(CASE WHEN hmod % 8 <> hmod % 10 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_moved_mod,
+        round(CAST(SUM(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE), 6) AS frac_hrw,
+        round(CAST(SUM(CASE WHEN hmod % 8 <> hmod % 10 THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS frac_mod
+      FROM j GROUP BY source ORDER BY source"""))
+
   def queries: Seq[Q] =
     Seq(q78, q79, q80, q81, q88, q99, q100, q101, q122, q123, q124, q125,
-      q127, q128, q130, q131, q133, q134, q135, q136, q164)
+      q127, q128, q130, q131, q133, q134, q135, q136, q164, q219)
 }
