@@ -49,9 +49,13 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // materialize the edge frame ONCE — deg and eWithDeg both read it,
+    // and a caller-supplied edge build (a distinct over a fact join)
+    // would otherwise run per consumer
+    val e = edges.localCheckpoint(true)
     // out-degree and the node universe (= all srcs, by symmetry);
     // node-sized, reused every round
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     // 1-row frame carrying N, the uniform start 1/N and the teleport
     // base 0.15/N (both rounded to 6 decimals once — every engine
@@ -62,7 +66,7 @@ object Graph {
     var ranks = deg.crossJoin(broadcast(nrow))
       .select($"src".as("node"), $"r0".as("r"))
       .localCheckpoint(true)
-    val eWithDeg = edges.join(deg, Seq("src"))
+    val eWithDeg = e.join(deg, Seq("src"))
       .select($"src", $"dst", $"outdeg")
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -95,14 +99,15 @@ object Graph {
       iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val srow = seeds.agg(count(lit(1)).as("ns"))
       .select(round(lit(1.0) / $"ns", 6).as("r0"),
         round(lit(0.15) / $"ns", 6).as("base"))
     val seedBase = seeds.crossJoin(broadcast(srow)).localCheckpoint(true)
     var ranks = seedBase.select($"node", $"r0".as("r"))
-    val eWithDeg = edges.join(deg, Seq("src"))
+    val eWithDeg = e.join(deg, Seq("src"))
       .select($"src", $"dst", $"outdeg")
       .localCheckpoint(true)
     val zero = expr("CAST(0 AS DECIMAL(18,6))")

@@ -161,8 +161,12 @@ object GraphQueries extends QueryGroup {
       val sup = Tables(s, dir, "supplier")
         .filter($"s_nationkey" === 0)
         .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
-      // seeds must live in the graph: semi-join onto the edge srcs
-      val seeds = sup.join(edges.select($"src".as("node")).distinct(),
+      // seeds must live in the graph: semi-join onto the supplier side
+      // of the pair frame (s-nodes appear in edges iff they appear in
+      // eo — cheaper than re-deriving the symmetrized union)
+      val seeds = sup.join(
+        eo.select(concat(lit("s"), $"sk".cast("string")).as("node"))
+          .distinct(),
         Seq("node"), "left_semi")
       Graph.pageRankPersonalized(edges, seeds, iters = 3)
         .orderBy($"ppr".desc, $"node".asc)
