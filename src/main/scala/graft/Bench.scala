@@ -123,7 +123,13 @@ object Bench {
     // sketch-overlap matrix (sketch×sketch joins + exact rider), and
     // DoReMi (domain-sized loop frames over a corpus-sized base)
     "q147_trained_ivf_search", "q160_pca_reduced_ann",
-    "q189_hll_overlap", "q167_doremi_reweight")
+    "q189_hll_overlap", "q167_doremi_reweight",
+    // r9 second half: the iterative graph family (does per-ROUND cost
+    // track the edge count — ranks/deg are node-sized, edges
+    // data-sized?) and facility location (corpus × pool sims + per-pick
+    // coverage updates — the corpus-pass-per-pick shape)
+    "q210_pagerank", "q215_personalized_pagerank", "q216_kcore_peel",
+    "q217_facility_location")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -177,7 +183,13 @@ object Bench {
       write(t.select(col("*"), cexp).select(projected.toIndexedSeq: _*), name)
     }
     replicateFacts("lineitem", Set("l_orderkey"))
-    replicateFacts("orders", Set("o_orderkey"))
+    // o_custkey shifts too: the affiliation-graph queries build distinct
+    // (suppkey, custkey) pairs, and identical key spaces per copy would
+    // collapse under the distinct — shifted customers give the graph 3×
+    // edges over a SHARED supplier side (a growing crawl with stable
+    // hosts). No scale-tier query joins orders→customer, so the
+    // verbatim customer dim stays consistent for everything measured.
+    replicateFacts("orders", Set("o_orderkey", "o_custkey"))
     replicateFacts("events", Set("event_id"))
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(Tables(spark, src, t), t))

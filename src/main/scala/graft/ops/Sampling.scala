@@ -51,6 +51,17 @@ object Sampling {
     * rerun/parallelism-stable, and join-consistent: any table keyed on
     * the same id lands in the same split, so features and labels never
     * leak across the boundary. */
+  /** Purged-temporal-split partition flag (López de Prado embargo),
+    * shared by the batch split (q214) and the streaming gate
+    * (StreamEmbargo): 'train' strictly before cutoff−gap, 'test' at or
+    * after the cutoff, 'purged' in the embargo band between. Pure
+    * microsecond-integer comparisons — engine- and delivery-order-
+    * independent. */
+  def embargoPart(ts: Column, cutoff: Column, gapDays: Int): Column =
+    when(ts < cutoff - expr(s"INTERVAL $gapDays DAY"), "train")
+      .when(ts >= cutoff, "test")
+      .otherwise("purged")
+
   def hashSplit(key: Column, den: Int, train: Int,
       valSlots: Int): Column = {
     require(train + valSlots < den, s"train+val slots must leave test room")

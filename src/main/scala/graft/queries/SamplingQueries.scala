@@ -660,10 +660,7 @@ object SamplingQueries extends QueryGroup {
         .filter($"rnk" === expr("(8 * n + 9) div 10"))
         .select($"ts".as("cutoff"))
       val flagged = ev.crossJoin(broadcast(cut))
-        .withColumn("part",
-          when($"ts" < $"cutoff" - expr("INTERVAL 2 DAY"), "train")
-            .when($"ts" >= $"cutoff", "test")
-            .otherwise("purged"))
+        .withColumn("part", Sampling.embargoPart($"ts", $"cutoff", 2))
       val counts = flagged.groupBy($"event_type")
         .agg(sum(when($"part" === "train", 1L).otherwise(0L)).as("n_train"),
           sum(when($"part" === "purged", 1L).otherwise(0L)).as("n_purged"),
