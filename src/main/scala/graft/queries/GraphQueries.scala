@@ -224,5 +224,65 @@ object GraphQueries extends QueryGroup {
       ${Graph.kCorePeelSql(30, 3)}
       SELECT round, n_nodes, n_edges FROM kcout ORDER BY round"""))
 
-  def queries: Seq[Q] = Seq(q210, q211, q215, q216)
+  /** Capped bipartite projection: supplier–supplier affinity through
+    * shared customers — the co-occurrence candidate generator
+    * (collaborative filtering's item-item step; in corpus terms,
+    * source–source affinity through shared near-dup clusters). The
+    * projection is THE quadratic graph risk: a hub customer of degree
+    * d mints C(d,2) pairs, so customers above the cap (40) are dropped
+    * BEFORE pairing — the same hot-key discipline as capHotBands /
+    * the semantic-dedup cell cap, bounding any one join key's fan-out
+    * at C(40,2). Degrees are recomputed on the capped graph so the
+    * Jaccard denominator is consistent on both engines. Top-20 by
+    * (shared desc, pair) via TakeOrderedAndProject. */
+  private val q220 = Q(
+    "q220_bipartite_projection",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+        .localCheckpoint(true)
+      val keptCust = eo.groupBy($"ck").agg(count(lit(1)).as("cd"))
+        .filter($"cd" <= 40).select($"ck")
+      val kept = eo.join(keptCust, Seq("ck"), "left_semi")
+        .localCheckpoint(true)
+      val sdeg = kept.groupBy($"sk").agg(count(lit(1)).as("d"))
+      val pairs = kept.select($"ck", $"sk".as("s1"))
+        .join(kept.select($"ck", $"sk".as("s2")), Seq("ck"))
+        .filter($"s1" < $"s2")
+        .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sdeg.select($"sk".as("s1"), $"d".as("d1")), Seq("s1"))
+        .join(sdeg.select($"sk".as("s2"), $"d".as("d2")), Seq("s2"))
+        .select($"s1", $"s2", $"shared", $"d1", $"d2",
+          round($"shared".cast("double") /
+            ($"d1" + $"d2" - $"shared").cast("double"), 6).as("jaccard"))
+        .orderBy($"shared".desc, $"s1".asc, $"s2".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      keptc AS (
+        SELECT ck FROM eo GROUP BY ck HAVING COUNT(*) <= 40),
+      kept AS (
+        SELECT e.sk, e.ck FROM eo e JOIN keptc k ON e.ck = k.ck),
+      sdeg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS d
+               FROM kept GROUP BY sk),
+      pairs AS (
+        SELECT a.sk AS s1, b.sk AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+        FROM kept a JOIN kept b ON a.ck = b.ck AND a.sk < b.sk
+        GROUP BY a.sk, b.sk)
+      SELECT p.s1, p.s2, p.shared, da.d AS d1, db.d AS d2,
+        round(CAST(p.shared AS DOUBLE) /
+          CAST(da.d + db.d - p.shared AS DOUBLE), 6) AS jaccard
+      FROM pairs p
+      JOIN sdeg da ON p.s1 = da.sk
+      JOIN sdeg db ON p.s2 = db.sk
+      ORDER BY p.shared DESC, p.s1, p.s2 LIMIT 20"""))
+
+  def queries: Seq[Q] = Seq(q210, q211, q215, q216, q220)
 }

@@ -665,6 +665,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeCount(p, "HashAggregate") >= 4, p)
   }
 
+  test("q220 bipartite projection: pair generation is a capped " +
+      "equi-join on the shared key, top-k without a global sort") {
+    val p = planOf("q220_bipartite_projection")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q212 self-bleu redundancy: n-gram equi-join with map-side " +
       "partials, no cartesian") {
     val p = planOf("q212_selfbleu_redundancy")
