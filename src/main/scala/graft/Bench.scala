@@ -49,6 +49,18 @@ object Bench {
     * [69.05, 2.47, 0.93]) and with 3 kept passes the outlier sits next
     * to the median — paying one throwaway sweep keeps a single
     * disturbed pass out of every reported statistic. */
+  /** Release every persisted RDD a query run created (checkpoint
+    * barriers, iterative slots' final rounds). Queries are
+    * self-contained — no run ever reads another run's blocks — but a
+    * bare localCheckpoint outlives its query, and across 220 queries ×
+    * 4–6 passes the accumulated blocks are executor-storage pressure,
+    * eviction churn, and GC work (the r9 verdict's bimodal-tier-pass
+    * suspect). The sweep runs OUTSIDE the timed region. */
+  private def sweepBlocks(spark: SparkSession, before: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+
   private def timePasses(spark: SparkSession, sfDir: String,
       named: Seq[(String, (SparkSession, String) => DataFrame)],
       passes: Int): Array[Vector[Double]] = {
@@ -56,12 +68,15 @@ object Bench {
     for (p <- 0 to passes; i <- named.indices) {
       val (_, fn) = named(i)
       if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweepBlocks(spark, before)
         if (p > 0 || !ok)
-          runs(i) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          runs(i) :+= (if (ok) dt else -1.0)
       }
     }
     runs
@@ -235,8 +250,10 @@ object Bench {
       named.map { case (name, fn) =>
         tally.drain()
         val w0 = tally.write; val r0 = tally.read; val s0 = tally.spill
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         try fn(spark, scaleDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        sweepBlocks(spark, before)
         tally.drain()
         s""""$name":{"write_mb":${fmt((tally.write - w0) / mb)},""" +
           s""""read_mb":${fmt((tally.read - r0) / mb)},""" +
@@ -289,11 +306,20 @@ object Bench {
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val docs = Tables(spark, scaleDir, "documents")
-        graft.ops.CorpusPipelineV2.build(docs)
+        // the document-level DAG (stages 1–7) materializes ONCE and
+        // feeds build and audits — the production shape; timing
+        // build(docs) + audits(docs) separately would pay stages 1–7
+        // twice and double-count the doc pipeline in the reported time
+        val st = graft.ops.CorpusPipelineV2.stages(docs, checkpoint = true)
+        val kept = st.kept.localCheckpoint(true)
+        graft.ops.CorpusPipelineV2.buildFromKept(kept)
           .write.format("noop").mode("overwrite").save()
-        graft.ops.CorpusPipelineV2.audits(docs)
+        graft.ops.CorpusPipelineV2.auditsFromKept(docs, kept)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        st.releaseBarriers()
+        graft.ops.Iterate.release(kept)
+        dt
       }
       tally.drain()
       val mb = 1024.0 * 1024.0
@@ -323,6 +349,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.Iterate.quietReleaseWarnings()
     // Warmup outside the timed region: materialize every table through
     // the noop sink — a count() is answered from parquet footers and
     // never touches the row data, so the first heavy query would still

@@ -22,14 +22,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ops.Iterate.quietReleaseWarnings()
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }
     selected.foreach { case (name, fn) =>
+      // queries are self-contained: release the checkpoint blocks each
+      // one created, so a 220-query dump doesn't accumulate
+      // executor-storage pressure (same sweep as Bench)
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -106,8 +106,9 @@ object Bpe {
     * [[trainLocal]]; used when the vocab exceeds the pull-local bound. */
   private[graft] def trainDistributed(vocab: DataFrame,
       k: Int): (Seq[(String, String)], DataFrame) = {
-    var syms = vocab.select(col("word"), col("cnt"),
-      charSymbols(col("word")).as("symbols")).localCheckpoint()
+    val roll = new Iterate.RollingCheckpoint
+    var syms = roll.next(vocab.select(col("word"), col("cnt"),
+      charSymbols(col("word")).as("symbols")))
     val merges = Seq.newBuilder[(String, String)]
     var done = false
     var i = 0
@@ -119,8 +120,8 @@ object Bpe {
       else {
         val (l, r) = (top(0).getString(0), top(0).getString(1))
         merges += ((l, r))
-        syms = syms.withColumn("symbols",
-          applyMerge(col("symbols"), l, r)).localCheckpoint()
+        syms = roll.next(syms.withColumn("symbols",
+          applyMerge(col("symbols"), l, r)))
       }
       i += 1
     }

@@ -63,9 +63,12 @@ object Graph {
     val nrow = deg.agg(count(lit(1)).as("n"))
       .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
         round(lit(0.15) / $"n", 6).as("base"))
-    var ranks = deg.crossJoin(broadcast(nrow))
-      .select($"src".as("node"), $"r0".as("r"))
-      .localCheckpoint(true)
+    // the rank vector rolls through one slot: round k's checkpoint
+    // releases round k−1's blocks (Iterate doc — a bare localCheckpoint
+    // per round leaks every superseded round for the session)
+    val roll = new Iterate.RollingCheckpoint
+    var ranks = roll.next(deg.crossJoin(broadcast(nrow))
+      .select($"src".as("node"), $"r0".as("r")))
     val eWithDeg = e.join(deg, Seq("src"))
       .select($"src", $"dst", $"outdeg")
       .localCheckpoint(true)
@@ -75,14 +78,127 @@ object Graph {
         .select($"dst", round($"r" / $"outdeg", 6).as("c"))
       val sums = contrib.groupBy($"dst")
         .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
-      ranks = sums.crossJoin(broadcast(nrow))
+      ranks = roll.next(sums.crossJoin(broadcast(nrow))
         .select($"dst".as("node"),
           round($"base".cast("decimal(18,6)") +
             expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
-            .cast("double").as("r"))
-        .localCheckpoint(true)
+            .cast("double").as("r")))
     }
     ranks.select($"node", $"r".as("pagerank"))
+  }
+
+  /** Directed PageRank with dangling-mass redistribution — the
+    * formulation that is actually correct on a CRAWL graph (the 100 TB
+    * curation input): edges are one-way links, sinks exist (pages with
+    * no out-links, the `dangling` set), and without the redistribution
+    * term their rank mass would leak out of the system every round
+    * (Page & Brin '99 §2.7 handle it exactly this way: dangling mass
+    * is spread uniformly over all nodes). [[pageRank]]'s
+    * symmetric-only contract sidesteps the term; this variant pays for
+    * it with ONE extra one-row aggregate per round — never a new
+    * data-sized shuffle:
+    *
+    *  - node universe = distinct(src ∪ dst), computed once;
+    *  - per round, dangling mass D = Σ rank over the (static) dangling
+    *    set — a node-sized semi-join + 1-row aggregate, broadcast back;
+    *  - new rank(v) = base + 0.85·(Σ contribs(v) + D/n) over ALL nodes
+    *    (a source-only node still receives base + its D share).
+    *
+    * Cross-engine exactness follows the [[pageRank]] conventions:
+    * contributions round to 6 decimals and sum as DECIMAL; D sums
+    * 6-decimal ranks exactly; D/n rounds to 6 decimals (one IEEE
+    * division); the damping blend runs in decimal. Returns
+    * (node, pagerank). */
+  def pageRankDirected(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nodes = e.select($"src".as("node"))
+      .unionByName(e.select($"dst".as("node"))).distinct()
+      .localCheckpoint(true)
+    val nrow = nodes.agg(count(lit(1)).as("n"))
+      .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
+        round(lit(0.15) / $"n", 6).as("base"))
+      .localCheckpoint(true)
+    val dangling = nodes
+      .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val eWithDeg = e.join(deg, Seq("src"))
+      .select($"src", $"dst", $"outdeg")
+      .localCheckpoint(true)
+    val zero = expr("CAST(0 AS DECIMAL(18,6))")
+    val roll = new Iterate.RollingCheckpoint
+    var ranks = roll.next(nodes.crossJoin(broadcast(nrow))
+      .select($"node", $"r0".as("r")))
+    for (_ <- 1 to iters) {
+      val contrib = eWithDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst", round($"r" / $"outdeg", 6).as("c"))
+      val sums = contrib.groupBy($"dst".as("node"))
+        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
+      // the dangling term: 1-row aggregate over the static sink set,
+      // broadcast into the rank update — the cost the class doc of
+      // [[pageRank]] promised ("a one-row aggregate, not a new shuffle")
+      val drow = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum($"r".cast("decimal(18,6)")), zero).as("dmass"))
+        .crossJoin(broadcast(nrow))
+        .select(round($"dmass".cast("double") / $"n", 6)
+          .cast("decimal(18,6)").as("dshare"), $"base")
+      ranks = roll.next(nodes.join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(drow))
+        .select($"node",
+          round($"base".cast("decimal(18,6)") +
+            expr("CAST(0.85 AS DECIMAL(3,2))") *
+              (coalesce($"sm", zero) + $"dshare"), 6)
+            .cast("double").as("r")))
+    }
+    ranks.select($"node", $"r".as("pagerank"))
+  }
+
+  /** Oracle twin of [[pageRankDirected]] over a caller-defined
+    * `ed(src, dst)` CTE; exposes `dprout(node, pagerank)`. */
+  def pageRankDirectedSql(iters: Int): String = {
+    val head = """
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+              FROM ed GROUP BY src),
+      nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(1 AS DOUBLE) / COUNT(*), 6) AS r0,
+               round(CAST(0.15 AS DOUBLE) / COUNT(*), 6) AS base
+             FROM nodes),
+      dangling AS (
+        SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM deg)),
+      dpr0 AS (SELECT node, r0 AS r FROM nodes, nn)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      dsm$k AS (
+        SELECT e.dst AS node,
+          SUM(CAST(round(r.r / d.outdeg, 6) AS DECIMAL(18,6))) AS sm
+        FROM ed e
+        JOIN dpr${k - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst),
+      dd$k AS (
+        SELECT CAST(round(CAST(
+            (SELECT COALESCE(SUM(CAST(r.r AS DECIMAL(18,6))),
+                             CAST(0 AS DECIMAL(18,6)))
+             FROM dpr${k - 1} r JOIN dangling g ON r.node = g.node)
+            AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS dshare,
+          base
+        FROM nn),
+      dpr$k AS (
+        SELECT nd.node,
+          CAST(round(CAST(dd.base AS DECIMAL(18,6)) +
+            CAST(0.85 AS DECIMAL(3,2)) *
+              (COALESCE(s.sm, CAST(0 AS DECIMAL(18,6))) + dd.dshare), 6)
+            AS DOUBLE) AS r
+        FROM nodes nd
+        LEFT JOIN dsm$k s ON nd.node = s.node
+        CROSS JOIN dd$k dd)"""
+    }.mkString(",")
+    s"$head,$steps,\n      dprout AS (SELECT node, r AS pagerank FROM dpr$iters)"
   }
 
   /** Personalized PageRank (Haveliwala, WWW '02 topic-sensitive
@@ -106,7 +222,12 @@ object Graph {
       .select(round(lit(1.0) / $"ns", 6).as("r0"),
         round(lit(0.15) / $"ns", 6).as("base"))
     val seedBase = seeds.crossJoin(broadcast(srow)).localCheckpoint(true)
+    // round 0's ranks are a plain projection of seedBase (no checkpoint
+    // of their own); the rolling slot only ever releases checkpoints it
+    // created, so seedBase — reused by every round's teleport join —
+    // is never at risk
     var ranks = seedBase.select($"node", $"r0".as("r"))
+    val roll = new Iterate.RollingCheckpoint
     val eWithDeg = e.join(deg, Seq("src"))
       .select($"src", $"dst", $"outdeg")
       .localCheckpoint(true)
@@ -117,13 +238,12 @@ object Graph {
         .select($"dst", round($"r" / $"outdeg", 6).as("c"))
       val sums = contrib.groupBy($"dst".as("node"))
         .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
-      ranks = sums
+      ranks = roll.next(sums
         .join(seedBase.select($"node", $"base"), Seq("node"), "full_outer")
         .select($"node",
           round(coalesce($"base", lit(0.0)).cast("decimal(18,6)") +
             expr("CAST(0.85 AS DECIMAL(3,2))") * coalesce($"sm", zero), 6)
-            .cast("double").as("r"))
-        .localCheckpoint(true)
+            .cast("double").as("r")))
     }
     ranks.select($"node", $"r".as("ppr"))
   }
@@ -178,21 +298,28 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = edges.localCheckpoint(true)
-    var stats = Seq.empty[DataFrame]
+    // two rolling slots: the edge frame, and the accumulated shrink
+    // curve. The curve must roll too — its round-r row reads round-r's
+    // edge frame, so it has to MATERIALIZE before round r+1's edge
+    // checkpoint releases those blocks (a lazy Seq of per-round aggs,
+    // the old shape, would read released checkpoints at collect time).
+    val eRoll = new Iterate.RollingCheckpoint
+    val sRoll = new Iterate.RollingCheckpoint
+    var e = eRoll.next(edges)
+    var stats: DataFrame = null
     for (r <- 1 to rounds) {
       val keep = e.groupBy($"src").agg(count(lit(1)).as("__d"))
         .filter($"__d" >= k).select($"src".as("node"))
-      e = e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+      e = eRoll.next(e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
         .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .select($"src", $"dst")
-        .localCheckpoint(true)
-      stats = stats :+ e.agg(
+        .select($"src", $"dst"))
+      val row = e.agg(
         countDistinct($"src").as("n_nodes"),
         count(lit(1)).as("n_edges"))
         .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+      stats = sRoll.next(if (stats == null) row else stats.unionByName(row))
     }
-    stats.reduce(_.unionByName(_)).orderBy($"round")
+    stats.orderBy($"round")
   }
 
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`

@@ -86,14 +86,20 @@ object Pca {
     var v = dims.crossJoin(broadcast(dcnt))
       .select(col("j"), (lit(1.0) / sqrt(col("d"))).as("v"))
     var lam: DataFrame = null
+    // two rolling slots (Iterate discipline). lambda must checkpoint
+    // per round too: the final `lam` read AFTER the loop would
+    // otherwise re-derive from the PREVIOUS round's v — whose blocks
+    // the v-slot has already released.
+    val vRoll = new Iterate.RollingCheckpoint
+    val lamRoll = new Iterate.RollingCheckpoint
     for (_ <- 1 to iters) {
       val u = covC.join(broadcast(v), Seq("j"))
         .groupBy(col("i"))
         .agg(Exact.dsumFine(col("cov") * col("v")).as("u"))
-      lam = u.agg(sqrt(Exact.dsumFine(col("u") * col("u"))).as("lambda"))
-      v = u.crossJoin(broadcast(lam))
-        .select(col("i").as("j"), (col("u") / col("lambda")).as("v"))
-        .localCheckpoint()
+      lam = lamRoll.next(
+        u.agg(sqrt(Exact.dsumFine(col("u") * col("u"))).as("lambda")))
+      v = vRoll.next(u.crossJoin(broadcast(lam))
+        .select(col("i").as("j"), (col("u") / col("lambda")).as("v")))
     }
     v.crossJoin(broadcast(lam))
       .select(col("j").as("i"), col("v"), col("lambda"))

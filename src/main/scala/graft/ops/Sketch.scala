@@ -238,10 +238,15 @@ object Sketch {
       FROM hll_sums)"""
 
   /** Pinned-layout Bloom filter BUILD over (h1, h2) hash rows: k = 3
-    * Kirsch–Mitzenmacher probes p_j = (h1 + j·h2) mod m, packed as
-    * m/32 32-bit words in BIGINTs via bit_or (bit 63 would overflow
+    * Kirsch–Mitzenmacher probes p_j = (h1 + j·(2·h2+1)) mod m, packed
+    * as m/32 32-bit words in BIGINTs via bit_or (bit 63 would overflow
     * DuckDB's checked shift — the oracle twin runs the identical
-    * arithmetic). The word table is the filter's PINNED serialization:
+    * arithmetic). The stride is forced ODD (2·h2+1): m is a power of
+    * two, so a raw h2 with a large gcd against m — worst case
+    * h2 % m = 0 — would collapse all three probes onto one bit and
+    * inflate that key's false-positive rate; an odd stride is coprime
+    * with any power-of-two m, so the three probes are always distinct
+    * bits. The word table is the filter's PINNED serialization:
     * merge across shards/batches is elementwise bit_or, exactly like
     * the HLL register-MAX, so the sketch is partitioning- and
     * delivery-order-independent. Output: (word, bits), ≤ m/32 rows —
@@ -249,7 +254,7 @@ object Sketch {
   def bloomWords(hashes: DataFrame, m: Long): DataFrame =
     hashes.select(explode(expr("sequence(0, 2)")).as("j"),
         col("h1"), col("h2"))
-      .select(pmod(col("h1") + col("j") * col("h2"), lit(m)).as("p"))
+      .select(pmod(col("h1") + col("j") * (col("h2") * 2L + 1L), lit(m)).as("p"))
       .select(expr("p div 32").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
       .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
@@ -265,7 +270,8 @@ object Sketch {
     (0 to 2).foldLeft(df) { (acc, j) =>
       val b = bloom.select(col("word").as(s"__w$j"), col("bits").as(s"__b$j"))
       acc
-        .withColumn(s"__p$j", pmod(col("h1") + lit(j.toLong) * col("h2"), lit(m)))
+        .withColumn(s"__p$j",
+          pmod(col("h1") + lit(j.toLong) * (col("h2") * 2L + 1L), lit(m)))
         .withColumn(s"__w$j", expr(s"__p$j div 32"))
         .withColumn(s"__m$j",
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$j % 32 AS INT))"))

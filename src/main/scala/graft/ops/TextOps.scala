@@ -276,11 +276,11 @@ object TextOps {
     // localCheckpoint truncates lineage each round — without it, the plan
     // (and Catalyst planning/codegen time) grows with the iteration
     // count, the classic iterative-Spark trap.
-    var labels = sym
+    val roll = new Iterate.RollingCheckpoint
+    var labels = roll.next(sym
       .groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("node"),
-        least(col("src"), col("nmin")).as("cluster"))
-      .localCheckpoint(true)
+        least(col("src"), col("nmin")).as("cluster")))
     // labels only ever decrease, so Σ(cluster) is strictly monotone until
     // the fixpoint — one cheap scalar per round instead of a change join.
     var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L)))
@@ -290,10 +290,11 @@ object TextOps {
     while (!done && iter < maxIters) {
       val neighborMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+      // roll.next releases the superseded round's blocks once the new
+      // checkpoint has materialized (Iterate discipline)
+      val next = roll.next(labels.join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster")))
       val s = next.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
       done = s == prevSum
       prevSum = s
@@ -369,6 +370,10 @@ object TextOps {
       done = nextSig == curSig &&
         next.join(cur, Seq("s", "d"), "left_anti").isEmpty &&
         cur.join(next, Seq("s", "d"), "left_anti").isEmpty
+      // the convergence anti-joins above are the last reads of the
+      // superseded round — release its blocks only AFTER them (a
+      // rolling slot would free them before the set-equality check)
+      Iterate.release(cur)
       curSig = nextSig
       cur = next
       iter += 1
@@ -401,18 +406,24 @@ object TextOps {
     *     windows whose hash occurs ≥ 2 times corpus-wide (across docs
     *     OR within one — self-repetition counts, as in the paper) are
     *     the duplicated anchors;
-    *  2. MERGE: per doc, overlapping-or-adjacent duplicated anchors
-    *     (gap ≤ w tokens) union into maximal spans — a repeated
-    *     substring of L ≥ w tokens appears as L−w+1 consecutive
-    *     duplicated anchors, so its maximal span is recovered with
-    *     exact variable length.
+    *  2. MERGE: per doc, duplicated anchors at gap ≤ w union into
+    *     spans — a repeated substring of L ≥ w tokens appears as
+    *     L−w+1 consecutive duplicated anchors and lands inside one
+    *     span.
     *
-    * Documented bound: repeats SHORTER than w tokens are invisible (w
-    * is the minimum-match length knob, the paper's 50; choose it per
-    * corpus), and a merged span certifies every w-window inside it is
-    * duplicated somewhere, which is the removal criterion production
-    * implementations of the paper apply. Suffix-automaton exactness
-    * below w is not worth its non-distributable construction.
+    * The contract is TOKEN COVERAGE, not per-span certification:
+    * every token inside a returned span is covered by at least one
+    * duplicated w-window (gap ≤ w merging leaves no coverage hole
+    * between anchors), which is exactly the Lee et al. removal
+    * criterion — delete tokens that sit in any duplicated window.
+    * Because merging admits gaps up to w, a single span MAY bridge
+    * two distinct nearby repeats: `span_len` is the length of the
+    * covered region, not necessarily of one maximal repeat, and the
+    * w-windows strictly between two bridged anchors are not
+    * themselves certified duplicated. Repeats SHORTER than w tokens
+    * are invisible (w is the minimum-match length knob, the paper's
+    * 50; choose it per corpus). Suffix-automaton exactness below w is
+    * not worth its non-distributable construction.
     *
     * Scale shape: anchors are a map-side explode (|tokens| rows of
     * (doc, pos, hash)), the multiplicity filter is one hash-keyed
@@ -463,7 +474,20 @@ object TextOps {
     * array intersection: a token-ROW verify join would shuffle
     * |pairs|·|tokens| rows (~22M at sf0.1), which no gate setting may
     * reintroduce. The size estimate is one cheap aggregate over the
-    * (localCheckpointed) set table: Σ(per-doc array bytes + slack).
+    * set table: Σ(per-doc array bytes + slack).
+    *
+    * EAGER-ACTION CAVEAT: the estimate executes `tsets` at CALL time
+    * (a `.head()` during DataFrame construction), so merely BUILDING
+    * the returned plan (explain, plan audits, test planOf) runs a full
+    * scan+aggregate of the token-set table — and unless the caller
+    * pre-materialized `tsets` (localCheckpoint/cache, as q182 does),
+    * the gate's scan re-derives it from scratch and the verify join
+    * derives it AGAIN. Callers MUST pass a checkpointed/cached
+    * `tsets`; keeping the gate measured-not-guessed is the point (a
+    * stats-based estimate would silently broadcast a corpus-sized
+    * table when stats are stale — the exact failure this gate exists
+    * to prevent).
+    *
     * Output is identical on both paths — the gate is plan-only;
     * TextQuerySpec forces both and asserts frame equality, and
     * PlanAuditSpec pins broadcast-below / shuffle-above. */
@@ -631,11 +655,14 @@ object TextOps {
   }
 
   /** DuckDB CTE chain ending in `decisions(doc_id, decision)` — the
-    * oracle twin of [[corpusDecisions]], shared by q63 and q76. */
-  val corpusDecisionsSql: String = """
+    * oracle twin of [[corpusDecisions]] over any table/CTE carrying
+    * (doc_id, text, source, n_chars); shared by q63, q76 and the
+    * composed-pipeline oracle (q221), which runs it over the
+    * normalized-dedup survivors instead of the raw corpus. */
+  def corpusDecisionsSqlFrom(table: String): String = s"""
       tok AS (
-        SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\s+')) AS token
-        FROM documents),
+        SELECT doc_id AS doc, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM $table),
       quality AS (
         SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
           CAST(SUM(CAST(CAST(length(token) AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
@@ -644,8 +671,8 @@ object TextOps {
       tr AS (
         SELECT doc_id AS doc,
           source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
-          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
-        FROM documents),
+          unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM $table),
       sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
       inter AS (
         SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
@@ -662,9 +689,12 @@ object TextOps {
                WHEN q.mean_token_len < 3.5e0 THEN 'low_quality'
                WHEN l.doc IS NOT NULL THEN 'duplicate'
                ELSE 'kept' END AS decision
-        FROM documents d
+        FROM $table d
         JOIN quality q ON d.doc_id = q.doc
         LEFT JOIN losers l ON d.doc_id = l.doc)"""
+
+  /** [[corpusDecisionsSqlFrom]] over the raw `documents` table. */
+  val corpusDecisionsSql: String = corpusDecisionsSqlFrom("documents")
 
   /** Line-level deduplication (the boilerplate scrub of web-corpus
     * pipelines: headers, nav bars, licence blocks): drop every line

@@ -77,7 +77,7 @@ object EvalQueries extends QueryGroup {
                ${TextOps.h64bSql("s")} % 1000000007 AS h2
         FROM sh),
       mh AS (
-        SELECT doc, j, MIN(h1 + j * h2) AS h
+        SELECT doc, j, MIN(h1 + j * (2 * h2 + 1)) AS h
         FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j) seeds
         GROUP BY doc, j),
       bands AS (
@@ -124,9 +124,11 @@ object EvalQueries extends QueryGroup {
 
   /** Bloom-filter membership gate with a false-positive audit: the
     * reference corpus's distinct 5-token span hashes build a 16384-bit
-    * Bloom filter (k = 3 Kirsch–Mitzenmacher probes p_j = h1 + j·h2
-    * mod m — one md5 digest feeds the family, as in the minhash
-    * machinery) stored in the HLL-style PINNED layout: 512 32-bit
+    * Bloom filter (k = 3 Kirsch–Mitzenmacher probes
+    * p_j = h1 + j·(2·h2+1) mod m — one md5 digest feeds the family as
+    * in the minhash machinery, and the odd stride stays coprime with
+    * the power-of-two m so the probes never collapse onto one bit)
+    * stored in the HLL-style PINNED layout: 512 32-bit
     * words packed in BIGINTs via bit_or (bit 63 would overflow
     * DuckDB's checked shift), a ≤512-row table that broadcasts into
     * the probe. Every current doc's spans probe the filter (3 broadcast
@@ -184,8 +186,8 @@ object EvalQueries extends QueryGroup {
       ref AS (SELECT * FROM sp WHERE source IN ('src0', 'src1', 'src2')),
       cur AS (SELECT * FROM sp WHERE source NOT IN ('src0', 'src1', 'src2')),
       bloom AS (
-        SELECT (h1 + j * h2) % 16384 // 32 AS word,
-          bit_or(CAST(1 AS BIGINT) << CAST((h1 + j * h2) % 16384 % 32 AS INT))
+        SELECT (h1 + j * (2 * h2 + 1)) % 16384 // 32 AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST((h1 + j * (2 * h2 + 1)) % 16384 % 32 AS INT))
             AS bits
         FROM ref, (SELECT unnest(generate_series(0, 2)) AS j) js
         GROUP BY 1),
@@ -193,11 +195,11 @@ object EvalQueries extends QueryGroup {
         SELECT c.doc, c.h1, c.h2,
           CASE WHEN b.bits IS NOT NULL AND
             (b.bits & (CAST(1 AS BIGINT) <<
-              CAST((c.h1 + j.j * c.h2) % 16384 % 32 AS INT))) <> 0
+              CAST((c.h1 + j.j * (2 * c.h2 + 1)) % 16384 % 32 AS INT))) <> 0
             THEN 1 ELSE 0 END AS ok
         FROM cur c
         CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
-        LEFT JOIN bloom b ON (c.h1 + j.j * c.h2) % 16384 // 32 = b.word),
+        LEFT JOIN bloom b ON (c.h1 + j.j * (2 * c.h2 + 1)) % 16384 // 32 = b.word),
       per_span AS (
         SELECT doc, h1, h2, (SUM(ok) = 3) AS bloom_hit
         FROM probes GROUP BY doc, h1, h2),

@@ -54,6 +54,46 @@ object GraphQueries extends QueryGroup {
       SELECT node, pagerank FROM prout
       ORDER BY pagerank DESC, node LIMIT 100"""))
 
+  /** Directed PageRank with dangling-mass redistribution
+    * (Graph.pageRankDirected) over a crawl-shaped 3-layer DAG:
+    * customer → supplier (a delivery is a one-way "citation") and
+    * supplier → nation. Nations are true SINKS — they absorb rank and
+    * return it only through the uniform dangling term, which is the
+    * exact structure of a web crawl frontier (pages whose out-links
+    * were never fetched). q210's symmetric contract cannot express
+    * this graph; here the redistribution is one broadcast 1-row
+    * aggregate per round. Top-100 by (rank desc, node). */
+  private val q222 = Q(
+    "q222_pagerank_directed",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val cs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+          concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .distinct()
+      val sn = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("src"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("dst"))
+        .distinct()
+      Graph.pageRankDirected(cs.unionByName(sn), iters = 3)
+        .orderBy($"pagerank".desc, $"node".asc)
+        .limit(100)
+    },
+    Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR),
+               'n' || CAST(s_nationkey AS VARCHAR)
+        FROM supplier),
+      ${Graph.pageRankDirectedSql(3)}
+      SELECT node, pagerank FROM dprout
+      ORDER BY pagerank DESC, node LIMIT 100"""))
+
   /** Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD '95): sort
     * the corpus by a normalized key, compare only records within a
     * sliding window of w=4 ranks, verify candidates with the exact
@@ -284,5 +324,5 @@ object GraphQueries extends QueryGroup {
       JOIN sdeg db ON p.s2 = db.sk
       ORDER BY p.shared DESC, p.s1, p.s2 LIMIT 20"""))
 
-  def queries: Seq[Q] = Seq(q210, q211, q215, q216, q220)
+  def queries: Seq[Q] = Seq(q210, q211, q215, q216, q220, q222)
 }

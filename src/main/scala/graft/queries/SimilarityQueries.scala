@@ -1249,28 +1249,34 @@ object SimilarityQueries extends QueryGroup {
       import s.implicits._
       val all = vecs(s, dir).select($"id", $"emb")
       val k = 5
+      // rolling slots (Iterate discipline): the coverage frame and the
+      // picks union each keep ONE live round; per-step pick singletons
+      // release once both consumers have materialized
+      val mindRoll = new graft.ops.Iterate.RollingCheckpoint
+      val picksRoll = new graft.ops.Iterate.RollingCheckpoint
       val first = all.orderBy($"id".asc).limit(1).localCheckpoint(true)
-      var picks = first.select($"id", lit(1L).as("pick_order"),
-        lit(null).cast("double").as("min_dist2"))
-      var mind = all
+      var picks = picksRoll.next(first.select($"id", lit(1L).as("pick_order"),
+        lit(null).cast("double").as("min_dist2")))
+      var mind = mindRoll.next(all
         .crossJoin(broadcast(first.select($"emb".as("cemb"))))
         .select($"id", $"emb",
-          Similarity.sqDistExact("emb", "cemb").as("d"))
-        .localCheckpoint(true)
+          Similarity.sqDistExact("emb", "cemb").as("d")))
+      graft.ops.Iterate.release(first)
       for (step <- 2 to k) {
         val pick = mind
           .join(picks.select($"id"), Seq("id"), "left_anti")
           .orderBy($"d".desc, $"id".asc).limit(1)
           .localCheckpoint(true)
-        picks = picks.unionByName(pick.select($"id",
-          lit(step.toLong).as("pick_order"), $"d".as("min_dist2")))
+        picks = picksRoll.next(picks.unionByName(pick.select($"id",
+          lit(step.toLong).as("pick_order"), $"d".as("min_dist2"))))
         if (step < k)
-          mind = mind
+          mind = mindRoll.next(mind
             .crossJoin(broadcast(pick.select($"emb".as("cemb"))))
             .select($"id", $"emb",
-              least($"d", Similarity.sqDistExact("emb", "cemb")).as("d"))
-            .localCheckpoint(true)
+              least($"d", Similarity.sqDistExact("emb", "cemb")).as("d")))
+        graft.ops.Iterate.release(pick)
       }
+      mindRoll.close()
       picks.orderBy($"pick_order")
     },
     Some(s"""
@@ -1310,6 +1316,11 @@ object SimilarityQueries extends QueryGroup {
           round(Similarity.dotExact("emb", "cemb") /
             (sqrt($"norm2") * sqrt($"cnorm2")), 6).as("sim"))
         .localCheckpoint(true)
+      // rolling slots (Iterate discipline): coverage and the picks
+      // union keep one live round each; per-step pick singletons
+      // release after both consumers materialize
+      val curRoll = new graft.ops.Iterate.RollingCheckpoint
+      val picksRoll = new graft.ops.Iterate.RollingCheckpoint
       var picks: DataFrame = null
       var cur: DataFrame = null
       for (step <- 1 to 4) {
@@ -1326,17 +1337,20 @@ object SimilarityQueries extends QueryGroup {
           .select($"cid", lit(step.toLong).as("pick_order"),
             $"g".cast("double").as("gain"))
           .localCheckpoint(true)
-        picks = if (picks == null) pick else picks.unionByName(pick)
+        picks = picksRoll.next(
+          if (picks == null) pick else picks.unionByName(pick))
         val pickSims = sims
           .join(broadcast(pick.select($"cid")), Seq("cid"))
           .select($"x", $"sim")
-        cur =
-          (if (cur == null) pickSims.select($"x",
+        cur = curRoll.next(
+          if (cur == null) pickSims.select($"x",
               greatest($"sim", lit(0.0)).as("cur"))
-           else cur.join(pickSims, Seq("x"))
-             .select($"x", greatest($"cur", $"sim").as("cur")))
-          .localCheckpoint(true)
+          else cur.join(pickSims, Seq("x"))
+            .select($"x", greatest($"cur", $"sim").as("cur")))
+        graft.ops.Iterate.release(pick)
       }
+      curRoll.close()
+      graft.ops.Iterate.release(sims)
       picks.select($"pick_order", $"cid", $"gain").orderBy($"pick_order")
     },
     Some {

@@ -88,6 +88,42 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 0L), (2L, 0L, 0L)))
   }
 
+  test("pageRankDirected: hand-walked chain with a sink, iteration 1") {
+    // a→b→c, c dangling. n=3, r0=0.333333, base=0.05.
+    // D = 0.333333, dshare = round(D/3, 6) = 0.111111.
+    val r = Graph.pageRankDirected(
+      Seq(("a", "b"), ("b", "c")).toDF("src", "dst"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    def dec(s: String) = BigDecimal(s)
+    def blend(sm: String) = (dec("0.05") + dec("0.85") *
+        (dec(sm) + dec("0.111111")))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("a") == blend("0")) // no in-edges: base + dangling share only
+    assert(r("b") == blend("0.333333"))
+    assert(r("c") == blend("0.333333"))
+    // redistribution conserves mass up to per-term 6-decimal rounding
+    assert(math.abs(r.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pageRankDirected: sink mass does NOT leak over iterations") {
+    // star of sinks: s→t1..t4. Without the dangling term, 4/5 of the
+    // mass would vanish in round 1 and the total would decay ~0.85^k.
+    val edges = (1 to 4).map(i => ("s", s"t$i")).toDF("src", "dst")
+    val r = Graph.pageRankDirected(edges, iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-3)
+    assert(Seq("t1", "t2", "t3", "t4").map(r).distinct.size == 1)
+  }
+
+  test("pageRankDirected equals pageRank on a dangling-free symmetric graph") {
+    // with no sinks the dangling term is exactly 0 every round, so the
+    // two formulations must walk identical arithmetic
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    val d = Graph.pageRankDirected(edges, 3).as[(String, Double)].collect().toSet
+    val s0 = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
+    assert(d == s0)
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet

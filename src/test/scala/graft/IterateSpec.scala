@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops.{Graph, Iterate, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Pins the checkpoint-release discipline of [[graft.ops.Iterate]]:
+  * iterative operators keep a CONSTANT number of persisted RDDs
+  * regardless of how many rounds they run (each round's checkpoint
+  * releases the superseded round — the r9 verdict's leak), and a
+  * released round's blocks really leave `getPersistentRDDs`. */
+class IterateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+
+  private def sweep(before: Set[Int]): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = true)
+    }
+
+  test("RollingCheckpoint keeps exactly one live round and the result stays readable") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val roll = new Iterate.RollingCheckpoint
+    var df = Seq(1L, 2L, 3L).toDF("x")
+    val base = persisted
+    for (_ <- 1 to 5)
+      df = roll.next(df.withColumn("x", $"x" + 1L))
+    // 5 rounds later: ONE live checkpoint, not five
+    assert(persisted == base + 1)
+    // the kept (final) round is the one still readable
+    assert(df.agg(sum($"x")).head().getLong(0) == 21L)
+    roll.close()
+    assert(persisted == base)
+    sweep(before)
+  }
+
+  test("release is a no-op on composite plans (never frees a shared upstream)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val cp = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    val base = persisted
+    val derived = cp.filter($"x" > 1) // composite plan OVER the checkpoint
+    Iterate.release(derived)
+    assert(persisted == base, "releasing a derived frame must not free its parent")
+    assert(cp.count() == 3L)
+    Iterate.release(cp) // bare checkpoint: releases
+    assert(persisted == base - 1)
+    sweep(before)
+  }
+
+  test("pageRank persisted-RDD count is iteration-independent") {
+    val edges = {
+      val fwd = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+      fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    }
+    def runAndCount(iters: Int): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      Graph.pageRank(edges, iters).collect()
+      val grew = persisted - before.size
+      sweep(before)
+      grew
+    }
+    val g2 = runAndCount(2)
+    val g8 = runAndCount(8)
+    assert(g2 == g8, s"persisted frames grew with rounds: $g2 vs $g8")
+    assert(g8 <= 5, s"pageRank leaves $g8 persisted frames (want static+1)")
+  }
+
+  test("kCorePeel persisted-RDD count is round-independent") {
+    val fwd = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    def runAndCount(rounds: Int): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      Graph.kCorePeel(edges, k = 3, rounds = rounds).collect()
+      val grew = persisted - before.size
+      sweep(before)
+      grew
+    }
+    val g2 = runAndCount(2)
+    val g6 = runAndCount(6)
+    assert(g2 == g6, s"persisted frames grew with rounds: $g2 vs $g6")
+    assert(g6 <= 3, s"kCorePeel leaves $g6 persisted frames (want 2 slots)")
+  }
+
+  test("connectedComponents persisted-RDD count is diameter-independent") {
+    // a chain needs O(length) min-label rounds — the growth case
+    def chain(n: Int) = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    def runAndCount(n: Int): Int = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val edges = chain(n).toDF("d1", "d2")
+      val nodes = (1 to n).map(_.toLong).toDF("node")
+      TextOps.connectedComponents(edges, nodes).collect()
+      val grew = persisted - before.size
+      sweep(before)
+      grew
+    }
+    val g4 = runAndCount(4)
+    val g12 = runAndCount(12)
+    assert(g4 == g12, s"persisted frames grew with diameter: $g4 vs $g12")
+    assert(g12 <= 2, s"connectedComponents leaves $g12 persisted frames")
+  }
+}
