@@ -40,7 +40,8 @@ object Registry {
     CmorQueries,
     MediaQueries,
     EvalQueries,
-    GraphQueries)
+    GraphQueries,
+    ComposedQueries)
 
   lazy val all: Seq[Q] = groups.flatMap(_.queries)
 
