@@ -48,6 +48,14 @@ object Similarity {
   def dotFast(a: String, b: String): Column =
     call_function("float_dot", col(a), col(b))
 
+  /** Johnson–Lindenstrauss ±1 hash-projection to k dims via the native
+    * [[graft.plans.JlProject]] expression: one map-side pass over the
+    * array, no row explosion, bit-identical to the decimal-exact
+    * explode+groupBy formulation it replaced (q218). */
+  def jlProject(emb: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.JlProject(
+      org.apache.spark.sql.GraftSqlBridge.expression(emb), k))
+
   /** Exact squared L2 norm of a float-array column, as double. */
   def sqNormExact(a: String): Column = dotExact(a, a)
 

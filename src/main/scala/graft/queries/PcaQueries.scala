@@ -212,30 +212,33 @@ object PcaQueries extends QueryGroup {
     * audit tells you whether 8 hashed dims suffice before you pay for
     * a PCA fit. Signed components sum exactly in decimal per (id, j);
     * distortion ratios are 6-rounded; the mean is a decimal-exact
-    * sum with one final division. */
+    * sum with one final division.
+    *
+    * The projection is the native [[graft.plans.JlProject]] expression
+    * (r9 verdict, Next #6): one pass over the float array emits all 8
+    * sums map-side. The old formulation exploded every vector into
+    * 64 × 8 rows and pushed them through a hash-aggregate shuffle —
+    * an 8× row multiplier this plan no longer contains (PlanAuditSpec
+    * pins generate-free); the per-(id, j) decimal arithmetic is
+    * reproduced bit-exactly, so the oracle and the hash are
+    * unchanged. */
   private val q218 = Q(
     "q218_jl_projection",
     (s, dir) => {
       import s.implicits._
-      val comp = Tables.spread(s, dir, "embeddings")
+      val proj = Tables.spread(s, dir, "embeddings")
         .select($"vec_id".as("id"),
-          posexplode($"embedding").as(Seq("i", "e")))
-        .withColumn("e", $"e".cast("double"))
-      val signed = comp
-        .withColumn("j", explode(expr("sequence(0, 7)")))
-        .withColumn("se", when(
-          pmod(graft.ops.TextOps.h64(
-            concat($"i".cast("string"), lit("|"), $"j".cast("string"))),
-            lit(2L)) === 0, $"e").otherwise(-$"e"))
-      val proj = signed.groupBy($"id", $"j")
-        .agg(sum($"se".cast("decimal(18,6)")).cast("double").as("p"))
-      val pairsP = proj.select($"id".as("id1"), $"j", $"p".as("pa"))
+          Similarity.jlProject($"embedding", 8).as("pa"))
+      val pairsP = proj.select($"id".as("id1"), $"pa")
         .filter($"id1" % 5 === 0)
-        .join(proj.select(($"id" - 1).as("id1"), $"j", $"p".as("pb")),
-          Seq("id1", "j"))
-        .groupBy($"id1")
-        .agg(sum((($"pa" - $"pb") * ($"pa" - $"pb"))
-          .cast("decimal(18,6)")).cast("double").as("d8"))
+        .join(proj.select(($"id" - 1).as("id1"), $"pa".as("pb")),
+          Seq("id1"))
+        .select($"id1", expr("""CAST(aggregate(
+            zip_with(pa, pb, (x, y) ->
+              CAST((x - y) * (x - y) AS DECIMAL(18,6))),
+            CAST(0 AS DECIMAL(28,6)),
+            (acc, v) -> CAST(acc + v AS DECIMAL(28,6))) AS DOUBLE)""")
+          .as("d8"))
       val emb = vecs(s, dir)
       val pairsO = emb.select($"id".as("id1"), $"emb".as("ea"))
         .filter($"id1" % 5 === 0)

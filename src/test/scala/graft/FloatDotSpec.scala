@@ -44,4 +44,48 @@ class FloatDotSpec extends SparkSpec {
     val v = spark.sql("SELECT float_dot(a, b) AS d FROM fd_t").as[Double].head()
     assert(v == 6.0)
   }
+
+  test("jl_project matches the explode + decimal-sum formulation bit-exactly") {
+    // the q218 arithmetic contract: per j, sum CAST(±e AS DECIMAL(18,6))
+    // exactly, cast the decimal sum to double — the old column chain and
+    // the native expression must agree on every bit (same signs from
+    // h64("i|j") % 2, same HALF_UP term rounding, same final cast)
+    val df = Seq(
+      (1L, Array(0.1234567f, -2.5f, 3.25f, 0.0f)),
+      (2L, Array(1.0e-7f, 7.5f, -0.0000005f, 42.125f)),
+      (3L, Array(-1.5f, -1.5f, -1.5f, -1.5f)))
+      .toDF("id", "emb")
+    val k = 3
+    val native = df.select($"id",
+      graft.ops.Similarity.jlProject($"emb", k).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val legacy = df
+      .select($"id", posexplode($"emb").as(Seq("i", "e")))
+      .withColumn("e", $"e".cast("double"))
+      .withColumn("j", explode(expr(s"sequence(0, ${k - 1})")))
+      .withColumn("se", when(
+        pmod(graft.ops.TextOps.h64(
+          concat($"i".cast("string"), lit("|"), $"j".cast("string"))),
+          lit(2L)) === 0, $"e").otherwise(-$"e"))
+      .groupBy($"id", $"j")
+      .agg(sum($"se".cast("decimal(18,6)")).cast("double").as("p"))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(native.keySet == legacy.keySet)
+    native.foreach { case (id, p) =>
+      assert(p.size == k)
+      assert(p == legacy(id), s"id=$id: $p vs ${legacy(id)}")
+    }
+  }
+
+  test("jl_project skips null elements like SQL sum") {
+    val df = Seq((1L, Seq[Option[Double]](Some(1.5), None, Some(-2.25))))
+      .toDF("id", "emb")
+    val p = df.select(graft.ops.Similarity.jlProject($"emb", 2).as("p"))
+      .as[Seq[Double]].head()
+    assert(p.size == 2)
+    // with the null skipped, every |component| is |±1.5 ± 2.25| ∈ {0.75, 3.75}
+    p.foreach(v => assert(math.abs(v) == 0.75 || math.abs(v) == 3.75, p))
+  }
 }

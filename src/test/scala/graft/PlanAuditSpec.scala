@@ -655,14 +655,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q218 JL projection: hash-derived signs are map-side — " +
-      "no matrix join, no cartesian") {
+  test("q218 JL projection: native jl_project is map-side — " +
+      "no row explosion, no matrix join, no cartesian") {
     val p = planOf("q218_jl_projection")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // projection = explode + groupBy (partial-agg'd); pair audit joins
-    // are id-keyed equi-joins
-    assert(nodeCount(p, "HashAggregate") >= 4, p)
+    // r9 verdict Next #6: the old explode formulation multiplied every
+    // vector ×(64·8) through a Generate + hash-aggregate shuffle; the
+    // JlProject expression emits the 8 sums in one array pass, so the
+    // plan must contain NO Generate at all and the only aggregate left
+    // is the final per-label rollup (partial + final)
+    assert(nodeCount(p, "Generate") == 0, p)
+    assert(p.contains("jl_project"), p)
+    assert(nodeCount(p, "HashAggregate") == 2, p)
   }
 
   test("q220 bipartite projection: pair generation is a capped " +
