@@ -396,6 +396,65 @@ object TextOps {
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
+  /** Incremental connected components for the daily-ingest contract
+    * (r9 verdict, Next #8): merge one delivery's edges into a FROZEN
+    * labeling without recomputing the world. The standard contraction
+    * argument makes this exact, not approximate:
+    *
+    *  1. CONTRACT — every old component is one super-node named by its
+    *     frozen label (= the component's min node id); each new edge's
+    *     endpoints map to their super-node (nodes the frozen table has
+    *     never seen are their own super-node). Self-loops drop. The
+    *     contracted graph is DELIVERY-sized: only components the batch
+    *     actually touches appear in it.
+    *  2. SOLVE — min-label components over the contracted graph. A
+    *     contracted component's min super-node id IS the merged
+    *     component's global min node id (each super-node already names
+    *     its old component's min; new nodes carry their own id), so
+    *     the contracted solution produces exactly the labels a
+    *     from-scratch run over old ∪ new edges would.
+    *  3. RELABEL — one broadcast join of the node-sized label table
+    *     against the delivery-sized (super → merged-label) map;
+    *     untouched components coalesce to their frozen label and never
+    *     shuffle anywhere.
+    *
+    * Per-batch cost therefore follows the DELIVERY size (the q139
+    * incremental-dedup contract): the corpus-sized frame appears only
+    * in the final map-side relabel. Inputs: `labels`(node, cluster) —
+    * yesterday's labeling, cluster = component min, singletons labeled
+    * self; `newEdges`(d1, d2) undirected. Output: (node, cluster) over
+    * old nodes ∪ the delivery's nodes — batch-equivalent to
+    * [[connectedComponents]] on the union graph (q223 proves it
+    * against the from-scratch oracle). */
+  def connectedComponentsIncremental(labels: DataFrame,
+      newEdges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val l1 = labels.select(col("node").as("d1"), col("cluster").as("__s1"))
+    val l2 = labels.select(col("node").as("d2"), col("cluster").as("__s2"))
+    val contracted = newEdges
+      .join(l1, Seq("d1"), "left")
+      .join(l2, Seq("d2"), "left")
+      .select(coalesce(col("__s1"), col("d1")).as("d1"),
+        coalesce(col("__s2"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .localCheckpoint(true)
+    val supers = contracted.select(col("d1").as("node"))
+      .unionByName(contracted.select(col("d2").as("node"))).distinct()
+    val superLabels = connectedComponents(contracted, supers, maxIters)
+      .select(col("node").as("__super"), col("cluster").as("__comp"))
+    // nodes the delivery introduces that the frozen table has never
+    // seen join the label table as their own singleton component
+    val newNodes = newEdges.select(col("d1").as("node"))
+      .unionByName(newEdges.select(col("d2").as("node"))).distinct()
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster"))
+    // `contracted` stays checkpointed: the lazy super-node universe
+    // inside superLabels' final join still reads it when the caller
+    // materializes (the per-query sweep reclaims the blocks after)
+    labels.unionByName(newNodes)
+      .join(broadcast(superLabels), col("cluster") === col("__super"), "left")
+      .select(col("node"), coalesce(col("__comp"), col("cluster")).as("cluster"))
+  }
+
   /** Variable-length repeated-substring spans (the Lee et al. '22
     * "Deduplicating Training Data Makes Language Models Better"
     * modality — remove every substring of ≥ some length that occurs

@@ -774,6 +774,88 @@ object ClusterQueries extends QueryGroup {
         rank_hard <= (cell_n + 1) // 2 AS kept
       FROM ranked ORDER BY vec_id"""))
 
+  /** Incremental connected components
+    * (TextOps.connectedComponentsIncremental): yesterday's corpus
+    * (doc_id % 10 ≠ 0) is labeled and FROZEN; today's delivery
+    * (doc_id % 10 = 0) contributes every near-dup edge touching it.
+    * The merge contracts touched components to super-nodes, solves the
+    * delivery-sized contracted graph, and relabels through one
+    * broadcast map — per-batch cost follows the DELIVERY, the q139
+    * contract. The oracle recomputes BOTH labelings from scratch
+    * (recursive reach over the old graph for the frozen column, over
+    * the full graph for the merged column), so a green row IS the
+    * batch-equivalence proof: incremental merge ≡ from-scratch q62 on
+    * the union graph. */
+  private val q223 = Q(
+    "q223_incremental_components",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      def blockOf = concat($"source", lit("#"),
+        ($"n_chars" / 100).cast("int").cast("string"))
+      val tr = docs.select($"doc_id".as("doc"), blockOf.as("block"),
+        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val edges = TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.9)
+        .select($"d1", $"d2")
+        .localCheckpoint(true)
+      val oldEdges = edges.filter($"d1" % 10 =!= 0 && $"d2" % 10 =!= 0)
+      val newEdges = edges.filter($"d1" % 10 === 0 || $"d2" % 10 === 0)
+      val oldDocs = docs.filter($"doc_id" % 10 =!= 0)
+      // yesterday's labeling: the same one-shuffle union-find q62 uses
+      val frozen = TextOps.blockLocalComponents(oldEdges,
+          oldDocs.select($"doc_id".as("doc"), blockOf.as("block")),
+          oldDocs.select($"doc_id".as("node")))
+        .localCheckpoint(true)
+      val merged = TextOps.connectedComponentsIncremental(frozen, newEdges)
+      docs.select($"doc_id".as("node"))
+        .join(frozen.select($"node", $"cluster".as("__f")), Seq("node"), "left")
+        .join(merged.select($"node", $"cluster".as("__m")), Seq("node"), "left")
+        .select($"node".as("doc_id"),
+          coalesce($"__f", $"node").as("frozen_cluster"),
+          coalesce($"__m", $"node").as("cluster"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH RECURSIVE tr AS MATERIALIZED (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS token
+        FROM documents),
+      sz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      inter AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      e AS MATERIALIZED (
+        SELECT d1, d2
+        FROM inter JOIN sz sa ON d1 = sa.doc JOIN sz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      sym AS MATERIALIZED (SELECT d1 AS s, d2 AS t FROM e
+                           UNION SELECT d2, d1 FROM e),
+      reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.s, r.label FROM reach r JOIN sym s ON r.node = s.t),
+      full_c AS MATERIALIZED (
+        SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+      symo AS MATERIALIZED (
+        SELECT s, t FROM sym WHERE s % 10 <> 0 AND t % 10 <> 0),
+      reacho(node, label) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+        UNION
+        SELECT s.s, r.label FROM reacho r JOIN symo s ON r.node = s.t),
+      old_c AS MATERIALIZED (
+        SELECT node, MIN(label) AS cluster FROM reacho GROUP BY node)
+      SELECT d.doc_id,
+        COALESCE(o.cluster, d.doc_id) AS frozen_cluster,
+        f.cluster
+      FROM documents d
+      JOIN full_c f ON d.doc_id = f.node
+      LEFT JOIN old_c o ON d.doc_id = o.node
+      ORDER BY d.doc_id"""))
+
   def queries: Seq[Q] =
-    Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165, q174, q178)
+    Seq(q61, q62, q63, q77, q126, q146, q147, q153, q165, q174, q178, q223)
 }

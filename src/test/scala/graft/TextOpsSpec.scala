@@ -224,6 +224,38 @@ class TextOpsSpec extends SparkSpec {
     assert(oneShot == iterative)
   }
 
+  test("connectedComponentsIncremental is batch-equivalent to from-scratch CC") {
+    // frozen world: component {2,3,4} (min 2), component {10,11}
+    // (min 10), singleton 7
+    val oldEdges = Seq((2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val oldNodes = Seq(2L, 3L, 4L, 7L, 10L, 11L).toDF("node")
+    val frozen = TextOps.connectedComponents(oldEdges, oldNodes)
+    // delivery: (4,10) merges the two old components; (1,3) attaches a
+    // NEW node whose id undercuts the old min (the relabel-to-a-new-min
+    // case); (20,21) is a brand-new pair
+    val newEdges = Seq((4L, 10L), (1L, 3L), (20L, 21L)).toDF("d1", "d2")
+    val inc = TextOps.connectedComponentsIncremental(frozen, newEdges)
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    val scratch = TextOps.connectedComponents(
+        oldEdges.unionByName(newEdges),
+        oldNodes.unionByName(Seq(1L, 20L, 21L).toDF("node")))
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(inc == scratch)
+    val m = inc.toMap
+    assert(Seq(1L, 2L, 3L, 4L, 10L, 11L).forall(m(_) == 1L))
+    assert(m(7L) == 7L && m(20L) == 20L && m(21L) == 20L)
+  }
+
+  test("connectedComponentsIncremental with an empty delivery is the frozen labeling") {
+    val oldEdges = Seq((5L, 6L)).toDF("d1", "d2")
+    val oldNodes = Seq(5L, 6L, 9L).toDF("node")
+    val frozen = TextOps.connectedComponents(oldEdges, oldNodes)
+    val inc = TextOps.connectedComponentsIncremental(frozen,
+        Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(inc == Seq((5L, 5L), (6L, 5L), (9L, 9L)))
+  }
+
   test("large-star/small-star equals min-label CC on path, clique, forest") {
     def both(edges: Seq[(Long, Long)], n: Long) = {
       val e = edges.toDF("d1", "d2")
