@@ -276,6 +276,90 @@ object CorpusPipelineV2 {
     leakage.unionByName(drift)
   }
 
+  /** Source-authority ranking for the v3 gate (r9 verdict, Next #7 —
+    * "the production reason the graph family exists"): hosts are
+    * ranked by PageRank over the source↔source affinity graph, where
+    * two sources share an edge when the SAME 10-word line appears in
+    * both — shared boilerplate is the link-ish signal the synthetic
+    * corpus carries (a crawl pipeline would use the real hyperlink
+    * graph; the stage shape is identical). Hot lines occurring in more
+    * than `maxLineSources` sources are dropped BEFORE pairing (the
+    * q220 hub-cap discipline — universal boilerplate carries no
+    * affinity signal and mints quadratic pairs). Output:
+    * (node = source, pagerank), a hosts-sized frame. */
+  def sourceAuthority(docs: DataFrame, maxLineSources: Int = 100): DataFrame = {
+    val srcLines = docs
+      .select(col("source"), split(col("text"), " ").as("words"))
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, (size(words) - 1) div 10),
+           n -> array_join(slice(words, n * 10 + 1, 10), ' '))"""))
+        .as("line"))
+      .select(col("source"), TextOps.h64(col("line")).as("lh"))
+      .distinct()
+    val capped = srcLines.groupBy(col("lh"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") >= 2 && col("__ns") <= maxLineSources)
+      .select(col("lh"))
+    val kept = srcLines.join(capped, Seq("lh"), "left_semi")
+    val pairs = kept.select(col("lh"), col("source").as("sa"))
+      .join(kept.select(col("lh"), col("source").as("sb")), Seq("lh"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    val edges = pairs.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(pairs.select(col("sb").as("src"), col("sa").as("dst")))
+    Graph.pageRank(edges, iters = 3)
+  }
+
+  /** The v3 gate: docs from sources whose authority is BELOW the
+    * median rank keep only a deterministic half (hash-rate sample on a
+    * salted doc key); high-authority sources pass whole. This is the
+    * OpenWebText/CCNet move — cap the low-authority tail's share of
+    * the corpus before paying the quality stages for it. Sources
+    * absent from the rank table (no shared line at all) count as
+    * low-authority. Returns (gated docs, per-source audit rows
+    * (check='rank_gate', key=source, value=pagerank, pass=kept whole)).
+    * The median is exact nearest-rank over the HOSTS-sized rank table
+    * (a single-partition window is fine at that size, never on data). */
+  def rankGate(docs: DataFrame): (DataFrame, DataFrame) = {
+    val pr = sourceAuthority(docs).localCheckpoint(true)
+    val med = WindowOps.exactMedian(pr, Seq(lit(1)), col("pagerank"),
+      col("node")).select(col("median"))
+    val verdicts = pr.crossJoin(broadcast(med))
+      .select(col("node").as("source"), col("pagerank"),
+        (col("pagerank") >= col("median")).as("keep_all"))
+      .localCheckpoint(true)
+    // the tail's share halves via the usual deterministic hash-rate
+    // predicate, salted ("|rg") so it is independent of the stage-2
+    // sample's key — map-side, rerun/parallelism-stable
+    val gated = docs
+      .join(broadcast(verdicts.select(col("source"), col("keep_all"))),
+        Seq("source"), "left")
+      .filter(coalesce(col("keep_all"), lit(false)) ||
+        pmod(TextOps.h64(concat(col("doc_id").cast("string"), lit("|rg"))),
+          lit(2L)) === 0L)
+      .drop("keep_all")
+    val audit = verdicts.select(lit("rank_gate").as("check"),
+      col("source").as("key"), col("pagerank").as("value"),
+      col("keep_all").as("pass"))
+    (gated, audit)
+  }
+
+  /** v3 composition: the rank gate ([[rankGate]]) feeds the full v2
+    * pipeline, with ONE gate evaluation and ONE document-level DAG
+    * shared by build and audits. The audit frame carries the gate's
+    * per-source verdicts (check = 'rank_gate') beside the leakage and
+    * PSI gates — stage attribution for the promotion record. The PSI
+    * reference side stays the RAW corpus deliberately: the drift gate
+    * must see what the authority gate itself did to the tail sources'
+    * length distributions, not blame it on the cleaning stages.
+    * Returns (chunk frame, audit frame). */
+  def buildAndAuditRankGated(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (gated, gateAudit) = rankGate(docs)
+    val st = stages(gated, checkpoint = true)
+    val kept = st.kept.localCheckpoint(true)
+    (buildFromKept(kept), auditsFromKept(docs, kept).unionByName(gateAudit))
+  }
+
   /** The pipeline's END-STATE as one deterministic, oracle-checkable
     * frame (q221): per-stage survivor counts, the final per-split and
     * per-(split, shard) chunk totals, and the two audit gates — the

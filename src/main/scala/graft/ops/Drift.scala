@@ -78,11 +78,18 @@ object Drift {
         coalesce(col("cc"), lit(0L)).as("cc")): _*)
     val tot = joined.groupBy(kcols: _*)
       .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    // a side with ZERO rows for a group (a source the pipeline dropped
+    // entirely — reachable once upstream gates can zero a source) has
+    // every bin probability floored at eps, the same floor an empty
+    // BIN gets: PSI saturates near ln(1/eps) and the gate fails loudly
+    // instead of dividing by zero (ANSI mode) or going NaN
     joined.join(broadcast(tot), keys)
       .withColumn("__pr",
-        greatest(col("cr").cast("double") / col("nr").cast("double"), lit(eps)))
+        greatest(when(col("nr") === 0L, lit(0.0)).otherwise(
+          col("cr").cast("double") / col("nr").cast("double")), lit(eps)))
       .withColumn("__pc",
-        greatest(col("cc").cast("double") / col("nc").cast("double"), lit(eps)))
+        greatest(when(col("nc") === 0L, lit(0.0)).otherwise(
+          col("cc").cast("double") / col("nc").cast("double")), lit(eps)))
       .withColumn("__term",
         round((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr")), 6))
       .groupBy(kcols: _*)
@@ -169,10 +176,14 @@ object Drift {
         FROM jt GROUP BY $keyCols),
       terms AS (
         SELECT jt.$keyCols,
-          round((GREATEST(CAST(cc AS DOUBLE) / nc, $eps) -
-                 GREATEST(CAST(cr AS DOUBLE) / nr, $eps)) *
-            ln(GREATEST(CAST(cc AS DOUBLE) / nc, $eps) /
-               GREATEST(CAST(cr AS DOUBLE) / nr, $eps)), 6) AS term,
+          round((GREATEST(CASE WHEN nc = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(cc AS DOUBLE) / nc END, $eps) -
+                 GREATEST(CASE WHEN nr = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(cr AS DOUBLE) / nr END, $eps)) *
+            ln(GREATEST(CASE WHEN nc = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(cc AS DOUBLE) / nc END, $eps) /
+               GREATEST(CASE WHEN nr = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(cr AS DOUBLE) / nr END, $eps)), 6) AS term,
           nr, nc
         FROM jt JOIN tot ON jt.$keyCols = tot.$keyCols)
       """

@@ -148,6 +148,73 @@ class CorpusPipelineSpec extends SparkSpec {
     })
   }
 
+  // v3 fixture: the source graph is a PATH s1—s2—s3—s4 built from
+  // shared 10-word boilerplate lines (aa links s1·s2, bb links s2·s3,
+  // cc links s3·s4); s5 shares nothing and stays unranked. PageRank on
+  // a path ranks the centers (s2, s3) above the ends, so the
+  // authority gate keeps s2/s3 whole and halves s1/s4/s5.
+  private def mkDocsV3 = {
+    def line(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    def tail(tag: String) = (1 to 15).map(i => s"${tag}u$i").mkString(" ")
+    val rows = Seq(
+      (31L, line("aa") + " " + tail("d31"), "s1"),
+      (32L, line("aa") + " " + tail("d32"), "s1"),
+      (33L, line("aa") + " " + tail("d33"), "s2"),
+      (34L, line("bb") + " " + tail("d34"), "s2"),
+      (35L, line("bb") + " " + tail("d35"), "s3"),
+      (36L, line("cc") + " " + tail("d36"), "s3"),
+      (37L, line("cc") + " " + tail("d37"), "s4"),
+      (38L, line("cc") + " " + tail("d38"), "s4"),
+      (39L, tail("d39") + " " + tail("e39"), "s5"),
+      (40L, tail("d40") + " " + tail("e40"), "s5"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  test("v3 rank gate: path centers pass whole, ends and unranked sources halve") {
+    val docs = mkDocsV3
+    val (gated, audit) = graft.ops.CorpusPipelineV2.rankGate(docs)
+    val verdicts = audit.collect()
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    // s5 shares no line: no edge, no rank row — implicitly tail
+    assert(verdicts.keySet == Set("s1", "s2", "s3", "s4"))
+    assert(verdicts("s2")._2 && verdicts("s3")._2, verdicts.toString)
+    assert(!verdicts("s1")._2 && !verdicts("s4")._2, verdicts.toString)
+    // center authority really exceeds the ends'
+    assert(verdicts("s2")._1 > verdicts("s1")._1)
+    val gatedIds = gated.select($"doc_id").as[Long].collect().toSet
+    val wholeIds = docs.filter($"source".isin("s2", "s3"))
+      .select($"doc_id").as[Long].collect().toSet
+    val tailKept = docs.filter(!$"source".isin("s2", "s3"))
+      .filter(pmod(graft.ops.TextOps.h64(
+        concat($"doc_id".cast("string"), lit("|rg"))), lit(2L)) === 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gatedIds == wholeIds ++ tailKept,
+      s"gated=$gatedIds whole=$wholeIds tail=$tailKept")
+    // determinism: the gate is hash-keyed, a rerun is identical
+    val again = graft.ops.CorpusPipelineV2.rankGate(docs)._1
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == gatedIds)
+  }
+
+  test("v3 composed run: one gate + one DAG, audit carries all three gate families") {
+    val docs = mkDocsV3
+    val (chunks, audit) =
+      graft.ops.CorpusPipelineV2.buildAndAuditRankGated(docs)
+    val chunkDocs = chunks.select($"doc_id").as[Long].collect().toSet
+    val gatedIds = graft.ops.CorpusPipelineV2.rankGate(docs)._1
+      .select($"doc_id").as[Long].collect().toSet
+    // the pipeline only ever sees gated docs
+    assert(chunkDocs.subsetOf(gatedIds))
+    val byCheck = audit.collect().groupBy(_.getString(0))
+    assert(byCheck.contains("rank_gate"))
+    assert(byCheck.contains("psi_drift"))
+    assert(byCheck("rank_gate").length == 4)
+    // PSI rows still reference the RAW corpus on the ref side: every
+    // source that survives to kept gets a row with a finite value
+    assert(byCheck("psi_drift").forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("v2 composed plan: no cartesian, anti joins survive, offsets broadcast") {
     // checkpoint = false: the PURE plan — a stage-boundary barrier
     // would truncate the visible DAG and hide the upstream join shapes
