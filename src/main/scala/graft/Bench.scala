@@ -144,7 +144,18 @@ object Bench {
     // data-sized?) and facility location (corpus × pool sims + per-pick
     // coverage updates — the corpus-pass-per-pick shape)
     "q210_pagerank", "q215_personalized_pagerank", "q216_kcore_peel",
-    "q217_facility_location")
+    "q217_facility_location",
+    // r10 (r9 verdict #5): the SNM rank-block join, the self-BLEU
+    // bigram join, the JL pair audit, and the capped pair generation —
+    // the shapes whose constants matter at 3× — plus the round's two
+    // new iterative operators: directed PageRank (dangling aggregate
+    // per round) and the incremental-CC merge (delivery-sized
+    // contract). q221's tier evidence is the composed_v2/v3 sections,
+    // which time the identical DAG — a tier row would re-run the whole
+    // pipeline a third time for no new information.
+    "q211_sorted_neighborhood", "q212_selfbleu_redundancy",
+    "q218_jl_projection", "q220_bipartite_projection",
+    "q222_pagerank_directed", "q223_incremental_components")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has

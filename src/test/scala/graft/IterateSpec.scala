@@ -55,13 +55,21 @@ class IterateSpec extends SparkSpec {
     def runAndCount(iters: Int): Int = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       Graph.pageRank(edges, iters).collect()
-      val grew = persisted - before.size
+      // count only ids THIS run created: the suite-shared session's
+      // ContextCleaner may concurrently drop an older suite's GC'd
+      // blocks, which a size delta would misread as a shrink
+      val grew = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).size
       sweep(before)
       grew
     }
-    val g2 = runAndCount(2)
+    // upper bounds, not equality: the suite-shared ContextCleaner may
+    // reap a GC'd final-round RDD between collect and count, so counts
+    // can only SHRINK nondeterministically — the leak this spec guards
+    // against would make the high-round count proportional to rounds
+    // (old code: 8 iterations -> 9+ persisted frames)
+    assert(runAndCount(2) <= 5)
     val g8 = runAndCount(8)
-    assert(g2 == g8, s"persisted frames grew with rounds: $g2 vs $g8")
     assert(g8 <= 5, s"pageRank leaves $g8 persisted frames (want static+1)")
   }
 
@@ -72,13 +80,13 @@ class IterateSpec extends SparkSpec {
     def runAndCount(rounds: Int): Int = {
       val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       Graph.kCorePeel(edges, k = 3, rounds = rounds).collect()
-      val grew = persisted - before.size
+      val grew = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).size
       sweep(before)
       grew
     }
-    val g2 = runAndCount(2)
+    assert(runAndCount(2) <= 3)
     val g6 = runAndCount(6)
-    assert(g2 == g6, s"persisted frames grew with rounds: $g2 vs $g6")
     assert(g6 <= 3, s"kCorePeel leaves $g6 persisted frames (want 2 slots)")
   }
 
@@ -90,13 +98,13 @@ class IterateSpec extends SparkSpec {
       val edges = chain(n).toDF("d1", "d2")
       val nodes = (1 to n).map(_.toLong).toDF("node")
       TextOps.connectedComponents(edges, nodes).collect()
-      val grew = persisted - before.size
+      val grew = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).size
       sweep(before)
       grew
     }
-    val g4 = runAndCount(4)
+    assert(runAndCount(4) <= 2)
     val g12 = runAndCount(12)
-    assert(g4 == g12, s"persisted frames grew with diameter: $g4 vs $g12")
     assert(g12 <= 2, s"connectedComponents leaves $g12 persisted frames")
   }
 }
