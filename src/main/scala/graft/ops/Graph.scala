@@ -157,6 +157,194 @@ object Graph {
     ranks.select($"node", $"r".as("pagerank"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM '99) over a DIRECTED
+    * edge frame — the second classic link-analysis fixed point beside
+    * PageRank, and the one that separates the two roles PageRank
+    * conflates: an AUTHORITY is pointed at by good hubs, a HUB points
+    * at good authorities. In corpus curation the hub score is the
+    * "good directory/aggregator" signal (rank crawl seeds) and the
+    * authority score the "canonical source" signal (rank content
+    * hosts) — a crawl frontier wants both.
+    *
+    * Per iteration: a ← Σ_{u→v} h(u) then L1-normalize; h ← Σ_{v→u}
+    * a(u) then L1-normalize. Each half is ONE equi-join of the
+    * node-sized score vector into the data-sized edges plus one
+    * map-side-combined sum, and the normalizer is a 1-row aggregate
+    * broadcast back — the identical per-round shape as [[pageRank]],
+    * run twice. Rolling checkpoints per half-step (Iterate
+    * discipline).
+    *
+    * Cross-engine exactness: scores are 6-decimal doubles; per-edge
+    * terms cast to DECIMAL(18,6) and sum exactly; the normalizer
+    * divides two exact quantities in one IEEE division and rounds
+    * back to 6 decimals — the [[pageRankDirected]] dangling-share
+    * convention. Nodes with no in-edges carry authority 0 (no out:
+    * hub 0). Returns (node, authority, hub) over src ∪ dst. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select($"src".as("node"))
+      .unionByName(e.select($"dst".as("node"))).distinct()
+      .localCheckpoint(true)
+    val zero = expr("CAST(0 AS DECIMAL(18,6))")
+    val aRoll = new Iterate.RollingCheckpoint
+    val hRoll = new Iterate.RollingCheckpoint
+    var h = hRoll.next(nodes.select($"node", lit(1.0).as("h")))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy($"dst".as("node"))
+        .agg(sum($"h".cast("decimal(18,6)")).as("ar"))
+      val aFull = nodes.join(araw, Seq("node"), "left")
+        .select($"node", coalesce($"ar", zero).as("ar"))
+      val sa = aFull.agg(sum($"ar").as("s"))
+      a = aRoll.next(aFull.crossJoin(broadcast(sa))
+        .select($"node",
+          round($"ar".cast("double") / $"s".cast("double"), 6).as("a")))
+      val hraw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy($"src".as("node"))
+        .agg(sum($"a".cast("decimal(18,6)")).as("hr"))
+      val hFull = nodes.join(hraw, Seq("node"), "left")
+        .select($"node", coalesce($"hr", zero).as("hr"))
+      val sh = hFull.agg(sum($"hr").as("s"))
+      h = hRoll.next(hFull.crossJoin(broadcast(sh))
+        .select($"node",
+          round($"hr".cast("double") / $"s".cast("double"), 6).as("h")))
+    }
+    a.join(h, Seq("node"))
+      .select($"node", $"a".as("authority"), $"h".as("hub"))
+  }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected distinct pair frame `pairs(d1, d2)` with d1 < d2 — the
+    * affinity-density audit of a projection graph (a near-dup or
+    * co-occurrence graph whose triangles are its template cliques;
+    * Watts–Strogatz '98 local clustering).
+    *
+    * Enumeration uses DEGREE-ORDERED orientation (Chiba–Nishizeki /
+    * the standard MapReduce formulation): every edge points from its
+    * lower-(degree, id) endpoint to the higher, wedges pair a node's
+    * out-neighbors (ordered, so each triangle closes exactly once),
+    * and the closing lookup is an equi-join back onto the oriented
+    * edge set. The orientation is THE scale move: a hub of degree d
+    * mints C(d,2) wedges under id-ordering if its id is low, but
+    * under degree-ordering every node's out-degree is bounded by
+    * O(√m) on any graph — the wedge volume is the arboricity bound,
+    * not the hub square. All counts are exact integers; the
+    * coefficient 2T/(d(d−1)) is one division rounded to 6 decimals.
+    * Output: (node, degree, n_tri, clustering). */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.localCheckpoint(true)
+    val deg = p.select($"d1".as("node"))
+      .unionByName(p.select($"d2".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val withDeg = p
+      .join(deg.select($"node".as("d1"), $"deg".as("g1")), Seq("d1"))
+      .join(deg.select($"node".as("d2"), $"deg".as("g2")), Seq("d2"))
+    val oriented = withDeg.select(
+      when($"g1" < $"g2" || ($"g1" === $"g2" && $"d1" < $"d2"),
+        struct($"d1".as("u"), $"d2".as("v"), $"g2".as("gv")))
+        .otherwise(struct($"d2".as("u"), $"d1".as("v"), $"g1".as("gv")))
+        .as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"), $"e.gv".as("gv"))
+      .localCheckpoint(true)
+    val wedges = oriented.select($"u", $"v".as("x"), $"gv".as("gx"))
+      .join(oriented.select($"u", $"v".as("y"), $"gv".as("gy")), Seq("u"))
+      .filter($"gx" < $"gy" || ($"gx" === $"gy" && $"x" < $"y"))
+    val tris = wedges
+      .join(oriented.select($"u".as("x"), $"v".as("y")),
+        Seq("x", "y"), "left_semi")
+      .select($"u", $"x", $"y")
+    val perNode = tris
+      .select(explode(array($"u", $"x", $"y")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select($"node", $"deg".as("degree"),
+        coalesce($"n_tri", lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when($"degree" >= 2,
+          round(lit(2.0) * $"n_tri" / ($"degree" * ($"degree" - 1)), 6))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Oracle twin of [[triangleStats]] over a caller-defined
+    * `pr(d1, d2)` CTE (d1 < d2, distinct); exposes
+    * `triout(node, degree, n_tri, clustering)`. */
+  val triangleStatsSql: String = """
+      tdeg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT d1 AS node FROM pr UNION ALL SELECT d2 FROM pr)
+        GROUP BY node),
+      tor AS (
+        SELECT CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN d1 ELSE d2 END AS u,
+               CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN d2 ELSE d1 END AS v,
+               CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN g2 ELSE g1 END AS gv
+        FROM (SELECT p.d1, p.d2, a.deg AS g1, b.deg AS g2
+              FROM pr p
+              JOIN tdeg a ON p.d1 = a.node
+              JOIN tdeg b ON p.d2 = b.node)),
+      twedge AS (
+        SELECT a.u, a.v AS x, a.gv AS gx, b.v AS y, b.gv AS gy
+        FROM tor a JOIN tor b ON a.u = b.u
+        WHERE a.gv < b.gv OR (a.gv = b.gv AND a.v < b.v)),
+      ttri AS (
+        SELECT w.u, w.x, w.y FROM twedge w
+        WHERE EXISTS (SELECT 1 FROM tor c WHERE c.u = w.x AND c.v = w.y)),
+      tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          SELECT u AS node FROM ttri
+          UNION ALL SELECT x FROM ttri
+          UNION ALL SELECT y FROM ttri)
+        GROUP BY node),
+      triout AS (
+        SELECT d.node, d.deg AS degree,
+          COALESCE(c.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+          CASE WHEN d.deg >= 2 THEN round(2.0e0 *
+            COALESCE(c.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        FROM tdeg d LEFT JOIN tcnt c ON d.node = c.node)"""
+
+  /** Oracle twin of [[hits]] over a caller-defined `ed(src, dst)` CTE;
+    * exposes `hitsout(node, authority, hub)`. */
+  def hitsSql(iters: Int): String = {
+    val head = """
+      hn AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+      hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM hn)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      araw$k AS (
+        SELECT n.node, COALESCE(s.ar, CAST(0 AS DECIMAL(18,6))) AS ar
+        FROM hn n LEFT JOIN (
+          SELECT e.dst AS node, SUM(CAST(r.h AS DECIMAL(18,6))) AS ar
+          FROM ed e JOIN hub${k - 1} r ON e.src = r.node
+          GROUP BY e.dst) s ON n.node = s.node),
+      asum$k AS (SELECT SUM(ar) AS s FROM araw$k),
+      auth$k AS (
+        SELECT node, round(CAST(ar AS DOUBLE) / CAST(s AS DOUBLE), 6) AS a
+        FROM araw$k, asum$k),
+      hraw$k AS (
+        SELECT n.node, COALESCE(s.hr, CAST(0 AS DECIMAL(18,6))) AS hr
+        FROM hn n LEFT JOIN (
+          SELECT e.src AS node, SUM(CAST(r.a AS DECIMAL(18,6))) AS hr
+          FROM ed e JOIN auth$k r ON e.dst = r.node
+          GROUP BY e.src) s ON n.node = s.node),
+      hsum$k AS (SELECT SUM(hr) AS s FROM hraw$k),
+      hub$k AS (
+        SELECT node, round(CAST(hr AS DOUBLE) / CAST(s AS DOUBLE), 6) AS h
+        FROM hraw$k, hsum$k)"""
+    }.mkString(",")
+    s"$head,$steps,\n      hitsout AS (" +
+      s"SELECT a.node, a.a AS authority, h.h AS hub " +
+      s"FROM auth$iters a JOIN hub$iters h ON a.node = h.node)"
+  }
+
   /** Oracle twin of [[pageRankDirected]] over a caller-defined
     * `ed(src, dst)` CTE; exposes `dprout(node, pagerank)`. */
   def pageRankDirectedSql(iters: Int): String = {

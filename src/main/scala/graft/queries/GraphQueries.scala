@@ -324,5 +324,96 @@ object GraphQueries extends QueryGroup {
       JOIN sdeg db ON p.s2 = db.sk
       ORDER BY p.shared DESC, p.s1, p.s2 LIMIT 20"""))
 
-  def queries: Seq[Q] = Seq(q210, q211, q215, q216, q220, q222)
+  /** HITS hubs & authorities (Graph.hits) over the directed
+    * customer → supplier → nation DAG: the two-role decomposition a
+    * crawl frontier needs — hub scores rank the aggregator side
+    * (customers/suppliers pointing at good targets), authority scores
+    * the canonical side (suppliers/nations pointed at by good hubs).
+    * Three alternating L1-normalized iterations, each half one
+    * edges ⋈ scores join + one map-side-combined sum + a 1-row
+    * normalizer broadcast. Top-25 by (authority desc, hub desc,
+    * node) — a total order. */
+  private val q224 = Q(
+    "q224_hits",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val cs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(concat(lit("c"), $"o_custkey".cast("string")).as("src"),
+          concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
+        .distinct()
+      val sn = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("src"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("dst"))
+        .distinct()
+      Graph.hits(cs.unionByName(sn), iters = 3)
+        .orderBy($"authority".desc, $"hub".desc, $"node".asc)
+        .limit(25)
+    },
+    Some(s"""
+      WITH ed AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        UNION
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR),
+               'n' || CAST(s_nationkey AS VARCHAR)
+        FROM supplier),
+      ${Graph.hitsSql(3)}
+      SELECT node, authority, hub FROM hitsout
+      ORDER BY authority DESC, hub DESC, node LIMIT 25"""))
+
+  /** Per-node triangle counts + local clustering coefficient
+    * (Graph.triangleStats) over the NEAR-DUP document graph (q62's
+    * blocked-Jaccard ≥ 0.9 edges): triangles in a dedup graph ARE its
+    * template cliques — three pairwise-near-identical docs — and the
+    * clustering coefficient separates "stamped template" (cc → 1)
+    * from "chain of incremental edits" (cc → 0), which is the policy
+    * split between collapse-to-one and keep-the-endpoints. The
+    * affiliation projection was deliberately REJECTED as the
+    * substrate: at every tested threshold it is near-complete
+    * (497k/499.5k possible edges at sf0.1 — everything co-occurs with
+    * everything through some customer), so its triangle count is
+    * C(n,3)-shaped noise. Degree-ordered orientation bounds the wedge
+    * volume by the arboricity (out-degree ≤ O(√m)), never a hub's
+    * C(d,2). Top-20 by (n_tri desc, node). */
+  private val q225 = Q(
+    "q225_triangle_stats",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val tr = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"),
+          ($"n_chars" / 100).cast("int").cast("string")).as("block"),
+        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val pairs = TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.9)
+        .select($"d1", $"d2")
+      Graph.triangleStats(pairs)
+        .orderBy($"n_tri".desc, $"node".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+      tsz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      tint AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      pr AS (
+        SELECT d1, d2
+        FROM tint JOIN tsz sa ON d1 = sa.doc JOIN tsz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      ${Graph.triangleStatsSql}
+      SELECT node, degree, n_tri, clustering FROM triout
+      ORDER BY n_tri DESC, node LIMIT 20"""))
+
+  def queries: Seq[Q] =
+    Seq(q210, q211, q215, q216, q220, q222, q224, q225)
 }

@@ -124,6 +124,57 @@ class GraphSpec extends SparkSpec {
     assert(d == s0)
   }
 
+  test("hits: hand-walked co-citation pair, L1 mass = 1 on both sides") {
+    // a→b, c→b: b is the sole authority; a and c split the hub mass
+    val r = Graph.hits(Seq(("a", "b"), ("c", "b")).toDF("src", "dst"),
+        iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("b") == (1.0, 0.0))
+    assert(r("a") == (0.0, 0.5) && r("c") == (0.0, 0.5))
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("hits separates hub and authority roles on a directed chain") {
+    // x→y, y→z: z is pure authority, x pure hub, y carries both
+    val r = Graph.hits(Seq(("x", "y"), ("y", "z")).toDF("src", "dst"),
+        iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r("x")._1 == 0.0 && r("x")._2 > 0.0)
+    assert(r("z")._1 > 0.0 && r("z")._2 == 0.0)
+    assert(r("y")._1 > 0.0 && r("y")._2 > 0.0)
+  }
+
+  test("triangleStats: K4 + pendant — counts and coefficients exact") {
+    val k4 = for {
+      a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L) if a < b
+    } yield (a, b)
+    val pairs = (k4 :+ ((4L, 5L))).toDF("d1", "d2")
+    val r = Graph.triangleStats(pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // nodes 1..3: degree 3, in all 3 of their triangles, clustering 1
+    Seq(1L, 2L, 3L).foreach(n => assert(r(n) == (3L, 3L, 1.0), r(n)))
+    // node 4: degree 4 (pendant edge), same 3 triangles, 2·3/(4·3)=0.5
+    assert(r(4L) == (4L, 3L, 0.5))
+    // the pendant: degree 1, no triangle, coefficient 0 by convention
+    assert(r(5L) == (1L, 0L, 0.0))
+  }
+
+  test("triangleStats counts each triangle once regardless of id order") {
+    // triangle with ids arranged so id-ordering and degree-ordering
+    // disagree (9 is the low-degree node): still exactly one triangle
+    val pairs = Seq((1L, 9L), (1L, 5L), (5L, 9L), (1L, 2L), (1L, 3L))
+      .toDF("d1", "d2")
+    val r = Graph.triangleStats(pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(r(1L) == 1L && r(5L) == 1L && r(9L) == 1L)
+    assert(r(2L) == 0L && r(3L) == 0L)
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
