@@ -345,6 +345,88 @@ object Graph {
       s"FROM auth$iters a JOIN hub$iters h ON a.node = h.node)"
   }
 
+  /** Semi-supervised label propagation with CLAMPED seeds (Zhu &
+    * Ghahramani '02; the hard-label majority variant of
+    * Raghavan '07): a hand-curated seed set carries labels (topic,
+    * quality tier, license class), and each round every node adopts
+    * the majority label of its neighbors — seeds never change, so
+    * curated ground truth anchors the diffusion. The corpus-curation
+    * reading: propagate a small audited labeling over the near-dup /
+    * affiliation graph instead of paying annotators for the corpus.
+    *
+    * Determinism: masses are exact INTEGER neighbor counts and the
+    * adoption rule is a total order (mass desc, label asc), so the
+    * trajectory is engine-identical with no floating point at all —
+    * the cheapest exactness contract in the graph family. Unlabeled
+    * nodes with no labeled neighbor stay unlabeled until mass
+    * reaches them.
+    *
+    * Per round: ONE equi-join of the node-sized label vector into the
+    * data-sized symmetric edges, one map-side-combined (node, label)
+    * count, one per-node top-1 (WindowGroupLimit pushes the rank into
+    * the shuffle), and the seed clamp as a node-keyed left join.
+    * Rolling checkpoint per round. `edges(src, dst)` symmetric
+    * distinct; `seeds(node, label)`. Returns (node, label), label
+    * null where diffusion never arrived. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select($"src".as("node")).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select($"node", $"label".as("__seed"))
+      .localCheckpoint(true)
+    val roll = new Iterate.RollingCheckpoint
+    var lab = roll.next(nodes.join(sd, Seq("node"), "left")
+      .select($"node", $"__seed".as("label")))
+    for (_ <- 1 to rounds) {
+      val mass = e
+        .join(lab.select($"node".as("src"), $"label"), Seq("src"))
+        .filter($"label".isNotNull)
+        .groupBy($"dst".as("node"), $"label")
+        .agg(count(lit(1)).as("__m"))
+      val best = Relational.topOnePerGroup(mass, Seq($"node"),
+        Seq($"__m".desc, $"label".asc))
+        .select($"node", $"label".as("__best"))
+      lab = roll.next(nodes
+        .join(sd, Seq("node"), "left")
+        .join(best, Seq("node"), "left")
+        .select($"node", coalesce($"__seed", $"__best").as("label")))
+    }
+    lab
+  }
+
+  /** Oracle twin of [[labelPropagate]] over caller-defined
+    * `ed(src, dst)` (symmetric) and `seeds(node, label)` CTEs; exposes
+    * `lpout(node, label)`. */
+  def labelPropagateSql(rounds: Int): String = {
+    val head = """
+      lnodes AS (SELECT DISTINCT src AS node FROM ed),
+      lp0 AS (
+        SELECT n.node, s.label
+        FROM lnodes n LEFT JOIN seeds s ON n.node = s.node)"""
+    val steps = (1 to rounds).map { k =>
+      s"""
+      lmass$k AS (
+        SELECT e.dst AS node, r.label, CAST(COUNT(*) AS BIGINT) AS m
+        FROM ed e JOIN lp${k - 1} r ON e.src = r.node
+        WHERE r.label IS NOT NULL
+        GROUP BY e.dst, r.label),
+      lbest$k AS (
+        SELECT node, label FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                      ORDER BY m DESC, label) AS rk
+          FROM lmass$k) WHERE rk = 1),
+      lp$k AS (
+        SELECT n.node, COALESCE(s.label, b.label) AS label
+        FROM lnodes n
+        LEFT JOIN seeds s ON n.node = s.node
+        LEFT JOIN lbest$k b ON n.node = b.node)"""
+    }.mkString(",")
+    s"$head,$steps,\n      lpout AS (SELECT node, label FROM lp$rounds)"
+  }
+
   /** Oracle twin of [[pageRankDirected]] over a caller-defined
     * `ed(src, dst)` CTE; exposes `dprout(node, pagerank)`. */
   def pageRankDirectedSql(iters: Int): String = {

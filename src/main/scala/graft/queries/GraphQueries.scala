@@ -414,6 +414,61 @@ object GraphQueries extends QueryGroup {
       SELECT node, degree, n_tri, clustering FROM triout
       ORDER BY n_tri DESC, node LIMIT 20"""))
 
+  /** Semi-supervised label propagation (Graph.labelPropagate): the
+    * suppliers carry curated nation labels (the audited seed set),
+    * and three clamped-majority rounds diffuse them over the
+    * symmetric supplier↔customer affiliation graph — every customer
+    * adopts its majority supplier nation. Integer masses + a total
+    * adoption order make the whole trajectory float-free. Output:
+    * node counts per (label, side) — the label-coverage census a
+    * seed-propagation run gates on (how much of the corpus did the
+    * curated labels reach, and where). */
+  private val q226 = Q(
+    "q226_label_propagation",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
+        .join(eo.select(concat(lit("s"), $"sk".cast("string")).as("node"))
+          .distinct(), Seq("node"), "left_semi")
+      Graph.labelPropagate(edges, seeds, rounds = 3)
+        .groupBy(coalesce($"label", lit("unlabeled")).as("label"),
+          substring($"node", 1, 1).as("side"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"label", $"side")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               'n' || CAST(s_nationkey AS VARCHAR) AS label
+        FROM supplier
+        WHERE 's' || CAST(s_suppkey AS VARCHAR) IN
+          (SELECT 's' || CAST(sk AS VARCHAR) FROM eo)),
+      ${Graph.labelPropagateSql(3)}
+      SELECT COALESCE(label, 'unlabeled') AS label,
+        substr(node, 1, 1) AS side,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM lpout GROUP BY 1, 2 ORDER BY label, side"""))
+
   def queries: Seq[Q] =
-    Seq(q210, q211, q215, q216, q220, q222, q224, q225)
+    Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226)
 }

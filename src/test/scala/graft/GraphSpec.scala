@@ -175,6 +175,33 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == 0L && r(3L) == 0L)
   }
 
+  test("labelPropagate: majority adoption, tie to the smaller label, seed clamp") {
+    // x sees two A-seeds and one B-seed -> A; t sees one of each -> tie
+    // breaks to 'A'; b1 is CLAMPED at B no matter what reaches it
+    val edges = sym(("x", "a1"), ("x", "a2"), ("x", "b1"), ("t", "a1"),
+      ("t", "b1"))
+    val seeds = Seq(("a1", "A"), ("a2", "A"), ("b1", "B"))
+      .toDF("node", "label")
+    val r = Graph.labelPropagate(edges, seeds, rounds = 2)
+      .as[(String, Option[String])].collect().toMap
+    assert(r("x").contains("A"))
+    assert(r("t").contains("A"))
+    assert(r("b1").contains("B"))
+    assert(r("a1").contains("A") && r("a2").contains("A"))
+  }
+
+  test("labelPropagate: diffusion advances one hop per round") {
+    // chain seed — n1 — n2: n2 is unreachable in 1 round, labeled in 2
+    val edges = sym(("seed", "n1"), ("n1", "n2"))
+    val seeds = Seq(("seed", "L")).toDF("node", "label")
+    val r1 = Graph.labelPropagate(edges, seeds, rounds = 1)
+      .as[(String, Option[String])].collect().toMap
+    assert(r1("n1").contains("L") && r1("n2").isEmpty)
+    val r2 = Graph.labelPropagate(edges, seeds, rounds = 2)
+      .as[(String, Option[String])].collect().toMap
+    assert(r2("n2").contains("L"))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
