@@ -155,7 +155,12 @@ object Bench {
     // pipeline a third time for no new information.
     "q211_sorted_neighborhood", "q212_selfbleu_redundancy",
     "q218_jl_projection", "q220_bipartite_projection",
-    "q222_pagerank_directed", "q223_incremental_components")
+    "q222_pagerank_directed", "q223_incremental_components",
+    // r10 second half: the two newest iterative operators — HITS
+    // (2 rank-vector joins per round) and label propagation (1 join +
+    // a pushed-down top-1 per round) — complete the graph family's
+    // scaling evidence
+    "q224_hits", "q226_label_propagation")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
