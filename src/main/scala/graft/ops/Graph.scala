@@ -592,6 +592,73 @@ object Graph {
     stats.orderBy($"round")
   }
 
+  /** k-hop BFS frontier census from a seed set: per hop, the number
+    * of NEWLY reached nodes and the cumulative reach — the
+    * crawl-frontier planning curve ("how fast does the trusted seed
+    * neighborhood expand", the budget question a seed-expanded crawl
+    * answers before fetching) and the reachability complement to
+    * [[pageRankPersonalized]]'s mass-weighted view. All-integer: the
+    * frontier is a distinct node set, dedup is an anti-join against
+    * the visited set, nothing floats.
+    *
+    * Per hop: one semi-join of the data-sized edges against the
+    * node-sized frontier, a distinct, and an anti-join against
+    * visited; frontier, visited, and the stats curve each roll
+    * through their own checkpoint slot (the [[kCorePeel]] pattern —
+    * the curve must materialize before its inputs' blocks release).
+    * `edges(src, dst)` directed or symmetric; `seeds(node)`. Output:
+    * (hop, n_frontier, n_visited) with hop 0 = the seed set. */
+  def bfsFrontier(edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val fRoll = new Iterate.RollingCheckpoint
+    val vRoll = new Iterate.RollingCheckpoint
+    val sRoll = new Iterate.RollingCheckpoint
+    var frontier = fRoll.next(seeds.select($"node").distinct())
+    var visited = vRoll.next(frontier.select($"node"))
+    var stats = sRoll.next(frontier.agg(count(lit(1)).as("n_frontier"))
+      .select(lit(0L).as("hop"), $"n_frontier",
+        $"n_frontier".as("n_visited")))
+    for (h <- 1 to hops) {
+      frontier = fRoll.next(e
+        .join(frontier.select($"node".as("src")), Seq("src"), "left_semi")
+        .select($"dst".as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti"))
+      visited = vRoll.next(visited.unionByName(frontier))
+      val row = frontier.agg(count(lit(1)).as("n_frontier"))
+        .crossJoin(visited.agg(count(lit(1)).as("n_visited")))
+        .select(lit(h.toLong).as("hop"), $"n_frontier", $"n_visited")
+      stats = sRoll.next(stats.unionByName(row))
+    }
+    stats.orderBy($"hop")
+  }
+
+  /** Oracle twin of [[bfsFrontier]] over caller-defined `ed(src, dst)`
+    * and `seeds(node)` CTEs; exposes
+    * `bfsout(hop, n_frontier, n_visited)`. */
+  def bfsFrontierSql(hops: Int): String = {
+    val head = """
+      bf0 AS (SELECT DISTINCT node FROM seeds),
+      bv0 AS (SELECT node FROM bf0)"""
+    val steps = (1 to hops).map { k =>
+      s"""
+      bf$k AS (
+        SELECT DISTINCT e.dst AS node
+        FROM ed e JOIN bf${k - 1} f ON e.src = f.node
+        WHERE e.dst NOT IN (SELECT node FROM bv${k - 1})),
+      bv$k AS (SELECT node FROM bv${k - 1}
+               UNION SELECT node FROM bf$k)"""
+    }.mkString(",")
+    val rows = (0 to hops).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS hop,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bf$k) AS n_frontier,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM bv$k) AS n_visited"""
+    }.mkString("\n      UNION ALL ")
+    s"$head,$steps,\n      bfsout AS (\n      $rows)"
+  }
+
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */
   def kCorePeelSql(k: Int, rounds: Int): String = {

@@ -469,6 +469,50 @@ object GraphQueries extends QueryGroup {
         CAST(COUNT(*) AS BIGINT) AS n_nodes
       FROM lpout GROUP BY 1, 2 ORDER BY label, side"""))
 
+  /** k-hop BFS frontier census (Graph.bfsFrontier) from the trusted
+    * seed set q215 personalizes on (nation-0's suppliers), over the
+    * symmetric affiliation graph: per hop the newly reached nodes and
+    * the cumulative reach — the crawl-budget curve ("3 hops from the
+    * allowlist covers how much?") beside PPR's mass-weighted view.
+    * All-integer, three semi/anti-join hops. */
+  private val q227 = Q(
+    "q227_bfs_frontier",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = Tables(s, dir, "supplier")
+        .filter($"s_nationkey" === 0)
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+        .join(eo.select(concat(lit("s"), $"sk".cast("string")).as("node"))
+          .distinct(), Seq("node"), "left_semi")
+      Graph.bfsFrontier(edges, seeds, hops = 3)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier
+        WHERE s_nationkey = 0
+          AND 's' || CAST(s_suppkey AS VARCHAR) IN (SELECT src FROM ed)),
+      ${Graph.bfsFrontierSql(3)}
+      SELECT hop, n_frontier, n_visited FROM bfsout ORDER BY hop"""))
+
   def queries: Seq[Q] =
-    Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226)
+    Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227)
 }

@@ -202,6 +202,25 @@ class GraphSpec extends SparkSpec {
     assert(r2("n2").contains("L"))
   }
 
+  test("bfsFrontier: hop-exact reach on a lollipop graph") {
+    // seed a; triangle a-b-c plus a tail c-d-e: hop1 = {b, c},
+    // hop2 = {d}, hop3 = {e}
+    val edges = sym(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("d", "e"))
+    val out = Graph.bfsFrontier(edges, Seq("a").toDF("node"), hops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 1L, 4L),
+      (3L, 1L, 5L)))
+  }
+
+  test("bfsFrontier: an exhausted frontier stays empty") {
+    val out = Graph.bfsFrontier(sym(("a", "b")), Seq("a").toDF("node"),
+        hops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 0L, 2L),
+      (3L, 0L, 2L)))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
