@@ -659,6 +659,104 @@ object Graph {
     s"$head,$steps,\n      bfsout AS (\n      $rows)"
   }
 
+  /** Adamic–Adar link prediction over bipartite memberships
+    * (Adamic & Adar '03; the standard common-neighbor scorer in
+    * link-prediction surveys, Liben-Nowell & Kleinberg '07):
+    * candidate pair (i1, i2) scores Σ over shared groups g of
+    * 1/ln|g| — a shared RARE group is strong evidence, a shared hub
+    * group is weak, which is exactly the entity-resolution /
+    * candidate-generation weighting a plain shared-count (q220's
+    * Jaccard substrate) lacks. Input `memb(item, grp)` distinct
+    * membership rows; output (i1, i2, shared, aa) for every pair
+    * sharing ≥ 1 group of size ≥ 2.
+    *
+    * Arithmetic: per-group weight = round(1/ln(gd), 6) — one libm ln
+    * of a small integer rounded to 6 decimals (the q163 Zipf
+    * convention) — then a decimal-exact sum per pair, so the oracle
+    * walks identical values. Scale: the pair fan-out is C(gd, 2) per
+    * group — the CALLER caps hot groups first (the q220 capHotBands
+    * discipline); group size ≥ 2 also guarantees ln > 0. */
+  def adamicAdar(memb: DataFrame): DataFrame = {
+    val spark = memb.sparkSession
+    import spark.implicits._
+    val gw = memb.groupBy($"grp").agg(count(lit(1)).as("gd"))
+      .filter($"gd" >= 2)
+      .select($"grp",
+        round(lit(1.0) / log($"gd".cast("double")), 6).as("w"))
+    val m = memb.join(gw, Seq("grp"))
+    m.select($"grp", $"item".as("i1"), $"w")
+      .join(m.select($"grp", $"item".as("i2")), Seq("grp"))
+      .filter($"i1" < $"i2")
+      .groupBy($"i1", $"i2")
+      .agg(count(lit(1)).as("shared"), Exact.dsum($"w").as("aa"))
+  }
+
+  /** Oracle twin of [[adamicAdar]] over a caller-defined
+    * `memb(item, grp)` CTE; exposes `aaout(i1, i2, shared, aa)`. */
+  def adamicAdarSql: String = s"""
+      aagw AS (
+        SELECT grp, round(1.0 / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS w
+        FROM memb GROUP BY grp HAVING COUNT(*) >= 2),
+      aaout AS (
+        SELECT a.item AS i1, b.item AS i2,
+               CAST(COUNT(*) AS BIGINT) AS shared,
+               ${Exact.sqlSum("g.w")} AS aa
+        FROM memb a
+        JOIN memb b ON a.grp = b.grp AND a.item < b.item
+        JOIN aagw g ON g.grp = a.grp
+        GROUP BY a.item, b.item)"""
+
+  /** Bounded-round single-source shortest paths over positively
+    * integer-weighted edges (Bellman–Ford relaxation, the
+    * delta-free distributed form): per round every settled distance
+    * is pushed across the data-sized edge frame and min-combined
+    * with the standing frame — one shuffle join on src + one
+    * map-side-combined min by node. After R rounds distances are
+    * exact for every node whose shortest path uses ≤ R edges (the
+    * caller picks R = the diameter bound it cares about — a crawl
+    * radius, a trust horizon). All-integer min-plus arithmetic;
+    * nothing floats, so engines agree bit-for-bit.
+    *
+    * `edges(src, dst, w)` with w a positive integral column;
+    * `seeds(node)` at distance 0. Output: (node, dist) for reached
+    * nodes only. Rolls through one checkpoint slot per round
+    * ([[kCorePeel]] discipline). */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val roll = new Iterate.RollingCheckpoint
+    var dist = roll.next(seeds.select($"node").distinct()
+      .select($"node", lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relax = e
+        .join(dist.select($"node".as("src"), $"dist".as("__d0")), Seq("src"))
+        .select($"dst".as("node"), ($"__d0" + $"w".cast("long")).as("dist"))
+      dist = roll.next(dist.unionByName(relax)
+        .groupBy($"node").agg(min($"dist").as("dist")))
+    }
+    dist
+  }
+
+  /** Oracle twin of [[sssp]] over caller-defined `ed(src, dst, w)`
+    * and `seeds(node)` CTEs; exposes `spout(node, dist)`. */
+  def ssspSql(rounds: Int): String = {
+    val head = """
+      sp0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist
+              FROM seeds)"""
+    val steps = (1 to rounds).map { r =>
+      s"""
+      sp$r AS (
+        SELECT node, MIN(dist) AS dist FROM (
+          SELECT node, dist FROM sp${r - 1}
+          UNION ALL
+          SELECT e.dst AS node, d.dist + CAST(e.w AS BIGINT) AS dist
+          FROM ed e JOIN sp${r - 1} d ON e.src = d.node) u
+        GROUP BY node)"""
+    }.mkString(",")
+    s"$head,$steps,\n      spout AS (SELECT node, dist FROM sp$rounds)"
+  }
+
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */
   def kCorePeelSql(k: Int, rounds: Int): String = {

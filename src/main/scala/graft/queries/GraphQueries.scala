@@ -513,6 +513,98 @@ object GraphQueries extends QueryGroup {
       ${Graph.bfsFrontierSql(3)}
       SELECT hop, n_frontier, n_visited FROM bfsout ORDER BY hop"""))
 
+  /** Adamic–Adar candidate scoring (Graph.adamicAdar) over the same
+    * capped supplier-through-customer substrate as q220, which it
+    * deliberately sits beside: Jaccard treats every shared customer
+    * equally, Adamic–Adar up-weights a shared customer with few
+    * suppliers (a rare co-occurrence is strong linkage evidence —
+    * Liben-Nowell & Kleinberg '07's best simple predictor). Same
+    * hot-group cap (≤ 40) bounds the pair fan-out at C(40,2) per
+    * customer before pairing. Top-20 by (aa desc, s1, s2). */
+  private val q228 = Q(
+    "q228_adamic_adar",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+        .localCheckpoint(true)
+      val keptCust = eo.groupBy($"ck").agg(count(lit(1)).as("cd"))
+        .filter($"cd" <= 40).select($"ck")
+      val memb = eo.join(keptCust, Seq("ck"), "left_semi")
+        .select($"sk".as("item"), $"ck".as("grp"))
+      Graph.adamicAdar(memb)
+        .select($"i1".as("s1"), $"i2".as("s2"), $"shared", $"aa")
+        .orderBy($"aa".desc, $"s1".asc, $"s2".asc)
+        .limit(20)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      keptc AS (
+        SELECT ck FROM eo GROUP BY ck HAVING COUNT(*) <= 40),
+      memb AS (
+        SELECT e.sk AS item, e.ck AS grp
+        FROM eo e JOIN keptc k ON e.ck = k.ck),
+      ${Graph.adamicAdarSql}
+      SELECT i1 AS s1, i2 AS s2, shared, aa FROM aaout
+      ORDER BY aa DESC, i1, i2 LIMIT 20"""))
+
+  /** Bounded weighted shortest paths (Graph.sssp) from the nation-0
+    * supplier seeds over the affiliation graph, with edge cost
+    * INVERSE to interaction strength (4 − min(n_orders, 3) ∈ {1,2,3}
+    * — a well-trodden supplier↔customer link is cheap to trust, a
+    * one-order link expensive): the trust-radius curve beside q227's
+    * unweighted reach — at the same 4-round horizon, hops across
+    * strong edges reach farther than weak ones. All-integer min-plus;
+    * output is the distance histogram (dist, n_nodes). */
+  private val q229 = Q(
+    "q229_sssp_trust",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_suppkey".as("sk"), $"o_custkey".as("ck"))
+        .agg(count(lit(1)).as("n_ord"))
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"),
+        (lit(4L) - least($"n_ord", lit(3L))).as("w"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      val seeds = Tables(s, dir, "supplier")
+        .filter($"s_nationkey" === 0)
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+      Graph.sssp(edges, seeds, rounds = 4)
+        .groupBy($"dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"dist")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT l_suppkey AS sk, o_custkey AS ck,
+               CAST(COUNT(*) AS BIGINT) AS n_ord
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) li
+        JOIN orders ON li.l_orderkey = orders.o_orderkey
+        GROUP BY 1, 2),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst,
+               4 - LEAST(n_ord, 3) AS w FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR),
+               4 - LEAST(n_ord, 3) FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_nationkey = 0),
+      ${Graph.ssspSql(4)}
+      SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM spout GROUP BY 1 ORDER BY dist"""))
+
   def queries: Seq[Q] =
-    Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227)
+    Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
+      q228, q229)
 }

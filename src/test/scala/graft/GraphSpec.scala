@@ -221,6 +221,59 @@ class GraphSpec extends SparkSpec {
       (3L, 0L, 2L)))
   }
 
+  test("adamicAdar: rare shared group outweighs a hub group") {
+    // g1 = {a, b} (size 2), gh = {a, b, c, d, e, f} (size 6):
+    // aa(a,b) = round(1/ln 2, 6) + round(1/ln 6, 6); any other pair
+    // shares only the hub. The rare group dominates: aa(a,b) > 2·aa(c,d).
+    val memb = (Seq(("a", "g1"), ("b", "g1")) ++
+      Seq("a", "b", "c", "d", "e", "f").map(i => (i, "gh")))
+      .toDF("item", "grp")
+    val r = Graph.adamicAdar(memb)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (i1, i2, sh, aa) => (i1, i2) -> (sh, aa) }.toMap
+    val wRare = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val wHub = BigDecimal(1.0 / math.log(6.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(r(("a", "b")) == ((2L, (wRare + wHub).toDouble)))
+    assert(r(("c", "d")) == ((1L, wHub.toDouble)))
+    assert(r.size == 15) // C(6,2): every pair shares the hub
+  }
+
+  test("adamicAdar: size-1 groups contribute nothing") {
+    val memb = Seq(("a", "solo1"), ("b", "solo2"), ("a", "g"), ("b", "g"))
+      .toDF("item", "grp")
+    val r = Graph.adamicAdar(memb)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val w = BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(("a", "b", 1L, w)))
+  }
+
+  test("sssp: two cheap hops beat one expensive edge") {
+    // a-b direct w=5; a-c w=1, c-b w=1. Round 1 sees only the direct
+    // edge (dist b = 5); round 2 relaxes through c (dist b = 2).
+    val w = Map(("a", "b") -> 5L, ("a", "c") -> 1L, ("c", "b") -> 1L)
+    val fwd = w.toSeq.map { case ((s, d), x) => (s, d, x) }
+      .toDF("src", "dst", "w")
+    val edges = fwd.unionByName(
+      fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val seeds = Seq("a").toDF("node")
+    val r1 = Graph.sssp(edges, seeds, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map("a" -> 0L, "b" -> 5L, "c" -> 1L))
+    val r2 = Graph.sssp(edges, seeds, rounds = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("a" -> 0L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("sssp: unreached nodes are absent; extra rounds are stable") {
+    val edges = Seq(("a", "b", 2L), ("x", "y", 1L)).toDF("src", "dst", "w")
+    val r = Graph.sssp(edges, Seq("a").toDF("node"), rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 0L, "b" -> 2L))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
