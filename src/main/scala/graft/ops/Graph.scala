@@ -757,6 +757,83 @@ object Graph {
     s"$head,$steps,\n      spout AS (SELECT node, dist FROM sp$rounds)"
   }
 
+  /** Hash-seeded deterministic random walks (the sampling primitive
+    * under DeepWalk/node2vec skip-gram pair generation and
+    * Pixie-style walk-based recommendation; aggregate visit counts
+    * estimate PageRank à la Avrachenkov '07 Monte-Carlo): from every
+    * seed, `steps` steps; at step k the walker at node v moves to
+    * neighbor number 1 + (h64(walker|k|v) mod deg(v)) in the
+    * (src, dst-sorted) adjacency ranking. The "randomness" is the
+    * md5-derived [[TextOps.h64]] — fully deterministic and
+    * engine-reproducible, so the oracle replays the identical
+    * trajectories (the [[graft.ops.Sampling]] hash-split
+    * convention applied to walks).
+    *
+    * Per step: one join of the walker frame into the node-sized
+    * degree frame + one equi-join into the indexed adjacency on
+    * (node, pick) — never a neighbor explosion; the walker frame
+    * stays seed-sized. The adjacency index is a per-src
+    * row_number — partitioned by node id, so it scales out except
+    * for a single hub's neighbor list (cap hubs first, the q220
+    * discipline, if degrees are crawl-shaped). A walker at a node
+    * with no out-edges drops (the walk ends — directed sinks).
+    * Output: (walker, node, step) trajectory rows, step 0 = seed. */
+  def randomWalk(edges: DataFrame, seeds: DataFrame,
+      steps: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
+    val idxed = e.select($"src", $"dst",
+      row_number().over(Window.partitionBy($"src").orderBy($"dst"))
+        .cast("long").as("idx"))
+      .localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val cRoll = new Iterate.RollingCheckpoint
+    val tRoll = new Iterate.RollingCheckpoint
+    var cur = cRoll.next(seeds.select($"node").distinct()
+      .select($"node".as("walker"), $"node", lit(0L).as("step")))
+    var traj = tRoll.next(cur)
+    for (k <- 1 to steps) {
+      val pick = cur
+        .join(deg, cur("node") === deg("src"))
+        .select($"walker", cur("node").as("at"),
+          (TextOps.h64(concat($"walker", lit(s"|$k|"), cur("node")))
+            % $"deg" + 1).as("pk"))
+      cur = cRoll.next(pick
+        .join(idxed, pick("at") === idxed("src") && pick("pk") === idxed("idx"))
+        .select($"walker", $"dst".as("node"), lit(k.toLong).as("step")))
+      traj = tRoll.next(traj.unionByName(cur))
+    }
+    traj
+  }
+
+  /** Oracle twin of [[randomWalk]] over caller-defined `ed(src, dst)`
+    * and `seeds(node)` CTEs; exposes `rwout(walker, node, step)`. */
+  def randomWalkSql(steps: Int): String = {
+    val head = """
+      rwidx AS (SELECT src, dst,
+          CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+               AS BIGINT) AS idx FROM ed),
+      rwdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM ed GROUP BY src),
+      rw0 AS (SELECT DISTINCT node AS walker, node,
+                CAST(0 AS BIGINT) AS step FROM seeds)"""
+    val steps_ = (1 to steps).map { k =>
+      s"""
+      rw$k AS (
+        SELECT p.walker, i.dst AS node, CAST($k AS BIGINT) AS step
+        FROM (SELECT c.walker, c.node AS at,
+                ${TextOps.h64Sql(s"c.walker || '|$k|' || c.node")}
+                  % d.deg + 1 AS pk
+              FROM rw${k - 1} c JOIN rwdeg d ON c.node = d.src) p
+        JOIN rwidx i ON p.at = i.src AND p.pk = i.idx)"""
+    }.mkString(",")
+    val all = (0 to steps).map(k => s"SELECT * FROM rw$k")
+      .mkString("\n        UNION ALL ")
+    s"$head,$steps_,\n      rwout AS (\n        $all)"
+  }
+
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */
   def kCorePeelSql(k: Int, rounds: Int): String = {

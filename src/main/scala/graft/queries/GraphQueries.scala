@@ -604,7 +604,162 @@ object GraphQueries extends QueryGroup {
       SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
       FROM spout GROUP BY 1 ORDER BY dist"""))
 
+  /** Log2-bucketed degree distribution per side of the bipartite
+    * affiliation graph — the first diagnostic run on any crawl/link
+    * graph (is it power-law? where do the hubs start?) and the input
+    * to every hub-cap decision (q220's ≤ 40, triangleStats'
+    * orientation). Bucket = binary length of the degree (= ⌊log2⌋+1),
+    * computed by string length of bin(deg) on BOTH engines — no
+    * float log whose last ulp could flip a bucket at exact powers of
+    * two. One map-side-combined degree count + one bucket-sized
+    * groupBy; all-integer. */
+  private val q230 = Q(
+    "q230_degree_profile",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val deg = eo.select(concat(lit("s"), $"sk".cast("string")).as("node"),
+          $"ck".as("peer"))
+        .unionByName(eo.select(
+          concat(lit("c"), $"ck".cast("string")).as("node"),
+          $"sk".as("peer")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      deg.select(substring($"node", 1, 1).as("side"), $"deg",
+          length(bin($"deg")).cast("long").as("bucket"))
+        .groupBy($"side", $"bucket")
+        .agg(count(lit(1)).as("n_nodes"), min($"deg").as("min_deg"),
+          max($"deg").as("max_deg"), sum($"deg").as("sum_deg"))
+        .orderBy($"side", $"bucket")
+    },
+    Some("""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      dg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT 's' || CAST(sk AS VARCHAR) AS node FROM eo
+          UNION ALL
+          SELECT 'c' || CAST(ck AS VARCHAR) FROM eo) u
+        GROUP BY node)
+      SELECT substr(node, 1, 1) AS side,
+        CAST(length(bin(deg)) AS BIGINT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        MIN(deg) AS min_deg, MAX(deg) AS max_deg, SUM(deg) AS sum_deg
+      FROM dg GROUP BY 1, 2 ORDER BY side, bucket"""))
+
+  /** Degree assortativity (Newman '02 "Assortative mixing in
+    * networks", eq. 4) of the affiliation graph: the Pearson
+    * correlation of end-degrees over edges — do hubs link to hubs
+    * (r > 0, social-graph shape) or to leaves (r < 0, bipartite /
+    * crawl shape)? Decides whether hub-capping even helps: a
+    * disassortative graph concentrates ALL pair fan-out in its hubs.
+    * Everything is integer until one bigint→double division:
+    * r = (M·Σjk − Σj·Σk) / (M·Σj² − (Σj)²) on the symmetric frame
+    * (where Σj = Σk); both sums fit well under 2^63 at any tested
+    * scale and the division is a single deterministic IEEE op. */
+  private val q231 = Q(
+    "q231_assortativity",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val sums = edges
+        .join(deg.select($"src", $"deg".as("j")), Seq("src"))
+        .join(deg.select($"src".as("dst"), $"deg".as("k")), Seq("dst"))
+        .agg(count(lit(1)).as("m_edges"), sum($"j").as("s_j"),
+          sum($"j" * $"k").as("s_jk"), sum($"j" * $"j").as("s_j2"))
+      sums.select($"m_edges", $"s_j", $"s_jk", $"s_j2",
+        round(($"m_edges" * $"s_jk" - $"s_j" * $"s_j").cast("double") /
+          ($"m_edges" * $"s_j2" - $"s_j" * $"s_j").cast("double"), 6)
+          .as("r_assort"))
+    },
+    Some("""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM ed GROUP BY src),
+      sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+               SUM(dj.deg) AS s_j,
+               SUM(dj.deg * dk.deg) AS s_jk,
+               SUM(dj.deg * dj.deg) AS s_j2
+        FROM ed e
+        JOIN dg dj ON e.src = dj.src
+        JOIN dg dk ON e.dst = dk.src)
+      SELECT m_edges, s_j, s_jk, s_j2,
+        round(CAST(m_edges * s_jk - s_j * s_j AS DOUBLE) /
+              CAST(m_edges * s_j2 - s_j * s_j AS DOUBLE), 6) AS r_assort
+      FROM sums"""))
+
+  /** Hash-seeded random-walk visit counts (Graph.randomWalk) from
+    * every supplier node, 4 steps over the affiliation graph — the
+    * DeepWalk/Pixie sampling primitive: aggregate visit frequency is
+    * the Monte-Carlo PageRank estimate, per-walker trajectories are
+    * the skip-gram pair source for graph embeddings. Deterministic
+    * h64 steps, so the oracle replays identical walks. Top-25
+    * visited (steps ≥ 1) by (n_visits desc, n_walkers desc, node). */
+  private val q232 = Q(
+    "q232_random_walk",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("node")).distinct()
+      Graph.randomWalk(edges, seeds, steps = 4)
+        .filter($"step" >= 1)
+        .groupBy($"node")
+        .agg(count(lit(1)).as("n_visits"),
+          countDistinct($"walker").as("n_walkers"))
+        .orderBy($"n_visits".desc, $"n_walkers".desc, $"node".asc)
+        .limit(25)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(sk AS VARCHAR) AS node FROM eo),
+      ${Graph.randomWalkSql(4)}
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_visits,
+             CAST(COUNT(DISTINCT walker) AS BIGINT) AS n_walkers
+      FROM rwout WHERE step >= 1
+      GROUP BY node
+      ORDER BY n_visits DESC, n_walkers DESC, node LIMIT 25"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
-      q228, q229)
+      q228, q229, q230, q231, q232)
 }

@@ -274,6 +274,46 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("a" -> 0L, "b" -> 2L))
   }
 
+  test("randomWalk: single-edge graph oscillates deterministically") {
+    // deg(a) = deg(b) = 1, so every pick is neighbor 1: a walker
+    // seeded at a must visit b, a, b at steps 1..3.
+    val out = Graph.randomWalk(sym(("a", "b")), Seq("a").toDF("node"),
+        steps = 3)
+      .as[(String, String, Long)].collect().toSeq.sortBy(_._3)
+    assert(out == Seq(("a", "a", 0L), ("a", "b", 1L), ("a", "a", 2L),
+      ("a", "b", 3L)))
+  }
+
+  test("randomWalk: steps follow edges and replay identically") {
+    val edges = sym(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+    val seeds = Seq("a", "b", "c", "d").toDF("node")
+    val t1 = Graph.randomWalk(edges, seeds, steps = 3)
+      .as[(String, String, Long)].collect().toSet
+    val t2 = Graph.randomWalk(edges, seeds, steps = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(t1 == t2) // hash-seeded: bit-identical replay
+    // every walker advances every step (symmetric graph, no sinks)
+    assert(t1.size == 4 * 4)
+    // consecutive positions are always joined by an edge
+    val adj = edges.as[(String, String)].collect().toSet
+    val byWalker = t1.groupBy(_._1).values
+    byWalker.foreach { rows =>
+      rows.toSeq.sortBy(_._3).map(_._2).sliding(2).foreach {
+        case Seq(u, v) => assert(adj.contains((u, v)), s"$u->$v")
+        case _         =>
+      }
+    }
+  }
+
+  test("randomWalk: a directed sink ends the walk") {
+    // a -> b only (directed): the walker reaches b at step 1 and b
+    // has no out-edges, so steps 2..3 produce no rows.
+    val out = Graph.randomWalk(Seq(("a", "b")).toDF("src", "dst"),
+        Seq("a").toDF("node"), steps = 3)
+      .as[(String, String, Long)].collect().toSeq.sortBy(_._3)
+    assert(out == Seq(("a", "a", 0L), ("a", "b", 1L)))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
