@@ -834,6 +834,77 @@ object Graph {
     s"$head,$steps_,\n      rwout AS (\n        $all)"
   }
 
+  /** Modularity of a given node partition (Newman & Girvan '04,
+    * eq. 5 — the community-quality score): per community c,
+    * q_c = e_c/m₂ − (d_c/m₂)² where m₂ = directed edge count of the
+    * symmetric frame, e_c = directed edges with BOTH ends in c, d_c =
+    * Σ degrees in c; Q = Σ q_c. The evaluation half of community
+    * detection — [[labelPropagate]] proposes labels, this scores
+    * them (and any other partition: hash shards, topic buckets,
+    * hosts). All sums integer; each q_c is ONE division of two exact
+    * longs (m₂·e_c − d_c², over m₂²), rounded to 6 — the '__all__'
+    * row computes Q from the INTEGER totals, not from rounded terms.
+    *
+    * One label-attach join on each edge end + a community-sized
+    * groupBy; nothing iterative. `edges(src, dst)` symmetric
+    * distinct; `comm(node, label)` total over graph nodes (edges
+    * whose end lacks a label are dropped by the inner attach —
+    * label completeness is the caller's contract). Output:
+    * (label, n_nodes, d_c, e_in, q_term) + the '__all__' total. */
+  def modularity(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges
+      .join(comm.select($"node".as("src"), $"label".as("lsrc")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"label".as("ldst")), Seq("dst"))
+    val per = e2.groupBy($"lsrc".as("label")).agg(
+      countDistinct($"src").as("n_nodes"),
+      count(lit(1)).as("d_c"),
+      sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("e_in"))
+      .localCheckpoint(true)
+    val m2 = per.agg(sum($"d_c").as("m2"))
+    val terms = per.crossJoin(broadcast(m2))
+      .select($"label", $"n_nodes", $"d_c", $"e_in",
+        round(($"m2" * $"e_in" - $"d_c" * $"d_c").cast("double") /
+          ($"m2" * $"m2").cast("double"), 6).as("q_term"))
+    val total = per.agg(sum($"n_nodes").as("n_nodes"),
+        sum($"d_c").as("d_c"), sum($"e_in").as("e_in"),
+        sum($"d_c" * $"d_c").as("sd2"))
+      .crossJoin(broadcast(m2))
+      .select(lit("__all__").as("label"), $"n_nodes", $"d_c", $"e_in",
+        round(($"m2" * $"e_in" - $"sd2").cast("double") /
+          ($"m2" * $"m2").cast("double"), 6).as("q_term"))
+    terms.unionByName(total)
+  }
+
+  /** Oracle twin of [[modularity]] over caller-defined `ed(src, dst)`
+    * and `comm(node, label)` CTEs; exposes
+    * `modout(label, n_nodes, d_c, e_in, q_term)`. */
+  def modularitySql: String = """
+      mj AS (
+        SELECT e.src, cs.label AS lsrc, cd.label AS ldst
+        FROM ed e
+        JOIN comm cs ON e.src = cs.node
+        JOIN comm cd ON e.dst = cd.node),
+      mper AS (
+        SELECT lsrc AS label,
+               CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS d_c,
+               CAST(SUM(CASE WHEN ldst = lsrc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e_in
+        FROM mj GROUP BY lsrc),
+      mtot AS (SELECT SUM(d_c) AS m2 FROM mper),
+      modout AS (
+        SELECT label, n_nodes, d_c, e_in,
+          round(CAST(m2 * e_in - d_c * d_c AS DOUBLE) /
+                CAST(m2 * m2 AS DOUBLE), 6) AS q_term
+        FROM mper, mtot
+        UNION ALL
+        SELECT '__all__', SUM(n_nodes), SUM(d_c), SUM(e_in),
+          round(CAST(m.m2 * SUM(e_in) - SUM(d_c * d_c) AS DOUBLE) /
+                CAST(m.m2 * m.m2 AS DOUBLE), 6)
+        FROM mper, mtot m GROUP BY m.m2)"""
+
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */
   def kCorePeelSql(k: Int, rounds: Int): String = {

@@ -759,7 +759,56 @@ object GraphQueries extends QueryGroup {
       GROUP BY node
       ORDER BY n_visits DESC, n_walkers DESC, node LIMIT 25"""))
 
+  /** Modularity (Graph.modularity) of the NATION partition over the
+    * affiliation graph — scores a candidate community structure the
+    * way q226's label propagation proposes one: is trade
+    * nation-assortative (Q > 0) or does the order graph ignore
+    * geography (Q ≈ 0)? Per-nation rows expose each community's
+    * (n_nodes, d_c, e_in, q_term); the '__all__' row is Q from
+    * integer totals. One label-attach join per edge end + a
+    * 25-community groupBy. */
+  private val q233 = Q(
+    "q233_modularity",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val comm = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
+        .unionByName(Tables(s, dir, "customer")
+          .select(concat(lit("c"), $"c_custkey".cast("string")).as("node"),
+            concat(lit("n"), $"c_nationkey".cast("string")).as("label")))
+      Graph.modularity(edges, comm).orderBy($"label")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      comm AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               'n' || CAST(s_nationkey AS VARCHAR) AS label FROM supplier
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR),
+               'n' || CAST(c_nationkey AS VARCHAR) FROM customer),
+      ${Graph.modularitySql}
+      SELECT label, n_nodes, d_c, e_in, q_term FROM modout
+      ORDER BY label"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
-      q228, q229, q230, q231, q232)
+      q228, q229, q230, q231, q232, q233)
 }

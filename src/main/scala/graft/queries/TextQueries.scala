@@ -1244,8 +1244,78 @@ object TextQueries extends QueryGroup {
           AS gini
       FROM sums ORDER BY source"""))
 
+  /** PPMI skip-gram co-occurrence (Church & Hanks '90 pointwise
+    * mutual information, positive-clipped as in Levy & Goldberg '14 —
+    * the statistic word2vec implicitly factorizes): token pairs
+    * within a ±2 window, PPMI = max(0, ln(4·Z·n_ab / (c_a·c_b)))
+    * where Z = total pairs and c_w = w's pair-slot count. The
+    * collocation detector — high-PPMI pairs are phrases/templates,
+    * and the pair table IS the skip-gram training set. Pair
+    * generation is a per-doc positional self-join with fan-out ≤ 2
+    * per token (never doc×doc); counts combine map-side. The ln
+    * argument is a ratio of exact sub-2^53 integer products (one
+    * deterministic IEEE division), rounded to 6 (q163's convention).
+    * n_ab ≥ 20 floor; top-30 by (ppmi desc, w1, w2). */
+  private val q234 = Q(
+    "q234_ppmi_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir).select($"doc_id",
+          posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
+        .localCheckpoint(true)
+      val pairs = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            (col("b.pos") - col("a.pos")).between(1, 2))
+        .select(least(col("a.tok"), col("b.tok")).as("w1"),
+          greatest(col("a.tok"), col("b.tok")).as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(true)
+      val z = pairs.agg(sum($"n_ab").as("z"))
+      val marg = pairs.select($"w1".as("w"), $"n_ab")
+        .unionByName(pairs.select($"w2".as("w"), $"n_ab"))
+        .groupBy($"w").agg(sum($"n_ab").as("c"))
+      pairs.filter($"n_ab" >= 20)
+        .join(marg.select($"w".as("w1"), $"c".as("c_a")), Seq("w1"))
+        .join(marg.select($"w".as("w2"), $"c".as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(z))
+        .select($"w1", $"w2", $"n_ab",
+          // + 0.0 canonicalizes a possible -0.0 tie (the q181 lesson)
+          (greatest(lit(0.0), round(
+            log((lit(4L) * $"z" * $"n_ab").cast("double") /
+              ($"c_a" * $"c_b").cast("double")), 6)) + lit(0.0)).as("ppmi"))
+        .orderBy($"ppmi".desc, $"w1".asc, $"w2".asc)
+        .limit(30)
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos,
+               unnest(ts) AS tok FROM tk),
+      pr AS (
+        SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        GROUP BY 1, 2),
+      z AS (SELECT SUM(n_ab) AS z FROM pr),
+      marg AS (
+        SELECT w, SUM(n_ab) AS c FROM (
+          SELECT w1 AS w, n_ab FROM pr
+          UNION ALL SELECT w2, n_ab FROM pr) u GROUP BY w)
+      SELECT p.w1, p.w2, p.n_ab,
+        greatest(0.0, round(ln(CAST(4 * z.z * p.n_ab AS DOUBLE) /
+          CAST(ma.c * mb.c AS DOUBLE)), 6)) + 0.0 AS ppmi
+      FROM pr p
+      JOIN marg ma ON p.w1 = ma.w
+      JOIN marg mb ON p.w2 = mb.w
+      CROSS JOIN z
+      WHERE p.n_ab >= 20
+      ORDER BY ppmi DESC, p.w1, p.w2 LIMIT 30"""))
+
   def queries: Seq[Q] =
     Seq(q42, q43, q44, q45, q46, q47, q48, q49, q110, q143, q144,
       q148, q149, q152, q158, q163, q166, q168, q169, q170, q171,
-      q172, q175, q180, q181, q182, q188, q195)
+      q172, q175, q180, q181, q182, q188, q195, q234)
 }

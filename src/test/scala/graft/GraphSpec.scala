@@ -314,6 +314,29 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq(("a", "a", 0L), ("a", "b", 1L)))
   }
 
+  test("modularity: two disjoint triangles split correctly scores 0.5") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val r = Graph.modularity(edges, comm)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // per community: m2=12, d_c=6, e_in=6 → (12·6 − 36)/144 = 0.25
+    assert(r("L") == (("L", 3L, 6L, 6L, 0.25)))
+    assert(r("R") == (("R", 3L, 6L, 6L, 0.25)))
+    assert(r("__all__") == (("__all__", 6L, 12L, 12L, 0.5)))
+  }
+
+  test("modularity: the everything-in-one-community partition scores 0") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"))
+    val comm = Seq("a", "b", "c").map(_ -> "one").toDF("node", "label")
+    val r = Graph.modularity(edges, comm)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t._5).toMap
+    assert(r("one") == 0.0 && r("__all__") == 0.0)
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
