@@ -42,6 +42,22 @@ for name, sql in sorted(oracles.items()):
     gs = got.sort_values(list(got.columns)).reset_index(drop=True)
     es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
     ok = True
+    # dtype strictness: the driver's hash normalizes int widths and
+    # timestamp precision but NOT int-vs-float — DuckDB promoting an
+    # uncast SUM(BIGINT) to HUGEINT (-> float64 here) fails the driver
+    # while values compare equal below. Fail that class locally.
+    for c in gs.columns:
+        a_int = pd.api.types.is_integer_dtype(gs[c])
+        b_int = pd.api.types.is_integer_dtype(es[c])
+        a_flt = pd.api.types.is_float_dtype(gs[c])
+        b_flt = pd.api.types.is_float_dtype(es[c])
+        if (a_int and b_flt) or (a_flt and b_int):
+            print(f"FAIL {name}: col {c} dtype int-vs-float: "
+                  f"spark={gs[c].dtype} duckdb={es[c].dtype} "
+                  f"(uncast SUM/COUNT in the oracle? CAST(... AS BIGINT))")
+            ok = False
+    if not ok:
+        n_fail += 1; continue
     for c in gs.columns:
         a, b = gs[c], es[c]
         if pd.api.types.is_datetime64_any_dtype(a) or pd.api.types.is_datetime64_any_dtype(b):

@@ -385,6 +385,41 @@ object Bench {
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
+  /** Rehearsal of the v4 (rank + tier gated) pipeline: ONE source
+    * affinity graph feeds PageRank authority AND seed-clamped label
+    * propagation; both host-sized verdict frames gate docs in one
+    * pass before the nine v2 stages; build + the four-gate audit
+    * frame (leakage, PSI, rank_gate, tier_gate) time as one pass. */
+  private def composedV4Section(spark: SparkSession, scaleDir: String,
+      passes: Int): String = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val runs = (1 to passes).map { _ =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val t0 = System.nanoTime()
+        val docs = Tables(spark, scaleDir, "documents")
+        val (chunks, audit) =
+          graft.ops.CorpusPipelineV2.buildAndAuditTierGated(docs)
+        chunks.write.format("noop").mode("overwrite").save()
+        audit.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweepBlocks(spark, before)
+        dt
+      }
+      tally.drain()
+      val mb = 1024.0 * 1024.0
+      s""","composed_v4":{"stages":"affinity_graph>(rank_gate|tier_gate)>q149>q76>q143>q99>q62>q126>q150>q88>q132+audits(q151,q159,rank_gate,tier_gate)",""" +
+        s""""runs":[${runs.map(fmt).mkString(",")}],""" +
+        s""""shuffle_write_mb":${fmt(tally.write / mb / passes)},""" +
+        s""""shuffle_read_mb":${fmt(tally.read / mb / passes)},""" +
+        s""""peak_stage_shuffle_write_mb":${fmt(tally.peakStageWrite / mb)},""" +
+        s""""disk_spill_mb":${fmt(tally.spill / mb / passes)}}"""
+    } catch { case e: Throwable =>
+      s""","composed_v4":{"error":"${e.getClass.getSimpleName}"}"""
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -471,7 +506,8 @@ object Bench {
           s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}}""" +
           composedSection(spark, scaleDir, passes) +
           composedV2Section(spark, scaleDir, passes) +
-          composedV3Section(spark, scaleDir, passes)
+          composedV3Section(spark, scaleDir, passes) +
+          composedV4Section(spark, scaleDir, passes)
       } catch { case e: Throwable =>
         s""","scale":{"error":"${e.getClass.getSimpleName}"}"""
       }

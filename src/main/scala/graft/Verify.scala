@@ -24,8 +24,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.Iterate.quietReleaseWarnings()
     new java.io.File(outDir).mkdirs()
+    // filter = comma-separated substrings, any-match
+    val fParts = nameFilter.map(_.split(',').toSeq.filter(_.nonEmpty))
     val selected = SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) => fParts.forall(_.exists(name.contains)) }
     selected.foreach { case (name, fn) =>
       // queries are self-contained: release the checkpoint blocks each
       // one created, so a 220-query dump doesn't accumulate
@@ -53,7 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => nameFilter.forall(k.contains) }
+      .filter { case (k, _) => fParts.forall(_.exists(k.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

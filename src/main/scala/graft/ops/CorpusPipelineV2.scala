@@ -287,7 +287,18 @@ object CorpusPipelineV2 {
     * q220 hub-cap discipline — universal boilerplate carries no
     * affinity signal and mints quadratic pairs). Output:
     * (node = source, pagerank), a hosts-sized frame. */
-  def sourceAuthority(docs: DataFrame, maxLineSources: Int = 100): DataFrame = {
+  def sourceAuthority(docs: DataFrame, maxLineSources: Int = 100): DataFrame =
+    Graph.pageRank(sourceAffinityEdges(docs, maxLineSources), iters = 3)
+
+  /** The source↔source affinity graph both graph gates run on
+    * ([[sourceAuthority]]'s PageRank and [[qualityTiers]]'s label
+    * propagation): two sources share a symmetric edge when the SAME
+    * 10-word line appears in both, hot lines capped BEFORE pairing
+    * (the q220 hub-cap discipline). Factored out so the v4 pipeline
+    * builds the line scan ONCE and feeds both iterations. Output:
+    * symmetric distinct (src, dst), hosts-sized. */
+  def sourceAffinityEdges(docs: DataFrame,
+      maxLineSources: Int = 100): DataFrame = {
     val srcLines = docs
       .select(col("source"), split(col("text"), " ").as("words"))
       .select(col("source"), explode(expr(
@@ -305,9 +316,8 @@ object CorpusPipelineV2 {
       .join(kept.select(col("lh"), col("source").as("sb")), Seq("lh"))
       .filter(col("sa") < col("sb"))
       .select(col("sa"), col("sb")).distinct()
-    val edges = pairs.select(col("sa").as("src"), col("sb").as("dst"))
+    pairs.select(col("sa").as("src"), col("sb").as("dst"))
       .unionByName(pairs.select(col("sb").as("src"), col("sa").as("dst")))
-    Graph.pageRank(edges, iters = 3)
   }
 
   /** The v3 gate: docs from sources whose authority is BELOW the
@@ -342,6 +352,110 @@ object CorpusPipelineV2 {
       col("source").as("key"), col("pagerank").as("value"),
       col("keep_all").as("pass"))
     (gated, audit)
+  }
+
+  /** Seed-labeled quality TIERS over the source affinity graph — the
+    * q226 production story wired into the pipeline (r10 verdict, Next
+    * #8): instead of annotating every source, a small "audited" seed
+    * set carries tier labels and [[Graph.labelPropagate]] diffuses
+    * them over [[sourceAffinityEdges]] with the seeds CLAMPED. Here
+    * the audited seeds are derived deterministically — the
+    * `seedsPerTier` sources with the highest mean document length get
+    * 'hi', the lowest get 'lo' (exact decimal average, ties broken by
+    * source asc; a production run would substitute genuine human
+    * audits, the stage shape is identical). Sources the diffusion
+    * never reaches stay null — explicitly "no evidence", distinct
+    * from 'lo'. Output: (source, tier), hosts-sized. The seed ranking
+    * is a single-partition window over the HOSTS-sized stats frame —
+    * the [[rankGate]] exactMedian justification, never on data. */
+  def qualityTiers(edges: DataFrame, docs: DataFrame,
+      seedsPerTier: Int = 3, rounds: Int = 3): DataFrame = {
+    val stats = docs.groupBy(col("source"))
+      .agg((sum(col("n_chars")).cast("decimal(38,6)") /
+        count(lit(1))).as("avg_len"))
+    val ranked = stats.select(col("source"), col("avg_len"),
+      row_number().over(
+        Window.orderBy(col("avg_len").desc, col("source").asc)).as("hi_rk"),
+      row_number().over(
+        Window.orderBy(col("avg_len").asc, col("source").asc)).as("lo_rk"))
+    val seeds = ranked
+      .filter(col("hi_rk") <= seedsPerTier || col("lo_rk") <= seedsPerTier)
+      .select(col("source").as("node"),
+        when(col("hi_rk") <= seedsPerTier, lit("hi"))
+          .otherwise(lit("lo")).as("label"))
+    Graph.labelPropagate(edges, seeds, rounds)
+      .select(col("node").as("source"), col("label").as("tier"))
+  }
+
+  /** The v4 tier gate: docs from sources whose propagated tier is
+    * 'lo' keep only a deterministic half (hash-rate sample salted
+    * "|tg", independent of the rank gate's "|rg" and stage 2's keys);
+    * 'hi' and unlabeled/no-evidence sources pass whole — the gate
+    * only acts on CONFIRMED low-tier membership. Returns (gated docs,
+    * per-source audit rows (check='tier_gate', key=source,
+    * value = 1.0 hi / 0.0 lo / −1.0 unlabeled, pass = not halved)). */
+  def tierGate(docs: DataFrame, tiers: DataFrame): (DataFrame, DataFrame) = {
+    val t = tiers.localCheckpoint(true)
+    val gated = docs
+      .join(broadcast(t), Seq("source"), "left")
+      .filter(coalesce(col("tier") =!= "lo", lit(true)) ||
+        pmod(TextOps.h64(concat(col("doc_id").cast("string"), lit("|tg"))),
+          lit(2L)) === 0L)
+      .drop("tier")
+    val audit = t.select(lit("tier_gate").as("check"),
+      col("source").as("key"),
+      when(col("tier") === "hi", 1.0)
+        .when(col("tier") === "lo", 0.0)
+        .otherwise(-1.0).as("value"),
+      coalesce(col("tier") =!= "lo", lit(true)).as("pass"))
+    (gated, audit)
+  }
+
+  /** v4 composition: BOTH graph gates — rank ([[rankGate]] semantics)
+    * and tier ([[tierGate]]) — feed the full v2 pipeline, with the
+    * source affinity graph built ONCE (one line scan + one pair join
+    * serves PageRank and label propagation), both verdict frames
+    * broadcast host-sized, and the document filter applied in ONE
+    * pass over docs. Audit frame = leakage + PSI + rank_gate +
+    * tier_gate rows — per-tier attribution for the promotion record.
+    * The PSI reference stays the RAW corpus (the v3 convention: the
+    * drift gate must see what the gates did to the tail). Returns
+    * (chunk frame, audit frame). */
+  def buildAndAuditTierGated(docs: DataFrame): (DataFrame, DataFrame) = {
+    val edges = sourceAffinityEdges(docs).localCheckpoint(true)
+    val pr = Graph.pageRank(edges, iters = 3).localCheckpoint(true)
+    val med = WindowOps.exactMedian(pr, Seq(lit(1)), col("pagerank"),
+      col("node")).select(col("median"))
+    val rankV = pr.crossJoin(broadcast(med))
+      .select(col("node").as("source"), col("pagerank"),
+        (col("pagerank") >= col("median")).as("keep_all"))
+      .localCheckpoint(true)
+    val tiers = qualityTiers(edges, docs).localCheckpoint(true)
+    val gated = docs
+      .join(broadcast(rankV.select(col("source"), col("keep_all"))),
+        Seq("source"), "left")
+      .join(broadcast(tiers), Seq("source"), "left")
+      .filter((coalesce(col("keep_all"), lit(false)) ||
+        pmod(TextOps.h64(concat(col("doc_id").cast("string"), lit("|rg"))),
+          lit(2L)) === 0L) &&
+        (coalesce(col("tier") =!= "lo", lit(true)) ||
+          pmod(TextOps.h64(concat(col("doc_id").cast("string"), lit("|tg"))),
+            lit(2L)) === 0L))
+      .drop("keep_all", "tier")
+    val rankAudit = rankV.select(lit("rank_gate").as("check"),
+      col("source").as("key"), col("pagerank").as("value"),
+      col("keep_all").as("pass"))
+    val tierAudit = tiers.select(lit("tier_gate").as("check"),
+      col("source").as("key"),
+      when(col("tier") === "hi", 1.0)
+        .when(col("tier") === "lo", 0.0)
+        .otherwise(-1.0).as("value"),
+      coalesce(col("tier") =!= "lo", lit(true)).as("pass"))
+    val st = stages(gated, checkpoint = true)
+    val kept = st.kept.localCheckpoint(true)
+    (buildFromKept(kept),
+      auditsFromKept(docs, kept).unionByName(rankAudit)
+        .unionByName(tierAudit))
   }
 
   /** v3 composition: the rank gate ([[rankGate]]) feeds the full v2

@@ -100,7 +100,16 @@ object Graph {
     *
     *  - node universe = distinct(src ∪ dst), computed once;
     *  - per round, dangling mass D = Σ rank over the (static) dangling
-    *    set — a node-sized semi-join + 1-row aggregate, broadcast back;
+    *    set — folded into the SAME join+aggregate as the contribution
+    *    sums: a static `routed` frame (edges ∪ one sentinel-dst row
+    *    per dangling node, built once before the loop) joins the rank
+    *    vector exactly once per round, and the sentinel group of the
+    *    per-dst aggregate IS the dangling mass. The round-10 shape
+    *    paid a separate node-sized semi-join + a crossJoin of a
+    *    1-row frame derived from the live rank subtree (an extra
+    *    materialization barrier per round); here the aggregate is
+    *    checkpointed (node-sized) and both the dangling row and the
+    *    update join read that one materialized frame;
     *  - new rank(v) = base + 0.85·(Σ contribs(v) + D/n) over ALL nodes
     *    (a source-only node still receives base + its D share).
     *
@@ -122,27 +131,42 @@ object Graph {
       .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
         round(lit(0.15) / $"n", 6).as("base"))
       .localCheckpoint(true)
-    val dangling = nodes
-      .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val eWithDeg = e.join(deg, Seq("src"))
+    // sentinel dst key for the dangling group: a leading space cannot occur
+    // in caller node ids built from printable prefixes + numerals
+    val dkey = " dangling"
+    // routed = one row per (edge ∪ dangling node): the single frame
+    // the rank vector joins per round. Dangling rows carry a null
+    // outdeg; their "contribution" is the rank itself, aggregated
+    // under the sentinel key by the SAME groupBy as the real sums.
+    val routed = e.join(deg, Seq("src"))
       .select($"src", $"dst", $"outdeg")
+      .unionByName(nodes
+        .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
+        .select($"node".as("src"), lit(dkey).as("dst"),
+          lit(null).cast("long").as("outdeg")))
       .localCheckpoint(true)
     val zero = expr("CAST(0 AS DECIMAL(18,6))")
     val roll = new Iterate.RollingCheckpoint
+    val smRoll = new Iterate.RollingCheckpoint
     var ranks = roll.next(nodes.crossJoin(broadcast(nrow))
       .select($"node", $"r0".as("r")))
     for (_ <- 1 to iters) {
-      val contrib = eWithDeg
+      // ONE data-sized join + ONE map-side-combined aggregate per
+      // round; checkpointed so the dangling extraction and the rank
+      // update both read the materialized node-sized result instead
+      // of re-deriving the join (the r10 per-round barrier).
+      val sums = smRoll.next(routed
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select($"dst", round($"r" / $"outdeg", 6).as("c"))
-      val sums = contrib.groupBy($"dst".as("node"))
-        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
-      // the dangling term: 1-row aggregate over the static sink set,
-      // broadcast into the rank update — the cost the class doc of
-      // [[pageRank]] promised ("a one-row aggregate, not a new shuffle")
-      val drow = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum($"r".cast("decimal(18,6)")), zero).as("dmass"))
+        .select($"dst",
+          when($"outdeg".isNull, $"r")
+            .otherwise(round($"r" / $"outdeg", 6)).as("c"))
+        .groupBy($"dst".as("node"))
+        .agg(sum($"c".cast("decimal(18,6)")).as("sm")))
+      // the dangling term: a 1-row aggregate over the sentinel group
+      // of the frame above (≤ 1 row in, exactly 1 row out even when
+      // the graph has no sinks), broadcast into the rank update
+      val drow = sums.filter($"node" === dkey)
+        .agg(coalesce(sum($"sm"), zero).as("dmass"))
         .crossJoin(broadcast(nrow))
         .select(round($"dmass".cast("double") / $"n", 6)
           .cast("decimal(18,6)").as("dshare"), $"base")
@@ -154,6 +178,9 @@ object Graph {
               (coalesce($"sm", zero) + $"dshare"), 6)
             .cast("double").as("r")))
     }
+    // the final ranks are eagerly checkpointed; the last sums round
+    // has no remaining reader
+    smRoll.close()
     ranks.select($"node", $"r".as("pagerank"))
   }
 
@@ -181,6 +208,7 @@ object Graph {
     * convention. Nodes with no in-edges carry authority 0 (no out:
     * hub 0). Returns (node, authority, hub) over src ∪ dst. */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.localCheckpoint(true)
@@ -314,6 +342,7 @@ object Graph {
   /** Oracle twin of [[hits]] over a caller-defined `ed(src, dst)` CTE;
     * exposes `hitsout(node, authority, hub)`. */
   def hitsSql(iters: Int): String = {
+    require(iters >= 1, s"hitsSql needs iters >= 1, got $iters")
     val head = """
       hn AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
       hub0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM hn)"""
@@ -877,33 +906,212 @@ object Graph {
     terms.unionByName(total)
   }
 
+  /** Newman assortativity r from the edge-end integer sums
+    * `(m_edges, s_j, s_jk, s_j2)`:
+    * r = (M·Σjk − Σj·Σk) / (M·Σj² − (Σj)²), with Σj = Σk on a
+    * symmetric frame. The products are computed in `decimal(38,0)` —
+    * NOT long — because `s_j · s_j = (Σ deg²)²` silently wraps 64-bit
+    * arithmetic once Σ deg² exceeds ~3.04·10⁹ (true at roughly sf10
+    * of the affiliation graph and certainly at the 100 TB target),
+    * while (Σ deg²)² stays under 10³⁸ for any realizable long input,
+    * so decimal(38,0) is exact wherever the inputs themselves fit a
+    * long. One deterministic IEEE division at the end, rounded to 6.
+    * The DuckDB twin computes the same products in HUGEINT (also
+    * exact) — see q231's oracle SQL. */
+  def assortativityR(sums: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    sums.select(col("m_edges"), col("s_j"), col("s_jk"), col("s_j2"),
+      round(
+        (d(col("m_edges")) * col("s_jk") - d(col("s_j")) * col("s_j"))
+          .cast("double") /
+        (d(col("m_edges")) * col("s_j2") - d(col("s_j")) * col("s_j"))
+          .cast("double"), 6).as("r_assort"))
+  }
+
   /** Oracle twin of [[modularity]] over caller-defined `ed(src, dst)`
     * and `comm(node, label)` CTEs; exposes
     * `modout(label, n_nodes, d_c, e_in, q_term)`. */
-  def modularitySql: String = """
-      mj AS (
+  def modularitySql: String = modularitySqlFor("comm", "")
+
+  /** [[modularitySql]] with a caller-chosen community CTE and a
+    * suffix on every internal CTE name, so ONE oracle WITH chain can
+    * score several partitions of the same `ed` (q235 scores
+    * before/after a Louvain sweep). Exposes `modout$sfx`. */
+  def modularitySqlFor(comm: String, sfx: String): String = s"""
+      mj$sfx AS (
         SELECT e.src, cs.label AS lsrc, cd.label AS ldst
         FROM ed e
-        JOIN comm cs ON e.src = cs.node
-        JOIN comm cd ON e.dst = cd.node),
-      mper AS (
+        JOIN $comm cs ON e.src = cs.node
+        JOIN $comm cd ON e.dst = cd.node),
+      mper$sfx AS (
         SELECT lsrc AS label,
                CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
                CAST(COUNT(*) AS BIGINT) AS d_c,
                CAST(SUM(CASE WHEN ldst = lsrc THEN 1 ELSE 0 END)
                     AS BIGINT) AS e_in
-        FROM mj GROUP BY lsrc),
-      mtot AS (SELECT SUM(d_c) AS m2 FROM mper),
-      modout AS (
+        FROM mj$sfx GROUP BY lsrc),
+      mtot$sfx AS (SELECT CAST(SUM(d_c) AS BIGINT) AS m2 FROM mper$sfx),
+      modout$sfx AS (
         SELECT label, n_nodes, d_c, e_in,
           round(CAST(m2 * e_in - d_c * d_c AS DOUBLE) /
                 CAST(m2 * m2 AS DOUBLE), 6) AS q_term
-        FROM mper, mtot
+        FROM mper$sfx, mtot$sfx
         UNION ALL
-        SELECT '__all__', SUM(n_nodes), SUM(d_c), SUM(e_in),
+        SELECT '__all__', CAST(SUM(n_nodes) AS BIGINT),
+          CAST(SUM(d_c) AS BIGINT), CAST(SUM(e_in) AS BIGINT),
           round(CAST(m.m2 * SUM(e_in) - SUM(d_c * d_c) AS DOUBLE) /
                 CAST(m.m2 * m.m2 AS DOUBLE), 6)
-        FROM mper, mtot m GROUP BY m.m2)"""
+        FROM mper$sfx, mtot$sfx m GROUP BY m.m2)"""
+
+  /** One greedy modularity-improving sweep — a CONFLICT-FREE parallel
+    * variant of Louvain level-1 phase-1 (Blondel et al. '08 §2).
+    * Links the two halves the engine already has — [[labelPropagate]]
+    * PROPOSES a partition, [[modularity]] SCORES one — into an actual
+    * community-detection step that provably raises Q.
+    *
+    * ΔQ of moving node i (degree k_i, removed from its community
+    * first) into community c is k_{i,c}/m − Σtot_c·k_i/(2m²); scaled
+    * by the positive constant 2m² every candidate's score is the
+    * INTEGER m₂·k_{i,c} − Σtot'_c·k_i (m₂ = 2m, Σtot' excludes i for
+    * the stay option) — but the PRODUCTS overflow a long once
+    * m₂·k ≳ 2^63 (real at the 100 TB target), so they are computed in
+    * decimal(38,0) here and HUGEINT in the oracle twin, the q231
+    * convention: exact wherever the inputs fit a long.
+    *
+    * Why not apply every positive-gain move simultaneously (the naive
+    * synchronous sweep): the gains are computed against the CURRENT
+    * partition and invalidate each other — measured on the
+    * affiliation graph, 1182 simultaneous movers piled into the same
+    * attractive communities and drove Q from +0.036 to −0.164. So
+    * each node first PROPOSES its single best strictly-improving move
+    * (total order: score desc, label asc), and a proposal is ACCEPTED
+    * iff it ranks first — by (gain desc, node asc) — within BOTH
+    * communities it touches (source and target). Accepted moves touch
+    * pairwise-DISJOINT communities, and Q decomposes per community
+    * (a move changes only its own two communities' e_in and d_c), so
+    * the accepted gains are exactly additive and each is strictly
+    * positive — Q strictly increases. The globally best proposal is
+    * always accepted (nothing can outrank it in either of its own
+    * communities), so the sweep makes progress whenever ANY strict
+    * improvement exists; iterating sweeps is monotone in Q and
+    * terminates.
+    *
+    * Cost: one edges⋈labels join + one per-(node, community) count
+    * (the [[labelPropagate]] round shape), then node-sized joins and
+    * two community-partitioned window top-1s — nothing data²; state
+    * is node-sized. `edges(src, dst)` symmetric distinct,
+    * self-loop-free; `comm(node, label)` total over graph nodes.
+    * Returns the new (node, label). */
+  def louvainMove(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e = edges.localCheckpoint(true)
+    val cm = comm.localCheckpoint(true)
+    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val m2row = deg.agg(sum($"k").as("m2"))
+    val stot = cm.join(deg, Seq("node"))
+      .groupBy($"label").agg(sum($"k").as("stot"))
+    // k_{i,c}: edges from i into community c (self-loop-free input
+    // means c = c_i counts only OTHER members, as the formula needs)
+    val kic = e.join(cm.select($"node".as("dst"), $"label".as("c")),
+        Seq("dst"))
+      .groupBy($"src".as("node"), $"c").agg(count(lit(1)).as("kic"))
+      .localCheckpoint(true)
+    val info = cm.select($"node", $"label".as("c0"))
+      .join(deg, Seq("node"))
+      .join(stot.select($"label".as("c0"), $"stot".as("stot0")),
+        Seq("c0"))
+      .join(kic.select($"node", $"c".as("c0"), $"kic".as("k_own")),
+        Seq("node", "c0"), "left")
+      .crossJoin(broadcast(m2row))
+      .select($"node", $"c0", $"k",
+        (dec($"m2") * coalesce($"k_own", lit(0L)) -
+          dec($"stot0" - $"k") * $"k").as("s_stay"))
+      .localCheckpoint(true)
+    val cand = kic
+      .join(info.select($"node", $"c0", $"k", $"s_stay"), Seq("node"))
+      .filter($"c" =!= $"c0")
+      .join(stot.select($"label".as("c"), $"stot"), Seq("c"))
+      .crossJoin(broadcast(m2row))
+      .select($"node", $"c0", $"c",
+        (dec($"m2") * $"kic" - dec($"stot") * $"k").as("s_move"),
+        $"s_stay")
+    // each node's single best strictly-improving proposal
+    val prop = Relational.topOnePerGroup(cand, Seq($"node"),
+        Seq($"s_move".desc, $"c".asc))
+      .filter($"s_move" > $"s_stay")
+      .select($"node", $"c0", $"c", ($"s_move" - $"s_stay").as("g"))
+      .localCheckpoint(true)
+    // conflict-free acceptance: a proposal must rank first within
+    // BOTH communities it touches (see doc — disjointness makes the
+    // accepted gains exactly additive)
+    val touch = prop.select($"node", $"c0".as("cmty"), $"g")
+      .unionByName(prop.select($"node", $"c".as("cmty"), $"g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cmty").orderBy($"g".desc, $"node".asc)
+    val acc = touch.select($"node", row_number().over(w).as("rk"))
+      .groupBy($"node").agg(max($"rk").as("mrk"))
+      .filter($"mrk" === 1).select($"node")
+    info.join(prop.join(acc, Seq("node"), "left_semi")
+        .select($"node", $"c".as("newc")), Seq("node"), "left")
+      .select($"node", coalesce($"newc", $"c0").as("label"))
+  }
+
+  /** Oracle twin of [[louvainMove]] over caller-defined `ed(src, dst)`
+    * and `$comm(node, label)` CTEs; exposes `lvout$sfx(node, label)`.
+    * Scores in HUGEINT — exact, matching the engine's decimal(38,0).
+    * The suffix lets one WITH chain apply several sweeps (q235 chains
+    * them: sweep k reads `lvout{k-1}` as its community CTE). */
+  def louvainMoveSql(comm: String, sfx: String = ""): String = s"""
+      lvdeg$sfx AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+                FROM ed GROUP BY src),
+      lvm2$sfx AS (SELECT CAST(SUM(k) AS HUGEINT) AS m2 FROM lvdeg$sfx),
+      lvstot$sfx AS (
+        SELECT c.label, CAST(SUM(d.k) AS BIGINT) AS stot
+        FROM $comm c JOIN lvdeg$sfx d ON c.node = d.node GROUP BY c.label),
+      lvkic$sfx AS MATERIALIZED (
+        SELECT e.src AS node, c.label AS cc,
+               CAST(COUNT(*) AS BIGINT) AS kic
+        FROM ed e JOIN $comm c ON e.dst = c.node GROUP BY 1, 2),
+      lvinfo$sfx AS MATERIALIZED (
+        SELECT c.node, c.label AS c0, d.k,
+          m.m2 * COALESCE(ko.kic, 0)
+            - CAST(s.stot - d.k AS HUGEINT) * d.k AS s_stay
+        FROM $comm c
+        JOIN lvdeg$sfx d ON c.node = d.node
+        JOIN lvstot$sfx s ON c.label = s.label
+        LEFT JOIN lvkic$sfx ko ON ko.node = c.node AND ko.cc = c.label,
+        lvm2$sfx m),
+      lvprop$sfx AS MATERIALIZED (
+        SELECT node, c0, c, s_move - s_stay AS g FROM (
+          SELECT kc.node, i.c0, kc.cc AS c,
+            m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k AS s_move,
+            i.s_stay,
+            ROW_NUMBER() OVER (PARTITION BY kc.node
+              ORDER BY m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k
+                DESC, kc.cc) AS rk
+          FROM lvkic$sfx kc
+          JOIN lvinfo$sfx i ON kc.node = i.node AND kc.cc <> i.c0
+          JOIN lvstot$sfx s ON kc.cc = s.label, lvm2$sfx m)
+        WHERE rk = 1 AND s_move > s_stay),
+      lvtouch$sfx AS (
+        SELECT node, c0 AS cmty, g FROM lvprop$sfx
+        UNION ALL
+        SELECT node, c, g FROM lvprop$sfx),
+      lvacc$sfx AS (
+        SELECT node FROM (
+          SELECT node, ROW_NUMBER() OVER (PARTITION BY cmty
+                   ORDER BY g DESC, node) AS rk
+          FROM lvtouch$sfx)
+        GROUP BY node HAVING MAX(rk) = 1),
+      lvout$sfx AS (
+        SELECT i.node,
+          CASE WHEN a.node IS NOT NULL THEN p.c ELSE i.c0 END AS label
+        FROM lvinfo$sfx i
+        LEFT JOIN lvprop$sfx p ON i.node = p.node
+        LEFT JOIN lvacc$sfx a ON i.node = a.node)"""
 
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */

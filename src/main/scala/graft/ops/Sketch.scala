@@ -250,7 +250,17 @@ object Sketch {
     * merge across shards/batches is elementwise bit_or, exactly like
     * the HLL register-MAX, so the sketch is partitioning- and
     * delivery-order-independent. Output: (word, bits), ≤ m/32 rows —
-    * broadcastable at any corpus size. */
+    * broadcastable at any corpus size.
+    *
+    * FORMAT v2 — layout break (round 10): the probe family changed
+    * from h1 + j·h2 (v1) to the odd stride above, which moves bit
+    * positions. A v1 word table merged or probed with v2 arithmetic
+    * produces SILENT FALSE NEGATIVES — the one failure the Bloom
+    * contract forbids. Persisted filters carry no version marker in
+    * the word rows themselves, so deployments that stored v1 tables
+    * must rebuild them (or tag storage paths with the format version)
+    * before mixing with post-change probes; never bit_or across the
+    * v1/v2 boundary. */
   def bloomWords(hashes: DataFrame, m: Long): DataFrame =
     hashes.select(explode(expr("sequence(0, 2)")).as("j"),
         col("h1"), col("h2"))

@@ -77,7 +77,7 @@ object EvalQueries extends QueryGroup {
                ${TextOps.h64bSql("s")} % 1000000007 AS h2
         FROM sh),
       mh AS (
-        SELECT doc, j, MIN(h1 + j * (2 * h2 + 1)) AS h
+        SELECT doc, j, MIN(h1 + j * h2) AS h
         FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j) seeds
         GROUP BY doc, j),
       bands AS (

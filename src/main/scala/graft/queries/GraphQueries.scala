@@ -647,7 +647,8 @@ object GraphQueries extends QueryGroup {
       SELECT substr(node, 1, 1) AS side,
         CAST(length(bin(deg)) AS BIGINT) AS bucket,
         CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        MIN(deg) AS min_deg, MAX(deg) AS max_deg, SUM(deg) AS sum_deg
+        MIN(deg) AS min_deg, MAX(deg) AS max_deg,
+        CAST(SUM(deg) AS BIGINT) AS sum_deg
       FROM dg GROUP BY 1, 2 ORDER BY side, bucket"""))
 
   /** Degree assortativity (Newman '02 "Assortative mixing in
@@ -656,10 +657,13 @@ object GraphQueries extends QueryGroup {
     * (r > 0, social-graph shape) or to leaves (r < 0, bipartite /
     * crawl shape)? Decides whether hub-capping even helps: a
     * disassortative graph concentrates ALL pair fan-out in its hubs.
-    * Everything is integer until one bigint→double division:
+    * Everything is integer until one exact→double division:
     * r = (M·Σjk − Σj·Σk) / (M·Σj² − (Σj)²) on the symmetric frame
-    * (where Σj = Σk); both sums fit well under 2^63 at any tested
-    * scale and the division is a single deterministic IEEE op. */
+    * (where Σj = Σk). The SUMS fit a long at any realistic scale,
+    * but their PRODUCTS do not — (Σ deg²)² passes 2^63 once
+    * Σ deg² > ~3·10⁹ — so [[Graph.assortativityR]] computes them in
+    * decimal(38,0) and the oracle in HUGEINT (both exact), then one
+    * deterministic IEEE division. */
   private val q231 = Q(
     "q231_assortativity",
     (s, dir) => {
@@ -680,10 +684,7 @@ object GraphQueries extends QueryGroup {
         .join(deg.select($"src".as("dst"), $"deg".as("k")), Seq("dst"))
         .agg(count(lit(1)).as("m_edges"), sum($"j").as("s_j"),
           sum($"j" * $"k").as("s_jk"), sum($"j" * $"j").as("s_j2"))
-      sums.select($"m_edges", $"s_j", $"s_jk", $"s_j2",
-        round(($"m_edges" * $"s_jk" - $"s_j" * $"s_j").cast("double") /
-          ($"m_edges" * $"s_j2" - $"s_j" * $"s_j").cast("double"), 6)
-          .as("r_assort"))
+      Graph.assortativityR(sums)
     },
     Some("""
       WITH eo AS (
@@ -699,15 +700,18 @@ object GraphQueries extends QueryGroup {
              FROM ed GROUP BY src),
       sums AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
-               SUM(dj.deg) AS s_j,
-               SUM(dj.deg * dk.deg) AS s_jk,
-               SUM(dj.deg * dj.deg) AS s_j2
+               CAST(SUM(dj.deg) AS BIGINT) AS s_j,
+               CAST(SUM(dj.deg * dk.deg) AS BIGINT) AS s_jk,
+               CAST(SUM(dj.deg * dj.deg) AS BIGINT) AS s_j2
         FROM ed e
         JOIN dg dj ON e.src = dj.src
         JOIN dg dk ON e.dst = dk.src)
       SELECT m_edges, s_j, s_jk, s_j2,
-        round(CAST(m_edges * s_jk - s_j * s_j AS DOUBLE) /
-              CAST(m_edges * s_j2 - s_j * s_j AS DOUBLE), 6) AS r_assort
+        round(CAST(CAST(m_edges AS HUGEINT) * s_jk
+                   - CAST(s_j AS HUGEINT) * s_j AS DOUBLE) /
+              CAST(CAST(m_edges AS HUGEINT) * s_j2
+                   - CAST(s_j AS HUGEINT) * s_j AS DOUBLE), 6)
+          AS r_assort
       FROM sums"""))
 
   /** Hash-seeded random-walk visit counts (Graph.randomWalk) from
@@ -808,7 +812,112 @@ object GraphQueries extends QueryGroup {
       SELECT label, n_nodes, d_c, e_in, q_term FROM modout
       ORDER BY label"""))
 
+  /** One greedy modularity-improving sweep (Graph.louvainMove —
+    * Louvain level-1 phase-1, Blondel '08) over the partition q226's
+    * label propagation proposes, scored before and after with
+    * Graph.modularity: the engine's community-detection halves —
+    * PROPOSE (diffusion), IMPROVE (greedy ΔQ), SCORE (Q) — composed
+    * into an actual community-detection loop: TWO chained sweeps,
+    * each scored. Unlabeled nodes enter as singletons (their own id),
+    * the standard Louvain init. Output: rows (sweep, n_comms,
+    * n_moved, q) for sweeps 0/1/2 — q strictly monotone in sweep is
+    * the empirical done-criterion (guaranteed by the conflict-free
+    * acceptance rule whenever n_moved > 0; see Graph.louvainMove). */
+  private val q235 = Q(
+    "q235_louvain_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+        .localCheckpoint(true)
+      val seeds = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
+        .join(eo.select(concat(lit("s"), $"sk".cast("string")).as("node"))
+          .distinct(), Seq("node"), "left_semi")
+      val before = Graph.labelPropagate(edges, seeds, rounds = 3)
+        .select($"node", coalesce($"label", $"node").as("label"))
+        .localCheckpoint(true)
+      val s1 = Graph.louvainMove(edges, before).localCheckpoint(true)
+      val s2 = Graph.louvainMove(edges, s1).localCheckpoint(true)
+      def moved(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) = a
+        .join(b.select($"node", $"label".as("l2")), Seq("node"))
+        .filter($"label" =!= $"l2")
+        .agg(count(lit(1)).as("n_moved"))
+      def row(sweep: Int, comm: org.apache.spark.sql.DataFrame,
+          mv: org.apache.spark.sql.DataFrame) =
+        comm.agg(countDistinct($"label").as("n_comms"))
+          .crossJoin(mv)
+          .crossJoin(Graph.modularity(edges, comm)
+            .filter($"label" === "__all__").select($"q_term".as("q")))
+          .select(lit(sweep.toLong).as("sweep"), $"n_comms",
+            $"n_moved", $"q")
+      val zeroMv = s.range(1).select(lit(0L).as("n_moved"))
+      row(0, before, zeroMv)
+        .unionByName(row(1, s1, moved(before, s1)))
+        .unionByName(row(2, s2, moved(s1, s2)))
+        .orderBy($"sweep")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               'n' || CAST(s_nationkey AS VARCHAR) AS label
+        FROM supplier
+        WHERE 's' || CAST(s_suppkey AS VARCHAR) IN
+          (SELECT 's' || CAST(sk AS VARCHAR) FROM eo)),
+      ${Graph.labelPropagateSql(3)},
+      comm0 AS MATERIALIZED (
+        SELECT node, COALESCE(label, node) AS label FROM lpout),
+      ${Graph.louvainMoveSql("comm0", "_1")},
+      comm1 AS MATERIALIZED (SELECT node, label FROM lvout_1),
+      ${Graph.louvainMoveSql("comm1", "_2")},
+      comm2 AS MATERIALIZED (SELECT node, label FROM lvout_2),
+      ${Graph.modularitySqlFor("comm0", "_m0")},
+      ${Graph.modularitySqlFor("comm1", "_m1")},
+      ${Graph.modularitySqlFor("comm2", "_m2")},
+      mv1 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_moved
+        FROM comm0 b JOIN comm1 a
+          ON b.node = a.node AND b.label <> a.label),
+      mv2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_moved
+        FROM comm1 b JOIN comm2 a
+          ON b.node = a.node AND b.label <> a.label)
+      SELECT CAST(0 AS BIGINT) AS sweep,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm0)
+          AS n_comms,
+        CAST(0 AS BIGINT) AS n_moved,
+        (SELECT q_term FROM modout_m0 WHERE label = '__all__') AS q
+      UNION ALL
+      SELECT CAST(1 AS BIGINT),
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm1),
+        (SELECT n_moved FROM mv1),
+        (SELECT q_term FROM modout_m1 WHERE label = '__all__')
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm2),
+        (SELECT n_moved FROM mv2),
+        (SELECT q_term FROM modout_m2 WHERE label = '__all__')
+      ORDER BY sweep"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
-      q228, q229, q230, q231, q232, q233)
+      q228, q229, q230, q231, q232, q233, q235)
 }

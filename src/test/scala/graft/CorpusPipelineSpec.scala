@@ -215,6 +215,82 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byCheck("psi_drift").forall(r => !r.getDouble(2).isNaN))
   }
 
+  // v4 fixture: the same s1—s2—s3—s4 path (aa/bb/cc shared lines),
+  // but mean doc length rises monotonically s1 < s2 < s3 < s4, so the
+  // deterministic seeding picks s1 as the 'lo' audit and s4 as 'hi';
+  // s5 shares no line — off the graph, "no evidence".
+  private def mkDocsV4 = {
+    def line(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    def tail(tag: String, n: Int) =
+      (1 to n).map(i => s"${tag}u$i").mkString(" ")
+    val rows = Seq(
+      (51L, line("aa") + " " + tail("d51", 5), "s1"),
+      (52L, line("aa") + " " + tail("d52", 5), "s1"),
+      (53L, line("aa") + " " + tail("d53", 10), "s2"),
+      (54L, line("bb") + " " + tail("d54", 10), "s2"),
+      (55L, line("bb") + " " + tail("d55", 15), "s3"),
+      (56L, line("cc") + " " + tail("d56", 15), "s3"),
+      (57L, line("cc") + " " + tail("d57", 30), "s4"),
+      (58L, line("cc") + " " + tail("d58", 30), "s4"),
+      (59L, tail("d59", 20) + " " + tail("e59", 20), "s5"),
+      (60L, tail("d60", 20), "s5"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+  }
+
+  test("v4 quality tiers: audited seeds clamp and diffuse over the affinity graph") {
+    val docs = mkDocsV4
+    val edges = graft.ops.CorpusPipelineV2.sourceAffinityEdges(docs)
+    val tiers = graft.ops.CorpusPipelineV2
+      .qualityTiers(edges, docs, seedsPerTier = 1, rounds = 1)
+      .as[(String, String)].collect().toMap
+    // seeds: s1 = 'lo' (shortest mean), s4 = 'hi' (longest on-graph
+    // beats s5's average); one round labels each seed's neighbor
+    assert(tiers == Map("s1" -> "lo", "s2" -> "lo",
+      "s3" -> "hi", "s4" -> "hi"), tiers.toString)
+    // s5 is off-graph: no tier row at all — "no evidence", not 'lo'
+    assert(!tiers.contains("s5"))
+  }
+
+  test("v4 tier gate: lo halves, hi and no-evidence pass whole") {
+    val docs = mkDocsV3
+    val tiers = Seq(("s1", "lo"), ("s2", "hi"),
+      ("s3", null.asInstanceOf[String])).toDF("source", "tier")
+    val (gated, audit) = graft.ops.CorpusPipelineV2.tierGate(docs, tiers)
+    val gatedIds = gated.select($"doc_id").as[Long].collect().toSet
+    val wholeIds = docs.filter($"source" =!= "s1")
+      .select($"doc_id").as[Long].collect().toSet
+    val loKept = docs.filter($"source" === "s1")
+      .filter(pmod(graft.ops.TextOps.h64(
+        concat($"doc_id".cast("string"), lit("|tg"))), lit(2L)) === 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gatedIds == wholeIds ++ loKept,
+      s"gated=$gatedIds whole=$wholeIds lo=$loKept")
+    val rows = audit.collect()
+      .map(r => r.getString(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows == Map("s1" -> ((0.0, false)), "s2" -> ((1.0, true)),
+      "s3" -> ((-1.0, true))), rows.toString)
+  }
+
+  test("v4 composed run: one graph, both gates, audit carries four families") {
+    val docs = mkDocsV3
+    val (chunks, audit) =
+      graft.ops.CorpusPipelineV2.buildAndAuditTierGated(docs)
+    val byCheck = audit.collect().groupBy(_.getString(0))
+    assert(byCheck.contains("rank_gate"))
+    assert(byCheck.contains("tier_gate"))
+    assert(byCheck.contains("psi_drift"))
+    // tier attribution: every graph source gets a tier row
+    assert(byCheck("tier_gate").map(_.getString(1)).toSet ==
+      Set("s1", "s2", "s3", "s4"))
+    // the chunk frame only ever sees docs that survived BOTH gates —
+    // i.e. it is a subset of the v3 gate alone
+    val chunkDocs = chunks.select($"doc_id").as[Long].collect().toSet
+    val rankOnly = graft.ops.CorpusPipelineV2.rankGate(docs)._1
+      .select($"doc_id").as[Long].collect().toSet
+    assert(chunkDocs.subsetOf(rankOnly))
+  }
+
   test("v2 composed plan: no cartesian, anti joins survive, offsets broadcast") {
     // checkpoint = false: the PURE plan — a stage-boundary barrier
     // would truncate the visible DAG and hide the upstream join shapes

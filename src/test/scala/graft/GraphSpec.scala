@@ -337,6 +337,98 @@ class GraphSpec extends SparkSpec {
     assert(r("one") == 0.0 && r("__all__") == 0.0)
   }
 
+  test("assortativityR: exact past 2^63 where long products would wrap") {
+    // Sums from a synthetic hub-heavy graph far beyond any tested SF:
+    // s_j = Σ deg² = 4·10⁹, so s_j·s_j = 1.6·10¹⁹ > 2^63 ≈ 9.22·10¹⁸.
+    // Long arithmetic wraps silently (non-ANSI); decimal(38,0) is exact.
+    val m = 80000000L         // edges (symmetric frame)
+    val sj = 4000000000L      // Σ j  (= Σ deg² over edges)
+    val sjk = 3999999000L     // Σ j·k
+    val sj2 = 260000000000L   // Σ j²
+    val sums = Seq((m, sj, sjk, sj2))
+      .toDF("m_edges", "s_j", "s_jk", "s_j2")
+    val r = Graph.assortativityR(sums)
+      .select($"r_assort").as[Double].head()
+    // BigDecimal ground truth, same 6-decimal HALF_UP rounding
+    def bd(x: Long) = BigDecimal(x)
+    val num = bd(m) * bd(sjk) - bd(sj) * bd(sj)
+    val den = bd(m) * bd(sj2) - bd(sj) * bd(sj)
+    val expect = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == expect)
+    // the landmine this guards: the long products really do wrap
+    assert(sj * sj < 0L)
+    // and the wrapped value really would corrupt r (not a benign wrap)
+    val wrapped = ((m * sjk - sj * sj).toDouble /
+      (m * sj2 - sj * sj).toDouble)
+    assert(math.abs(wrapped - expect) > 1e-3)
+  }
+
+  test("assortativityR matches the inline formula at small scale") {
+    // path graph a-b-c (symmetric): degrees a=1 b=2 c=1.
+    // edges (j,k): (1,2),(2,1),(2,1),(1,2) → m=4, s_j=6, s_jk=8, s_j2=10
+    // r = (4·8 − 36) / (4·10 − 36) = −4/4 = −1 (a perfect path is
+    // maximally disassortative)
+    val sums = Seq((4L, 6L, 8L, 10L)).toDF("m_edges", "s_j", "s_jk", "s_j2")
+    assert(Graph.assortativityR(sums).select($"r_assort")
+      .as[Double].head() == -1.0)
+  }
+
+  test("louvainMove: a mislabeled triangle member moves home") {
+    // two triangles bridged by c–x; partition puts c with the wrong
+    // triangle. s_stay(c) = 14·1 − 7·3 = −7; s_move(c→L) = 14·2 − 4·3
+    // = 16 — the only strictly-improving proposal, so it is accepted
+    // and the sweep recovers the perfect 2-community split.
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "R",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val r = Graph.louvainMove(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R"))
+    // and Q strictly increased
+    def q(c: Map[String, String]) = Graph.modularity(edges,
+        c.toSeq.toDF("node", "label"))
+      .filter($"label" === "__all__").select($"q_term")
+      .as[Double].head()
+    assert(q(r) > q(Map("a" -> "L", "b" -> "L", "c" -> "R",
+      "x" -> "R", "y" -> "R", "z" -> "R")))
+  }
+
+  test("louvainMove: conflicting proposals accept exactly one winner") {
+    // star hub h, leaves l1..l4, all singletons. Every node proposes
+    // (leaves into 'h', h into 'l1' — its equal-gain tie broken label
+    // asc); every proposal touches community 'h', where the rank order
+    // (gain desc, node asc) puts h first — so ONLY h's move survives
+    // the conflict-free rule, and the accepted gain stays exact.
+    val edges = sym(("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"))
+    val comm = Seq("h", "l1", "l2", "l3", "l4").map(n => n -> n)
+      .toDF("node", "label")
+    val r = Graph.louvainMove(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("h" -> "l1", "l1" -> "l1", "l2" -> "l2",
+      "l3" -> "l3", "l4" -> "l4"))
+    // Q: all-singletons −20/64, after {h,l1} −12/64 — strict increase
+    def q(c: Map[String, String]) = Graph.modularity(edges,
+        c.toSeq.toDF("node", "label"))
+      .filter($"label" === "__all__").select($"q_term")
+      .as[Double].head()
+    assert(q(r) == -0.1875)
+    assert(q(comm.as[(String, String)].collect().toMap) == -0.3125)
+  }
+
+  test("louvainMove: a stable partition is a fixed point") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val r = Graph.louvainMove(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(r.filterKeys(Set("a", "b", "c")).values.toSet == Set("L"))
+    assert(r.filterKeys(Set("x", "y", "z")).values.toSet == Set("R"))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
