@@ -61,22 +61,61 @@ object Bench {
       if (!before.contains(id)) rdd.unpersist(blocking = false)
     }
 
+  /** Sum of all collectors' accumulated GC wall time, ms. */
+  private def totalGcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Recursive byte size of this JVM's shuffle/block spill dirs
+    * (blockmgr-* under java.io.tmpdir) — the on-disk residue a pass
+    * leaves behind. Cheap: thousands of files at most. */
+  private def blockDirBytes: Long = {
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    def sz(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("blockmgr")).map(sz).sum
+  }
+
   private def timePasses(spark: SparkSession, sfDir: String,
       named: Seq[(String, (SparkSession, String) => DataFrame)],
-      passes: Int): Array[Vector[Double]] = {
+      passes: Int,
+      health: scala.collection.mutable.ArrayBuffer[String] = null)
+      : Array[Vector[Double]] = {
     val runs = Array.fill(named.size)(Vector.empty[Double])
-    for (p <- 0 to passes; i <- named.indices) {
-      val (_, fn) = named(i)
-      if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
-        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        sweepBlocks(spark, before)
-        if (p > 0 || !ok)
-          runs(i) :+= (if (ok) dt else -1.0)
+    for (p <- 0 to passes) {
+      val gc0 = totalGcMs
+      val t0 = System.nanoTime()
+      for (i <- named.indices) {
+        val (_, fn) = named(i)
+        if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
+          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+          val q0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - q0) / 1e9
+          sweepBlocks(spark, before)
+          if (p > 0 || !ok)
+            runs(i) :+= (if (ok) dt else -1.0)
+        }
+      }
+      // per-PASS health row (r10 verdict #4): the tier's slow mode
+      // clusters in the LAST interleaved pass — attribution needs the
+      // accumulation signals (GC share, heap residency, leftover
+      // persisted blocks, on-disk shuffle residue) per pass boundary,
+      // not per query
+      if (health != null) {
+        val rt = Runtime.getRuntime
+        health += s"""{"pass":$p,"wall_s":${fmt((System.nanoTime() - t0) / 1e9)},""" +
+          s""""gc_ms":${totalGcMs - gc0},""" +
+          s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
+          s""""persisted_rdds":${spark.sparkContext.getPersistentRDDs.size},""" +
+          s""""blockdir_mb":${blockDirBytes / (1024 * 1024)}}"""
       }
     }
     runs
@@ -160,7 +199,14 @@ object Bench {
     // (2 rank-vector joins per round) and label propagation (1 join +
     // a pushed-down top-1 per round) — complete the graph family's
     // scaling evidence
-    "q224_hits", "q226_label_propagation")
+    "q224_hits", "q226_label_propagation",
+    // r11 (r10 verdict #6): the second-half graph family's
+    // scale-relevant shapes — Adamic–Adar's C(cap,2) pair fan-out,
+    // SSSP's growing dist frame, the random walk's row_number-indexed
+    // adjacency, and the conflict-free Louvain sweep (proposal +
+    // two community-window top-1s per sweep)
+    "q228_adamic_adar", "q229_sssp", "q232_random_walk",
+    "q235_louvain_sweep")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -498,11 +544,16 @@ object Bench {
         Tables.all.foreach(t =>
           Tables(spark, scaleDir, t).write.format("noop").mode("overwrite").save())
         val heavy = named.filter(q => scaleTierQueries.contains(q._1))
-        val sruns = widen(timePasses(spark, scaleDir, heavy, passes),
-          heavy, scaleDir)
+        // r10 verdict #4: the tier runs FIVE kept passes for every row
+        // (the widening rule applied unconditionally — 7 r10 tier rows
+        // violated the <2 max/median bar with 3 passes, all slow in
+        // the final pass), with per-pass health rows for attribution.
+        val tierHealth = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sruns = timePasses(spark, scaleDir, heavy, passes + 2, tierHealth)
         s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
           s""""spread":${spreadJson(heavy, sruns)},""" +
           s""""runs":${runsJson(heavy, sruns)},""" +
+          s""""pass_health":[${tierHealth.mkString(",")}],""" +
           s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}}""" +
           composedSection(spark, scaleDir, passes) +
           composedV2Section(spark, scaleDir, passes) +

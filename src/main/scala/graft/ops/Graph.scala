@@ -87,6 +87,77 @@ object Graph {
     ranks.select($"node", $"r".as("pagerank"))
   }
 
+  /** Weighted PageRank over `edges(src, dst, w)` — the multigraph
+    * formulation a real link graph needs: a host that links another
+    * fifty times is not the same signal as one link, and the delivery
+    * counts / shared-line counts the projection graphs already carry
+    * ARE those weights. Per round every edge contributes
+    * round(r·w / wout, 6) where wout = Σ w over the node's out-edges
+    * — [[pageRank]] is the w ≡ 1 special case. Same symmetric-frame
+    * contract, same one-join-one-aggregate round shape, same
+    * decimal-exact summation (weights are exact integers; the per-edge
+    * term is one double multiply + divide rounded to 6, identical IEEE
+    * ops on both engines). Returns (node, pagerank). */
+  def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(sum($"w").as("wout"))
+      .localCheckpoint(true)
+    val nrow = deg.agg(count(lit(1)).as("n"))
+      .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
+        round(lit(0.15) / $"n", 6).as("base"))
+    val roll = new Iterate.RollingCheckpoint
+    var ranks = roll.next(deg.crossJoin(broadcast(nrow))
+      .select($"src".as("node"), $"r0".as("r")))
+    val eW = e.join(deg, Seq("src"))
+      .select($"src", $"dst", $"w", $"wout")
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = eW
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst", round($"r" * $"w" / $"wout", 6).as("c"))
+      val sums = contrib.groupBy($"dst")
+        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
+      ranks = roll.next(sums.crossJoin(broadcast(nrow))
+        .select($"dst".as("node"),
+          round($"base".cast("decimal(18,6)") +
+            expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
+            .cast("double").as("r")))
+    }
+    ranks.select($"node", $"r".as("pagerank"))
+  }
+
+  /** Oracle twin of [[pageRankWeighted]] over a caller-defined
+    * `edw(src, dst, w)` CTE; exposes `wprout(node, pagerank)`. */
+  def pageRankWeightedSql(iters: Int): String = {
+    val head = """
+      wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+               FROM edw GROUP BY src),
+      wnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(1 AS DOUBLE) / COUNT(*), 6) AS r0,
+               round(CAST(0.15 AS DOUBLE) / COUNT(*), 6) AS base
+             FROM wdeg),
+      wpr0 AS (SELECT src AS node, r0 AS r FROM wdeg, wnn)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      wsm$k AS (
+        SELECT e.dst AS node,
+          SUM(CAST(round(r.r * e.w / d.wout, 6) AS DECIMAL(18,6))) AS sm
+        FROM edw e
+        JOIN wpr${k - 1} r ON e.src = r.node
+        JOIN wdeg d ON e.src = d.src
+        GROUP BY e.dst),
+      wpr$k AS (
+        SELECT node,
+          CAST(round(CAST(base AS DECIMAL(18,6)) +
+            CAST(0.85 AS DECIMAL(3,2)) * sm, 6) AS DOUBLE) AS r
+        FROM wsm$k, wnn)"""
+    }.mkString(",")
+    s"$head,$steps,\n      wprout AS " +
+      s"(SELECT node, r AS pagerank FROM wpr$iters)"
+  }
+
   /** Directed PageRank with dangling-mass redistribution — the
     * formulation that is actually correct on a CRAWL graph (the 100 TB
     * curation input): edges are one-way links, sinks exist (pages with
@@ -619,6 +690,124 @@ object Graph {
       stats = sRoll.next(if (stats == null) row else stats.unionByName(row))
     }
     stats.orderBy($"round")
+  }
+
+  /** Bounded k-truss peel (Cohen '08 "Trusses: cohesive subgraphs for
+    * social network analysis") over an undirected distinct pair frame
+    * `pairs(d1, d2)`, d1 < d2: per round, drop every edge whose
+    * triangle SUPPORT (triangles it participates in) is below k−2,
+    * and report the shrink curve. Where [[kCorePeel]] demands degree
+    * (any neighbors), the truss demands CLOSED neighborhoods — in a
+    * near-dup graph the k-truss is the stamped-template clique mass
+    * (three pairwise-near-identical docs per triangle), the
+    * collapse-to-one evidence, with chains and stars peeled away.
+    *
+    * Per round: support is computed by the [[triangleStats]]
+    * degree-ordered orientation (wedge volume bounded by arboricity,
+    * never a hub's C(d,2)), each triangle exploding into its three
+    * id-normalized edges for one map-side-combined count; the edge
+    * frame and the census curve roll through [[Iterate]] slots (the
+    * kCorePeel pattern). An edge in no triangle has no support row,
+    * so the k ≥ 3 inner join drops it — exactly the truss rule.
+    * All-integer. Output: (round, n_nodes, n_edges), 1..rounds. */
+  def kTrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"kTrussPeel needs k >= 3, got $k")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val eRoll = new Iterate.RollingCheckpoint
+    val sRoll = new Iterate.RollingCheckpoint
+    var p = eRoll.next(pairs.select($"d1", $"d2"))
+    var stats: DataFrame = null
+    for (r <- 1 to rounds) {
+      val deg = p.select($"d1".as("node"))
+        .unionByName(p.select($"d2".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val withDeg = p
+        .join(deg.select($"node".as("d1"), $"deg".as("g1")), Seq("d1"))
+        .join(deg.select($"node".as("d2"), $"deg".as("g2")), Seq("d2"))
+      val oriented = withDeg.select(
+        when($"g1" < $"g2" || ($"g1" === $"g2" && $"d1" < $"d2"),
+          struct($"d1".as("u"), $"d2".as("v"), $"g2".as("gv")))
+          .otherwise(struct($"d2".as("u"), $"d1".as("v"), $"g1".as("gv")))
+          .as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"), $"e.gv".as("gv"))
+        .localCheckpoint(true)
+      val wedges = oriented.select($"u", $"v".as("x"), $"gv".as("gx"))
+        .join(oriented.select($"u", $"v".as("y"), $"gv".as("gy")), Seq("u"))
+        .filter($"gx" < $"gy" || ($"gx" === $"gy" && $"x" < $"y"))
+      val tris = wedges
+        .join(oriented.select($"u".as("x"), $"v".as("y")),
+          Seq("x", "y"), "left_semi")
+        .select($"u", $"x", $"y")
+      val support = tris.select(explode(array(
+          struct(least($"u", $"x").as("a"), greatest($"u", $"x").as("b")),
+          struct(least($"u", $"y").as("a"), greatest($"u", $"y").as("b")),
+          struct(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))))
+          .as("e"))
+        .groupBy($"e.a".as("d1"), $"e.b".as("d2"))
+        .agg(count(lit(1)).as("__sup"))
+      p = eRoll.next(p.join(
+          support.filter($"__sup" >= k - 2).select($"d1", $"d2"),
+          Seq("d1", "d2"), "left_semi"))
+      Iterate.release(oriented)
+      val row = p.select(explode(array($"d1", $"d2")).as("n"))
+        .agg(countDistinct($"n").as("n_nodes"))
+        .crossJoin(p.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r.toLong).as("round"), $"n_nodes", $"n_edges")
+      stats = sRoll.next(if (stats == null) row else stats.unionByName(row))
+    }
+    stats.orderBy($"round")
+  }
+
+  /** Oracle twin of [[kTrussPeel]] over a caller-defined `tp0(d1, d2)`
+    * CTE (d1 < d2, distinct); exposes `ktout(round, n_nodes,
+    * n_edges)`. Walks the identical per-round orientation + wedge +
+    * support arithmetic. */
+  def kTrussPeelSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val pv = s"tp${r - 1}"
+      s"""
+      ktd$r AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT d1 AS node FROM $pv UNION ALL SELECT d2 FROM $pv)
+        GROUP BY node),
+      ktor$r AS MATERIALIZED (
+        SELECT CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN d1 ELSE d2 END AS u,
+               CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN d2 ELSE d1 END AS v,
+               CASE WHEN g1 < g2 OR (g1 = g2 AND d1 < d2)
+                 THEN g2 ELSE g1 END AS gv
+        FROM (SELECT p.d1, p.d2, a.deg AS g1, b.deg AS g2
+              FROM $pv p
+              JOIN ktd$r a ON p.d1 = a.node
+              JOIN ktd$r b ON p.d2 = b.node)),
+      ktt$r AS (
+        SELECT w.u, w.x, w.y FROM (
+          SELECT a.u, a.v AS x, a.gv AS gx, b.v AS y, b.gv AS gy
+          FROM ktor$r a JOIN ktor$r b ON a.u = b.u
+          WHERE a.gv < b.gv OR (a.gv = b.gv AND a.v < b.v)) w
+        WHERE EXISTS (SELECT 1 FROM ktor$r c
+                      WHERE c.u = w.x AND c.v = w.y)),
+      kts$r AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+          SELECT least(u, x) AS a, greatest(u, x) AS b FROM ktt$r
+          UNION ALL SELECT least(u, y), greatest(u, y) FROM ktt$r
+          UNION ALL SELECT least(x, y), greatest(x, y) FROM ktt$r)
+        GROUP BY a, b),
+      tp$r AS MATERIALIZED (
+        SELECT p.d1, p.d2 FROM $pv p
+        JOIN kts$r s ON p.d1 = s.a AND p.d2 = s.b
+        WHERE s.sup >= ${k - 2})"""
+    }.mkString(",")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+          SELECT d1 AS node FROM tp$r UNION ALL SELECT d2 FROM tp$r))
+          AS n_nodes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM tp$r) AS n_edges"""
+    }.mkString("\n      UNION ALL ")
+    s"$steps,\n      ktout AS (\n      $rows)"
   }
 
   /** k-hop BFS frontier census from a seed set: per hop, the number

@@ -917,7 +917,177 @@ object GraphQueries extends QueryGroup {
         (SELECT q_term FROM modout_m2 WHERE label = '__all__')
       ORDER BY sweep"""))
 
+  /** Bounded 4-truss peel (Graph.kTrussPeel) of the near-dup document
+    * graph (q225's blocked-Jaccard ≥ 0.9 edges): every surviving edge
+    * must sit in ≥ 2 triangles among survivors — the stamped-template
+    * clique mass, with near-dup CHAINS (incremental edits, each edge
+    * in ≤ 1 triangle) peeled away. The truss/core contrast is the
+    * dedup policy split q225's clustering coefficient only hints at:
+    * k-core keeps well-connected chains, k-truss demands closed
+    * triples. Three peel rounds report the shrink curve. */
+  private val q236 = Q(
+    "q236_ktruss_peel",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val tr = docs.select($"doc_id".as("doc"),
+        concat($"source", lit("#"),
+          ($"n_chars" / 100).cast("int").cast("string")).as("block"),
+        explode(array_distinct(TextOps.tokens($"text"))).as("token"))
+      val pairs = TextOps.blockedJaccard(tr)
+        .filter($"jaccard" >= 0.9)
+        .select($"d1", $"d2")
+      Graph.kTrussPeel(pairs, k = 4, rounds = 3)
+    },
+    Some(s"""
+      WITH tr AS (
+        SELECT doc_id AS doc,
+          source || '#' || CAST(CAST(n_chars // 100 AS INT) AS VARCHAR) AS block,
+          unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents),
+      tsz AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n FROM tr GROUP BY doc),
+      tint AS (
+        SELECT a.doc AS d1, b.doc AS d2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM tr a JOIN tr b ON a.block = b.block AND a.token = b.token
+          AND a.doc < b.doc
+        GROUP BY 1, 2),
+      tp0 AS MATERIALIZED (
+        SELECT d1, d2
+        FROM tint JOIN tsz sa ON d1 = sa.doc JOIN tsz sb ON d2 = sb.doc
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      ${Graph.kTrussPeelSql(4, 3)}
+      SELECT round, n_nodes, n_edges FROM ktout ORDER BY round"""))
+
+  /** Weighted PageRank (Graph.pageRankWeighted) over the affiliation
+    * MULTIGRAPH: the edge weight is the lineitem delivery count per
+    * (supplier, customer) — fifty deliveries are not one distinct
+    * link, exactly as fifty hyperlinks between two hosts are not one.
+    * q210 is the w ≡ 1 collapse of this graph; the weighted ranks
+    * re-order wherever heavy repeat-trade edges concentrate. Same
+    * 3-iteration, one-join-one-aggregate round shape. Top-100 by
+    * (rank desc, node). */
+  private val q237 = Q(
+    "q237_pagerank_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val ew = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+          concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ew.unionByName(
+        ew.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      Graph.pageRankWeighted(edges, iters = 3)
+        .orderBy($"pagerank".desc, $"node".asc)
+        .limit(100)
+    },
+    Some(s"""
+      WITH ew AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'c' || CAST(o_custkey AS VARCHAR) AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      edw AS (
+        SELECT src, dst, w FROM ew
+        UNION ALL
+        SELECT dst, src, w FROM ew),
+      ${Graph.pageRankWeightedSql(3)}
+      SELECT node, pagerank FROM wprout
+      ORDER BY pagerank DESC, node LIMIT 100"""))
+
+  /** Node-pair PPMI over random-walk co-visits — the DeepWalk
+    * statistic (Perozzi '14 walks + the Levy & Goldberg '14 result
+    * that skip-gram factorizes the walk-window PMI matrix): q232's
+    * deterministic walks are the corpus, a ±2-step window inside each
+    * walker's trajectory mints the skip-gram pairs, and
+    * PPMI = max(0, ln(4·Z·n_ab / (c_a·c_b))) scores them — exactly
+    * q234's arithmetic with walk steps in place of token positions.
+    * High-PPMI node pairs co-visit far above their traffic share:
+    * the structural-equivalence candidates an embedding would place
+    * together. Pair fan-out ≤ 2 per step per walker, never node×node;
+    * self-pairs (the bipartite 2-cycle oscillation) are excluded.
+    * n_ab ≥ 2 floor (one walker per supplier — the pair table is
+    * sparse by design; the floor only drops the singletons a PMI
+    * estimate is meaningless for); top-25 by (ppmi desc, w1, w2). */
+  private val q238 = Q(
+    "q238_walk_ppmi",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("node")).distinct()
+      val walks = Graph.randomWalk(edges, seeds, steps = 4)
+        .localCheckpoint(true)
+      val pairs = walks.as("a").join(walks.as("b"),
+          col("a.walker") === col("b.walker") &&
+            (col("b.step") - col("a.step")).between(1, 2) &&
+            col("a.node") =!= col("b.node"))
+        .select(least(col("a.node"), col("b.node")).as("w1"),
+          greatest(col("a.node"), col("b.node")).as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint(true)
+      val z = pairs.agg(sum($"n_ab").as("z"))
+      val marg = pairs.select($"w1".as("w"), $"n_ab")
+        .unionByName(pairs.select($"w2".as("w"), $"n_ab"))
+        .groupBy($"w").agg(sum($"n_ab").as("c"))
+      pairs.filter($"n_ab" >= 2)
+        .join(marg.select($"w".as("w1"), $"c".as("c_a")), Seq("w1"))
+        .join(marg.select($"w".as("w2"), $"c".as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(z))
+        .select($"w1", $"w2", $"n_ab",
+          (greatest(lit(0.0), round(
+            log((lit(4L) * $"z" * $"n_ab").cast("double") /
+              ($"c_a" * $"c_b").cast("double")), 6)) + lit(0.0)).as("ppmi"))
+        .orderBy($"ppmi".desc, $"w1".asc, $"w2".asc)
+        .limit(25)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(sk AS VARCHAR) AS node FROM eo),
+      ${Graph.randomWalkSql(4)},
+      wpr AS (
+        SELECT least(a.node, b.node) AS w1,
+               greatest(a.node, b.node) AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM rwout a JOIN rwout b
+          ON a.walker = b.walker AND b.step - a.step BETWEEN 1 AND 2
+          AND a.node <> b.node
+        GROUP BY 1, 2),
+      wz AS (SELECT SUM(n_ab) AS z FROM wpr),
+      wmarg AS (
+        SELECT w, SUM(n_ab) AS c FROM (
+          SELECT w1 AS w, n_ab FROM wpr
+          UNION ALL SELECT w2, n_ab FROM wpr) u GROUP BY w)
+      SELECT p.w1, p.w2, p.n_ab,
+        greatest(0.0, round(ln(CAST(4 * wz.z * p.n_ab AS DOUBLE) /
+          CAST(ma.c * mb.c AS DOUBLE)), 6)) + 0.0 AS ppmi
+      FROM wpr p
+      JOIN wmarg ma ON p.w1 = ma.w
+      JOIN wmarg mb ON p.w2 = mb.w
+      CROSS JOIN wz
+      WHERE p.n_ab >= 2
+      ORDER BY ppmi DESC, p.w1, p.w2 LIMIT 25"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
-      q228, q229, q230, q231, q232, q233, q235)
+      q228, q229, q230, q231, q232, q233, q235, q236, q237, q238)
 }

@@ -429,6 +429,62 @@ class GraphSpec extends SparkSpec {
     assert(r.filterKeys(Set("x", "y", "z")).values.toSet == Set("R"))
   }
 
+  test("pageRankWeighted: w = 1 collapses to plain pageRank") {
+    val edges = sym(("c", "l1"), ("c", "l2"), ("c", "l3"), ("l1", "l2"))
+    val weighted = edges.withColumn("w", lit(1L))
+    val a = Graph.pageRank(edges, 3)
+      .as[(String, Double)].collect().toMap
+    val b = Graph.pageRankWeighted(weighted, 3)
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("pageRankWeighted: hand-walked skewed triangle, iteration 1") {
+    // symmetric triangle; a routes 9/10 of its mass to b. N=3,
+    // base=0.05, r0=0.333333; wout a=10, b=2, c=2.
+    val fwd = Seq(("a", "b", 9L), ("a", "c", 1L), ("b", "a", 1L),
+      ("b", "c", 1L), ("c", "a", 1L), ("c", "b", 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(fwd, 1)
+      .as[(String, Double)].collect().toMap
+    assert(r("a") == 0.333334) // 0.05 + 0.85·(0.166667 + 0.166667)
+    assert(r("b") == 0.446667) // 0.05 + 0.85·(0.3 + 0.166667)
+    assert(r("c") == 0.22)     // 0.05 + 0.85·(0.033333 + 0.166667)
+  }
+
+  test("kTrussPeel: 4-truss keeps K4, peels the pendant triangle") {
+    // K4 on a,b,c,d (every edge in 2 K4-triangles; (a,b) also closes
+    // {a,b,p} for 3) plus pendant triangle edges (a,p),(b,p) with
+    // support 1 — k=4 demands support >= 2, so the pendant peels in
+    // round 1 and K4 is the stable truss
+    val pairs = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "p"), ("b", "p")).toDF("d1", "d2")
+    val r = Graph.kTrussPeel(pairs, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 4L, 6L), (2L, 4L, 6L)))
+  }
+
+  test("kTrussPeel: 3-truss drops triangle-free chains, keeps all closed edges") {
+    val pairs = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("a", "p"), ("b", "p"),
+      ("x", "y"), ("y", "z")).toDF("d1", "d2")
+    val r = Graph.kTrussPeel(pairs, k = 3, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 5L, 8L)))
+  }
+
+  test("kTrussPeel: cascading peel needs the second round") {
+    // diamond a-b-c-d with chord (b,c): triangles {a,b,c},{b,c,d}.
+    // supports: (b,c)=2, the four rim edges 1 each. k=4 round 1 keeps
+    // only (b,c); round 2 finds it triangle-free and peels it too —
+    // the cascade a single-pass support filter would miss.
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d")).toDF("d1", "d2")
+    val r = Graph.kTrussPeel(pairs, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 1L), (2L, 0L, 0L)))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
