@@ -205,7 +205,7 @@ object Bench {
     // SSSP's growing dist frame, the random walk's row_number-indexed
     // adjacency, and the conflict-free Louvain sweep (proposal +
     // two community-window top-1s per sweep)
-    "q228_adamic_adar", "q229_sssp", "q232_random_walk",
+    "q228_adamic_adar", "q229_sssp_trust", "q232_random_walk",
     "q235_louvain_sweep")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`

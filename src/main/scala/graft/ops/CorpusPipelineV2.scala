@@ -361,9 +361,11 @@ object CorpusPipelineV2 {
     * them over [[sourceAffinityEdges]] with the seeds CLAMPED. Here
     * the audited seeds are derived deterministically — the
     * `seedsPerTier` sources with the highest mean document length get
-    * 'hi', the lowest get 'lo' (exact decimal average, ties broken by
-    * source asc; a production run would substitute genuine human
-    * audits, the stage shape is identical). Sources the diffusion
+    * 'hi', the lowest get 'lo' (mean = exact integer sum over exact
+    * count in ONE IEEE division — the [[WindowOps.exactMedian]]
+    * convention, so an oracle replays the ranking bit-for-bit; ties
+    * broken by source asc; a production run would substitute genuine
+    * human audits, the stage shape is identical). Sources the diffusion
     * never reaches stay null — explicitly "no evidence", distinct
     * from 'lo'. Output: (source, tier), hosts-sized. The seed ranking
     * is a single-partition window over the HOSTS-sized stats frame —
@@ -371,7 +373,7 @@ object CorpusPipelineV2 {
   def qualityTiers(edges: DataFrame, docs: DataFrame,
       seedsPerTier: Int = 3, rounds: Int = 3): DataFrame = {
     val stats = docs.groupBy(col("source"))
-      .agg((sum(col("n_chars")).cast("decimal(38,6)") /
+      .agg((sum(col("n_chars")).cast("double") /
         count(lit(1))).as("avg_len"))
     val ranked = stats.select(col("source"), col("avg_len"),
       row_number().over(

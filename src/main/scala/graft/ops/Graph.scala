@@ -92,12 +92,17 @@ object Graph {
     * fifty times is not the same signal as one link, and the delivery
     * counts / shared-line counts the projection graphs already carry
     * ARE those weights. Per round every edge contributes
-    * round(r·w / wout, 6) where wout = Σ w over the node's out-edges
-    * — [[pageRank]] is the w ≡ 1 special case. Same symmetric-frame
-    * contract, same one-join-one-aggregate round shape, same
-    * decimal-exact summation (weights are exact integers; the per-edge
-    * term is one double multiply + divide rounded to 6, identical IEEE
-    * ops on both engines). Returns (node, pagerank). */
+    * w · round(r / wout, 6) where wout = Σ w over the node's
+    * out-edges — literally w parallel unit edges each carrying the
+    * same unit share, so [[pageRank]] is the w ≡ 1 special case. The
+    * ROUNDING happens on the unit share (the proven r/outdeg shape)
+    * and the weight scales it as an exact decimal×integer product:
+    * rounding r·w/wout directly was measured to diverge at sf0.1 —
+    * Spark rounds doubles via the canonical decimal string
+    * (BigDecimal.valueOf), DuckDB via the binary value, and a
+    * product landing on a …5 seventh-decimal boundary splits them by
+    * 1e-6. Same symmetric-frame contract, same one-join-one-aggregate
+    * round shape, decimal-exact summation. Returns (node, pagerank). */
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -116,9 +121,10 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = eW
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .select($"dst", round($"r" * $"w" / $"wout", 6).as("c"))
+        .select($"dst",
+          (round($"r" / $"wout", 6).cast("decimal(18,6)") * $"w").as("c"))
       val sums = contrib.groupBy($"dst")
-        .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
+        .agg(sum($"c").as("sm"))
       ranks = roll.next(sums.crossJoin(broadcast(nrow))
         .select($"dst".as("node"),
           round($"base".cast("decimal(18,6)") +
@@ -143,7 +149,7 @@ object Graph {
       s"""
       wsm$k AS (
         SELECT e.dst AS node,
-          SUM(CAST(round(r.r * e.w / d.wout, 6) AS DECIMAL(18,6))) AS sm
+          SUM(CAST(round(r.r / d.wout, 6) AS DECIMAL(18,6)) * e.w) AS sm
         FROM edw e
         JOIN wpr${k - 1} r ON e.src = r.node
         JOIN wdeg d ON e.src = d.src

@@ -277,5 +277,92 @@ object ComposedQueries extends QueryGroup {
     },
     Some(q221Sql))
 
-  def queries: Seq[Q] = Seq(q221)
+  /** The v4 graph gates' verdict frame as its own oracle row: per
+    * source, the PageRank authority over the shared-line affinity
+    * graph, the rank-gate verdict (≥ the exact median — the
+    * Exact.dsum/count double division replayed verbatim), and the
+    * propagated quality tier (label propagation from the extreme
+    * mean-length seeds, 'none' where the diffusion never arrived or
+    * the source is off-graph). v3's rank gate shipped with specs and
+    * a bench section only; this row makes the ENTIRE gate layer —
+    * line shingling, hot-line cap, pair join, 3 PageRank iterations,
+    * median, seed ranking, 3 propagation rounds — hash-checked
+    * against DuckDB end to end. */
+  private val q239 = Q(
+    "q239_gate_verdicts",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val edges = CorpusPipelineV2.sourceAffinityEdges(docs)
+        .localCheckpoint(true)
+      val pr = graft.ops.Graph.pageRank(edges, iters = 3)
+        .localCheckpoint(true)
+      val med = graft.ops.WindowOps.exactMedian(pr, Seq(lit(1)),
+        $"pagerank", $"node").select($"median")
+      val rankV = pr.crossJoin(broadcast(med))
+        .select($"node".as("source"), $"pagerank",
+          ($"pagerank" >= $"median").as("keep_all"))
+      val tiers = CorpusPipelineV2.qualityTiers(edges, docs)
+      docs.select($"source").distinct()
+        .join(rankV, Seq("source"), "left")
+        .join(tiers, Seq("source"), "left")
+        .select($"source", $"pagerank",
+          coalesce($"keep_all", lit(false)).as("keep_all"),
+          coalesce($"tier", lit("none")).as("tier"))
+        .orderBy($"source")
+    },
+    Some(s"""
+      WITH dwords AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents),
+      dlines AS (
+        SELECT DISTINCT source, ${TextOps.h64Sql("ln")} AS lh FROM (
+          SELECT source, unnest(list_transform(
+            generate_series(0, (len(ws) - 1) // 10),
+            n -> array_to_string(ws[n*10+1 : n*10+10], ' '))) AS ln
+          FROM dwords)),
+      dcap AS (
+        SELECT lh FROM dlines GROUP BY lh
+        HAVING COUNT(*) BETWEEN 2 AND 100),
+      dkept AS (
+        SELECT l.source, l.lh FROM dlines l JOIN dcap c ON l.lh = c.lh),
+      dpairs AS MATERIALIZED (
+        SELECT DISTINCT a.source AS sa, b.source AS sb
+        FROM dkept a JOIN dkept b
+          ON a.lh = b.lh AND a.source < b.source),
+      ed AS MATERIALIZED (
+        SELECT sa AS src, sb AS dst FROM dpairs
+        UNION ALL SELECT sb, sa FROM dpairs),
+      ${graft.ops.Graph.pageRankSql(3)},
+      gmed AS (
+        SELECT CAST(SUM(CAST(pagerank AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS median
+        FROM (SELECT pagerank,
+                ROW_NUMBER() OVER (ORDER BY pagerank, node) AS rn,
+                COUNT(*) OVER () AS nn
+              FROM prout)
+        WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2),
+      gstat AS (
+        SELECT source,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_len
+        FROM documents GROUP BY source),
+      grk AS (
+        SELECT source,
+          ROW_NUMBER() OVER (ORDER BY avg_len DESC, source) AS hi_rk,
+          ROW_NUMBER() OVER (ORDER BY avg_len ASC, source) AS lo_rk
+        FROM gstat),
+      seeds AS (
+        SELECT source AS node,
+          CASE WHEN hi_rk <= 3 THEN 'hi' ELSE 'lo' END AS label
+        FROM grk WHERE hi_rk <= 3 OR lo_rk <= 3),
+      ${graft.ops.Graph.labelPropagateSql(3)}
+      SELECT s.source, v.pagerank,
+        COALESCE(v.pagerank >= m.median, FALSE) AS keep_all,
+        COALESCE(t.label, 'none') AS tier
+      FROM (SELECT DISTINCT source FROM documents) s
+      LEFT JOIN prout v ON s.source = v.node
+      LEFT JOIN lpout t ON s.source = t.node
+      CROSS JOIN gmed m
+      ORDER BY s.source"""))
+
+  def queries: Seq[Q] = Seq(q221, q239)
 }

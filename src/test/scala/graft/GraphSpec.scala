@@ -447,8 +447,10 @@ class GraphSpec extends SparkSpec {
       .toDF("src", "dst", "w")
     val r = Graph.pageRankWeighted(fwd, 1)
       .as[(String, Double)].collect().toMap
+    // unit shares: a: round(0.0333333, 6) = 0.033333 (scaled ×9 / ×1),
+    // b, c: round(0.1666665, 6) = 0.166667 (canonical-string HALF_UP)
     assert(r("a") == 0.333334) // 0.05 + 0.85·(0.166667 + 0.166667)
-    assert(r("b") == 0.446667) // 0.05 + 0.85·(0.3 + 0.166667)
+    assert(r("b") == 0.446664) // 0.05 + 0.85·(9·0.033333 + 0.166667)
     assert(r("c") == 0.22)     // 0.05 + 0.85·(0.033333 + 0.166667)
   }
 
