@@ -503,6 +503,77 @@ object Graph {
     lab
   }
 
+  /** [[labelPropagate]] over a WEIGHTED symmetric edge frame
+    * `edges(src, dst, w)`: a neighbor's vote counts w times — fifty
+    * shared boilerplate lines (or deliveries, or near-dup pairs) are
+    * stronger affinity evidence than one, exactly the
+    * [[pageRankWeighted]] argument applied to diffusion. Masses are
+    * exact INTEGER weight sums, so the trajectory keeps
+    * [[labelPropagate]]'s float-free determinism (total order: mass
+    * desc, label asc; seeds clamped every round); w ≡ 1 collapses to
+    * the unweighted operator. Same per-round shape: one edges⋈labels
+    * join, one map-side-combined (node, label) weight sum, one
+    * WindowGroupLimit top-1, the seed-clamp left join. */
+  def labelPropagateWeighted(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select($"src".as("node")).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select($"node", $"label".as("__seed"))
+      .localCheckpoint(true)
+    val roll = new Iterate.RollingCheckpoint
+    var lab = roll.next(nodes.join(sd, Seq("node"), "left")
+      .select($"node", $"__seed".as("label")))
+    for (_ <- 1 to rounds) {
+      val mass = e
+        .join(lab.select($"node".as("src"), $"label"), Seq("src"))
+        .filter($"label".isNotNull)
+        .groupBy($"dst".as("node"), $"label")
+        .agg(sum($"w").as("__m"))
+      val best = Relational.topOnePerGroup(mass, Seq($"node"),
+        Seq($"__m".desc, $"label".asc))
+        .select($"node", $"label".as("__best"))
+      lab = roll.next(nodes
+        .join(sd, Seq("node"), "left")
+        .join(best, Seq("node"), "left")
+        .select($"node", coalesce($"__seed", $"__best").as("label")))
+    }
+    lab
+  }
+
+  /** Oracle twin of [[labelPropagateWeighted]] over caller-defined
+    * `edw(src, dst, w)` (symmetric) and `seeds(node, label)` CTEs;
+    * exposes `wlpout(node, label)`. */
+  def labelPropagateWeightedSql(rounds: Int): String = {
+    val head = """
+      wlnodes AS (SELECT DISTINCT src AS node FROM edw),
+      wlp0 AS (
+        SELECT n.node, s.label
+        FROM wlnodes n LEFT JOIN seeds s ON n.node = s.node)"""
+    val steps = (1 to rounds).map { k =>
+      s"""
+      wlmass$k AS (
+        SELECT e.dst AS node, r.label, CAST(SUM(e.w) AS BIGINT) AS m
+        FROM edw e JOIN wlp${k - 1} r ON e.src = r.node
+        WHERE r.label IS NOT NULL
+        GROUP BY e.dst, r.label),
+      wlbest$k AS (
+        SELECT node, label FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+                      ORDER BY m DESC, label) AS rk
+          FROM wlmass$k) WHERE rk = 1),
+      wlp$k AS (
+        SELECT n.node, COALESCE(s.label, b.label) AS label
+        FROM wlnodes n
+        LEFT JOIN seeds s ON n.node = s.node
+        LEFT JOIN wlbest$k b ON n.node = b.node)"""
+    }.mkString(",")
+    s"$head,$steps,\n      wlpout AS " +
+      s"(SELECT node, label FROM wlp$rounds)"
+  }
+
   /** Oracle twin of [[labelPropagate]] over caller-defined
     * `ed(src, dst)` (symmetric) and `seeds(node, label)` CTEs; exposes
     * `lpout(node, label)`. */
@@ -1307,6 +1378,62 @@ object Graph {
         FROM lvinfo$sfx i
         LEFT JOIN lvprop$sfx p ON i.node = p.node
         LEFT JOIN lvacc$sfx a ON i.node = a.node)"""
+
+  /** Community conductance φ(c) = cut(c) / min(vol(c), vol(rest)) —
+    * the SECOND community-quality metric beside [[modularity]], and
+    * the one that catches the failure mode Q rewards: a giant
+    * community absorbing most of the graph can score high Q while its
+    * boundary is porous; conductance reads the boundary directly
+    * (Kannan, Vempala & Vetta '04; the Leskovec '09 "network community
+    * profile" statistic). On the symmetric frame: vol(c) = edge rows
+    * with src ∈ c, cut(c) = rows with src ∈ c and dst ∉ c — all exact
+    * integers from ONE label-attach join per edge end + a
+    * community-sized groupBy (the [[modularity]] shape), then one
+    * IEEE division rounded to 6 (0 when the graph is a single
+    * community — min(vol, rest) = 0 has no boundary to score).
+    * `edges(src, dst)` symmetric distinct; `comm(node, label)` total
+    * over graph nodes. Output: (label, vol, cut, phi). */
+  def conductance(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges
+      .join(comm.select($"node".as("src"), $"label".as("lsrc")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"label".as("ldst")), Seq("dst"))
+    val per = e2.groupBy($"lsrc".as("label")).agg(
+      count(lit(1)).as("vol"),
+      sum(when($"ldst" =!= $"lsrc", 1L).otherwise(0L)).as("cut"))
+      .localCheckpoint(true)
+    val m2 = per.agg(sum($"vol").as("m2"))
+    per.crossJoin(broadcast(m2))
+      .select($"label", $"vol", $"cut",
+        when(least($"vol", $"m2" - $"vol") === 0L, lit(0.0))
+          .otherwise(round($"cut".cast("double") /
+            least($"vol", $"m2" - $"vol").cast("double"), 6)).as("phi"))
+  }
+
+  /** Oracle twin of [[conductance]] over caller-defined `ed(src, dst)`
+    * and `comm(node, label)` CTEs; exposes
+    * `condout(label, vol, cut, phi)`. */
+  def conductanceSql: String = """
+      cj AS (
+        SELECT cs.label AS lsrc, cd.label AS ldst
+        FROM ed e
+        JOIN comm cs ON e.src = cs.node
+        JOIN comm cd ON e.dst = cd.node),
+      cper AS (
+        SELECT lsrc AS label,
+               CAST(COUNT(*) AS BIGINT) AS vol,
+               CAST(SUM(CASE WHEN ldst <> lsrc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cut
+        FROM cj GROUP BY lsrc),
+      cm2 AS (SELECT CAST(SUM(vol) AS BIGINT) AS m2 FROM cper),
+      condout AS (
+        SELECT label, vol, cut,
+          CASE WHEN least(vol, m2 - vol) = 0 THEN 0.0
+               ELSE round(CAST(cut AS DOUBLE) /
+                      CAST(least(vol, m2 - vol) AS DOUBLE), 6)
+          END AS phi
+        FROM cper, cm2)"""
 
   /** Oracle twin of [[kCorePeel]] over a caller-defined `ed(src, dst)`
     * CTE; exposes `kcout(round, n_nodes, n_edges)`. */

@@ -1087,7 +1087,109 @@ object GraphQueries extends QueryGroup {
       WHERE p.n_ab >= 2
       ORDER BY ppmi DESC, p.w1, p.w2 LIMIT 25"""))
 
+  /** Weighted label propagation (Graph.labelPropagateWeighted) over
+    * the affiliation MULTIGRAPH — q226 with delivery counts as vote
+    * weights: a customer's nation is decided by WHERE ITS VOLUME
+    * flows, not by how many distinct suppliers it ever touched. Same
+    * float-free integer-mass trajectory (sums of exact weights),
+    * same clamped seeds; output the (label, side) census beside
+    * q226's so the two vote semantics are directly comparable. */
+  private val q240 = Q(
+    "q240_weighted_label_propagation",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val ew = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+          concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = ew.unionByName(
+        ew.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      val seeds = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
+        .join(ew.select($"src".as("node")).distinct(),
+          Seq("node"), "left_semi")
+      Graph.labelPropagateWeighted(edges, seeds, rounds = 3)
+        .groupBy(coalesce($"label", lit("unlabeled")).as("label"),
+          substring($"node", 1, 1).as("side"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"label", $"side")
+    },
+    Some(s"""
+      WITH ew AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'c' || CAST(o_custkey AS VARCHAR) AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2),
+      edw AS (
+        SELECT src, dst, w FROM ew
+        UNION ALL
+        SELECT dst, src, w FROM ew),
+      seeds AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               'n' || CAST(s_nationkey AS VARCHAR) AS label
+        FROM supplier
+        WHERE 's' || CAST(s_suppkey AS VARCHAR) IN
+          (SELECT src FROM ew)),
+      ${Graph.labelPropagateWeightedSql(3)}
+      SELECT COALESCE(label, 'unlabeled') AS label,
+        substr(node, 1, 1) AS side,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM wlpout GROUP BY 1, 2 ORDER BY label, side"""))
+
+  /** Community conductance (Graph.conductance) of the nation
+    * partition over the affiliation graph — the boundary-porosity
+    * metric beside q233's modularity: q233 says how much better than
+    * random the partition's internal mass is, this says how leaky
+    * each community's cut is (φ → 0 tight, φ → 1 all boundary). The
+    * pair is the standard community-quality dashboard (Leskovec '09
+    * NCP). Same one-join-per-end + community-sized groupBy shape;
+    * all-integer until one rounded division. */
+  private val q241 = Q(
+    "q241_conductance",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      val comm = Tables(s, dir, "supplier")
+        .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
+          concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
+        .unionByName(Tables(s, dir, "customer")
+          .select(concat(lit("c"), $"c_custkey".cast("string")).as("node"),
+            concat(lit("n"), $"c_nationkey".cast("string")).as("label")))
+      Graph.conductance(edges, comm).orderBy($"label")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      comm AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               'n' || CAST(s_nationkey AS VARCHAR) AS label FROM supplier
+        UNION ALL
+        SELECT 'c' || CAST(c_custkey AS VARCHAR),
+               'n' || CAST(c_nationkey AS VARCHAR) FROM customer),
+      ${Graph.conductanceSql}
+      SELECT label, vol, cut, phi FROM condout ORDER BY label"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
-      q228, q229, q230, q231, q232, q233, q235, q236, q237, q238)
+      q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
+      q240, q241)
 }

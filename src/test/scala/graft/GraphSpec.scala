@@ -454,6 +454,56 @@ class GraphSpec extends SparkSpec {
     assert(r("c") == 0.22)     // 0.05 + 0.85·(0.033333 + 0.166667)
   }
 
+  test("labelPropagateWeighted: w = 1 collapses to plain labelPropagate") {
+    val edges = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    val seeds = Seq("a" -> "L", "d" -> "R").toDF("node", "label")
+    val a = Graph.labelPropagate(edges, seeds, 2)
+      .as[(String, String)].collect().toMap
+    val b = Graph.labelPropagateWeighted(
+      edges.withColumn("w", lit(1L)), seeds, 2)
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("labelPropagateWeighted: one heavy edge outvotes two light ones") {
+    // m's neighbors: seed L over weight 5, seeds R1/R2 (label 'R')
+    // over weight 1 each — unweighted majority says R (mass 2 vs 1),
+    // weighted mass says L (5 vs 2)
+    val fwd = Seq(("l", "m", 5L), ("r1", "m", 1L), ("r2", "m", 1L))
+      .toDF("src", "dst", "w")
+    val edges = fwd.unionByName(
+      fwd.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val seeds = Seq("l" -> "L", "r1" -> "R", "r2" -> "R")
+      .toDF("node", "label")
+    val w = Graph.labelPropagateWeighted(edges, seeds, 1)
+      .as[(String, String)].collect().toMap
+    assert(w("m") == "L")
+    val u = Graph.labelPropagate(edges.drop("w"), seeds, 1)
+      .as[(String, String)].collect().toMap
+    assert(u("m") == "R")
+  }
+
+  test("conductance: bridged triangles leak exactly the bridge") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val r = Graph.conductance(edges, comm)
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // vol = 2+2+3 = 7 per side, cut = the one bridge row each way
+    assert(r("L") == (("L", 7L, 1L, 0.142857)))
+    assert(r("R") == (("R", 7L, 1L, 0.142857)))
+  }
+
+  test("conductance: a single community has no boundary to score") {
+    val edges = sym(("a", "b"), ("b", "c"))
+    val comm = Seq("a", "b", "c").map(_ -> "one").toDF("node", "label")
+    val r = Graph.conductance(edges, comm)
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("one", 4L, 0L, 0.0)))
+  }
+
   test("kTrussPeel: 4-truss keeps K4, peels the pendant triangle") {
     // K4 on a,b,c,d (every edge in 2 K4-triangles; (a,b) also closes
     // {a,b,p} for 3) plus pendant triangle edges (a,p),(b,p) with
