@@ -1268,22 +1268,41 @@ object Graph {
     * is node-sized. `edges(src, dst)` symmetric distinct,
     * self-loop-free; `comm(node, label)` total over graph nodes.
     * Returns the new (node, label). */
-  def louvainMove(edges: DataFrame, comm: DataFrame): DataFrame = {
+  def louvainMove(edges: DataFrame, comm: DataFrame): DataFrame =
+    louvainMoveWeighted(edges.withColumn("w", lit(1L)), comm)
+
+  /** [[louvainMove]] over a WEIGHTED symmetric frame
+    * `edges(src, dst, w)` that may carry self-rows (the [[contract]]
+    * output) — the level-2+ sweep of the Louvain loop: degrees,
+    * Σtot, and k_{i,c} are weight sums; a self-row's weight counts
+    * once into its node's degree (the contract convention already
+    * doubled the intra mass) and is EXCLUDED from k_{i,c} — a node's
+    * internal mass travels with it wherever it goes, contributing
+    * equally to stay and move, so it cancels from the comparison
+    * exactly as Blondel '08's formulation requires. w ≡ 1 on a
+    * self-row-free frame IS [[louvainMove]] (the unweighted operator
+    * delegates here). Same conflict-free acceptance, same
+    * decimal(38,0)/HUGEINT exact gains, same strict-increase
+    * guarantee — now in weighted Q ([[modularityWeighted]]). */
+  def louvainMoveWeighted(edges: DataFrame, comm: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val e = edges.localCheckpoint(true)
     val cm = comm.localCheckpoint(true)
-    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("k"))
+    val deg = e.groupBy($"src".as("node")).agg(sum($"w").as("k"))
       .localCheckpoint(true)
     val m2row = deg.agg(sum($"k").as("m2"))
     val stot = cm.join(deg, Seq("node"))
       .groupBy($"label").agg(sum($"k").as("stot"))
-    // k_{i,c}: edges from i into community c (self-loop-free input
-    // means c = c_i counts only OTHER members, as the formula needs)
-    val kic = e.join(cm.select($"node".as("dst"), $"label".as("c")),
+    // k_{i,c}: weight from i into community c, SELF-ROWS EXCLUDED
+    // (on a self-loop-free frame the filter is a no-op; on a
+    // contracted frame it keeps a node's internal mass out of both
+    // k_own and every candidate, where it would otherwise double)
+    val kic = e.filter($"src" =!= $"dst")
+      .join(cm.select($"node".as("dst"), $"label".as("c")),
         Seq("dst"))
-      .groupBy($"src".as("node"), $"c").agg(count(lit(1)).as("kic"))
+      .groupBy($"src".as("node"), $"c").agg(sum($"w").as("kic"))
       .localCheckpoint(true)
     val info = cm.select($"node", $"label".as("c0"))
       .join(deg, Seq("node"))
@@ -1324,6 +1343,65 @@ object Graph {
         .select($"node", $"c".as("newc")), Seq("node"), "left")
       .select($"node", coalesce($"newc", $"c0").as("label"))
   }
+
+  /** Oracle twin of [[louvainMoveWeighted]] over caller-defined
+    * `$edges(src, dst, w)` (self-rows allowed) and
+    * `$comm(node, label)` CTEs; exposes `wlvout$sfx(node, label)`.
+    * Scores in HUGEINT, self-rows excluded from k_{i,c}. */
+  def louvainMoveWeightedSql(edges: String, comm: String,
+      sfx: String): String = s"""
+      wlvdeg$sfx AS MATERIALIZED (
+        SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+        FROM $edges GROUP BY src),
+      wlvm2$sfx AS (
+        SELECT CAST(SUM(k) AS HUGEINT) AS m2 FROM wlvdeg$sfx),
+      wlvstot$sfx AS (
+        SELECT c.label, CAST(SUM(d.k) AS BIGINT) AS stot
+        FROM $comm c JOIN wlvdeg$sfx d ON c.node = d.node
+        GROUP BY c.label),
+      wlvkic$sfx AS MATERIALIZED (
+        SELECT e.src AS node, c.label AS cc,
+               CAST(SUM(e.w) AS BIGINT) AS kic
+        FROM $edges e JOIN $comm c ON e.dst = c.node
+        WHERE e.src <> e.dst
+        GROUP BY 1, 2),
+      wlvinfo$sfx AS MATERIALIZED (
+        SELECT c.node, c.label AS c0, d.k,
+          m.m2 * COALESCE(ko.kic, 0)
+            - CAST(s.stot - d.k AS HUGEINT) * d.k AS s_stay
+        FROM $comm c
+        JOIN wlvdeg$sfx d ON c.node = d.node
+        JOIN wlvstot$sfx s ON c.label = s.label
+        LEFT JOIN wlvkic$sfx ko ON ko.node = c.node AND ko.cc = c.label,
+        wlvm2$sfx m),
+      wlvprop$sfx AS MATERIALIZED (
+        SELECT node, c0, c, s_move - s_stay AS g FROM (
+          SELECT kc.node, i.c0, kc.cc AS c,
+            m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k AS s_move,
+            i.s_stay,
+            ROW_NUMBER() OVER (PARTITION BY kc.node
+              ORDER BY m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k
+                DESC, kc.cc) AS rk
+          FROM wlvkic$sfx kc
+          JOIN wlvinfo$sfx i ON kc.node = i.node AND kc.cc <> i.c0
+          JOIN wlvstot$sfx s ON kc.cc = s.label, wlvm2$sfx m)
+        WHERE rk = 1 AND s_move > s_stay),
+      wlvtouch$sfx AS (
+        SELECT node, c0 AS cmty, g FROM wlvprop$sfx
+        UNION ALL
+        SELECT node, c, g FROM wlvprop$sfx),
+      wlvacc$sfx AS (
+        SELECT node FROM (
+          SELECT node, ROW_NUMBER() OVER (PARTITION BY cmty
+                   ORDER BY g DESC, node) AS rk
+          FROM wlvtouch$sfx)
+        GROUP BY node HAVING MAX(rk) = 1),
+      wlvout$sfx AS (
+        SELECT i.node,
+          CASE WHEN a.node IS NOT NULL THEN p.c ELSE i.c0 END AS label
+        FROM wlvinfo$sfx i
+        LEFT JOIN wlvprop$sfx p ON i.node = p.node
+        LEFT JOIN wlvacc$sfx a ON i.node = a.node)"""
 
   /** Oracle twin of [[louvainMove]] over caller-defined `ed(src, dst)`
     * and `$comm(node, label)` CTEs; exposes `lvout$sfx(node, label)`.
@@ -1378,6 +1456,110 @@ object Graph {
         FROM lvinfo$sfx i
         LEFT JOIN lvprop$sfx p ON i.node = p.node
         LEFT JOIN lvacc$sfx a ON i.node = a.node)"""
+
+  /** Contract a partitioned graph to its community-level super-graph
+    * — the Louvain LEVEL BOUNDARY (Blondel '08 §2 phase 2): every
+    * community becomes one super-node, parallel edges aggregate into
+    * integer weights, and intra-community mass becomes a self-row.
+    * On the symmetric directed-row representation this is exactly ONE
+    * label-attach join per edge end + one (label, label)-sized
+    * groupBy: each undirected intra-community edge contributes its
+    * two directed rows to the (c, c) cell, so the self-row weight
+    * automatically carries the standard 2× self-loop convention —
+    * which is precisely what makes weighted degrees, and therefore
+    * modularity, INVARIANT under contraction (the q242 oracle proof).
+    * `edges(src, dst)` symmetric distinct; `comm(node, label)` total.
+    * Output: symmetric weighted rows (src, dst, w) over labels,
+    * self-rows included. */
+  def contract(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .join(comm.select($"node".as("src"), $"label".as("lsrc")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"label".as("ldst")), Seq("dst"))
+      .groupBy($"lsrc".as("src"), $"ldst".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Oracle twin of [[contract]] over caller-defined `ed(src, dst)`
+    * and `$comm(node, label)` CTEs; exposes `ctout(src, dst, w)`. */
+  def contractSql(comm: String): String = s"""
+      ctout AS (
+        SELECT cs.label AS src, cd.label AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM ed e
+        JOIN $comm cs ON e.src = cs.node
+        JOIN $comm cd ON e.dst = cd.node
+        GROUP BY 1, 2)"""
+
+  /** [[modularity]] over a WEIGHTED symmetric frame
+    * `edges(src, dst, w)` that may carry self-rows (the [[contract]]
+    * output): d_c = Σ w over rows with src ∈ c (a self-row counts
+    * once — its weight already carries the doubled intra mass),
+    * e_in = Σ w over rows with both labels equal, Q terms exactly as
+    * the unweighted operator (w ≡ 1, self-loop-free input collapses
+    * to [[modularity]] minus its n_nodes column). Because
+    * [[contract]] preserves each community's (d_c, e_in) by
+    * construction, Q is INVARIANT under contraction — the level-2
+    * correctness anchor: improving the contracted partition IS
+    * improving the original. Output: (label, d_c, e_in, q_term) +
+    * the '__all__' integer-total row. */
+  def modularityWeighted(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges
+      .join(comm.select($"node".as("src"), $"label".as("lsrc")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"label".as("ldst")), Seq("dst"))
+    val per = e2.groupBy($"lsrc".as("label")).agg(
+      sum($"w").as("d_c"),
+      sum(when($"ldst" === $"lsrc", $"w").otherwise(0L)).as("e_in"))
+      .localCheckpoint(true)
+    val m2 = per.agg(sum($"d_c").as("m2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val terms = per.crossJoin(broadcast(m2))
+      .select($"label", $"d_c", $"e_in",
+        round((dec($"m2") * $"e_in" - dec($"d_c") * $"d_c").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q_term"))
+    val total = per.agg(sum($"d_c").as("d_c"), sum($"e_in").as("e_in"),
+        sum(dec($"d_c") * $"d_c").as("sd2"))
+      .crossJoin(broadcast(m2))
+      .select(lit("__all__").as("label"), $"d_c", $"e_in",
+        round((dec($"m2") * $"e_in" - $"sd2").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q_term"))
+    terms.unionByName(total)
+  }
+
+  /** Oracle twin of [[modularityWeighted]] over caller-defined
+    * `$edges(src, dst, w)` and `$comm(node, label)` CTEs; exposes
+    * `wmodout$sfx(label, d_c, e_in, q_term)`. Products in HUGEINT
+    * (the decimal(38,0) convention). */
+  def modularityWeightedSqlFor(edges: String, comm: String,
+      sfx: String): String = s"""
+      wmj$sfx AS (
+        SELECT cs.label AS lsrc, cd.label AS ldst, e.w
+        FROM $edges e
+        JOIN $comm cs ON e.src = cs.node
+        JOIN $comm cd ON e.dst = cd.node),
+      wmper$sfx AS (
+        SELECT lsrc AS label,
+               CAST(SUM(w) AS BIGINT) AS d_c,
+               CAST(SUM(CASE WHEN ldst = lsrc THEN w ELSE 0 END)
+                    AS BIGINT) AS e_in
+        FROM wmj$sfx GROUP BY lsrc),
+      wmtot$sfx AS (
+        SELECT CAST(SUM(d_c) AS HUGEINT) AS m2 FROM wmper$sfx),
+      wmodout$sfx AS (
+        SELECT label, d_c, e_in,
+          round(CAST(m2 * e_in - CAST(d_c AS HUGEINT) * d_c AS DOUBLE) /
+                CAST(m2 * m2 AS DOUBLE), 6) AS q_term
+        FROM wmper$sfx, wmtot$sfx
+        UNION ALL
+        SELECT '__all__', CAST(SUM(d_c) AS BIGINT),
+          CAST(SUM(e_in) AS BIGINT),
+          round(CAST(m.m2 * SUM(e_in)
+                     - SUM(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE) /
+                CAST(m.m2 * m.m2 AS DOUBLE), 6)
+        FROM wmper$sfx, wmtot$sfx m GROUP BY m.m2)"""
 
   /** Community conductance φ(c) = cut(c) / min(vol(c), vol(rest)) —
     * the SECOND community-quality metric beside [[modularity]], and

@@ -1188,8 +1188,103 @@ object GraphQueries extends QueryGroup {
       ${Graph.conductanceSql}
       SELECT label, vol, cut, phi FROM condout ORDER BY label"""))
 
+  /** The full Louvain LEVEL loop (Blondel '08, both phases): start
+    * from singletons, one conflict-free level-1 sweep
+    * (Graph.louvainMove), CONTRACT communities to a weighted
+    * super-graph (Graph.contract), one level-2 sweep on the
+    * contracted graph (Graph.louvainMoveWeighted) — with weighted
+    * modularity scored at every stage. The contract row is the
+    * INVARIANCE proof: Q of the contracted graph under the identity
+    * partition must equal Q of the original under the level-1 labels
+    * (contraction preserves every community's (d_c, e_in) by
+    * construction), which is exactly why improving the contracted
+    * partition improves the original. Output (step, stage, n_comms,
+    * q): q is monotone non-decreasing down the rows, equal across
+    * the invariance pair, strictly rising wherever a sweep moved. */
+  private val q242 = Q(
+    "q242_louvain_levels",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+        .localCheckpoint(true)
+      val ew1 = edges.withColumn("w", lit(1L))
+      val comm0 = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("label")).localCheckpoint(true)
+      val p1 = Graph.louvainMove(edges, comm0).localCheckpoint(true)
+      val g1 = Graph.contract(edges, p1).localCheckpoint(true)
+      val id1 = g1.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("label")).localCheckpoint(true)
+      val p2 = Graph.louvainMoveWeighted(g1, id1).localCheckpoint(true)
+      def allQ(e: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame) =
+        Graph.modularityWeighted(e, c)
+          .filter($"label" === "__all__").select($"q_term".as("q"))
+      def row(step: Int, stage: String,
+          comm: org.apache.spark.sql.DataFrame,
+          e: org.apache.spark.sql.DataFrame) =
+        comm.agg(countDistinct($"label").as("n_comms"))
+          .crossJoin(allQ(e, comm))
+          .select(lit(step.toLong).as("step"), lit(stage).as("stage"),
+            $"n_comms", $"q")
+      row(0, "singletons", comm0, ew1)
+        .unionByName(row(1, "level1_sweep", p1, ew1))
+        .unionByName(row(2, "contract_invariance", id1, g1))
+        .unionByName(row(3, "level2_sweep", p2, g1))
+        .orderBy($"step")
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ed AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      edw1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM ed),
+      comm0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM ed),
+      ${Graph.louvainMoveSql("comm0", "_1")},
+      comm1 AS MATERIALIZED (SELECT node, label FROM lvout_1),
+      ${Graph.contractSql("comm1")},
+      g1 AS MATERIALIZED (SELECT src, dst, w FROM ctout),
+      id1 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM g1),
+      ${Graph.louvainMoveWeightedSql("g1", "id1", "_2")},
+      comm2 AS MATERIALIZED (SELECT node, label FROM wlvout_2),
+      ${Graph.modularityWeightedSqlFor("edw1", "comm0", "_m0")},
+      ${Graph.modularityWeightedSqlFor("edw1", "comm1", "_m1")},
+      ${Graph.modularityWeightedSqlFor("g1", "id1", "_m2")},
+      ${Graph.modularityWeightedSqlFor("g1", "comm2", "_m3")}
+      SELECT CAST(0 AS BIGINT) AS step, 'singletons' AS stage,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm0)
+          AS n_comms,
+        (SELECT q_term FROM wmodout_m0 WHERE label = '__all__') AS q
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'level1_sweep',
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm1),
+        (SELECT q_term FROM wmodout_m1 WHERE label = '__all__')
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'contract_invariance',
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM id1),
+        (SELECT q_term FROM wmodout_m2 WHERE label = '__all__')
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'level2_sweep',
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comm2),
+        (SELECT q_term FROM wmodout_m3 WHERE label = '__all__')
+      ORDER BY step"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241)
+      q240, q241, q242)
 }

@@ -537,6 +537,76 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1L), (2L, 0L, 0L)))
   }
 
+  test("contract: bridged triangles collapse to two weighted supernodes") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val g = Graph.contract(edges, comm)
+      .as[(String, String, Long)].collect().toSet
+    // each triangle's 3 undirected edges = 6 directed rows -> the
+    // self-row carries the doubled intra mass; one bridge each way
+    assert(g == Set(("L", "L", 6L), ("R", "R", 6L),
+      ("L", "R", 1L), ("R", "L", 1L)))
+  }
+
+  test("modularityWeighted: Q is invariant under contraction") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    def allQ(e: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Graph.modularityWeighted(e, c)
+        .filter($"label" === "__all__").select($"q_term")
+        .as[Double].head()
+    val qOrig = allQ(edges.withColumn("w", lit(1L)), comm)
+    val g = Graph.contract(edges, comm)
+    val ident = Seq("L" -> "L", "R" -> "R").toDF("node", "label")
+    assert(allQ(g, ident) == qOrig)
+    // and the weighted op agrees with the unweighted q_term
+    val qUnweighted = Graph.modularity(edges, comm)
+      .filter($"label" === "__all__").select($"q_term")
+      .as[Double].head()
+    assert(qOrig == qUnweighted)
+  }
+
+  test("louvainMoveWeighted: heavy pair merges, tie broken by node asc") {
+    val edges = Seq(("u", "v", 5L), ("v", "u", 5L)).toDF("src", "dst", "w")
+    val ident = Seq("u" -> "u", "v" -> "v").toDF("node", "label")
+    val r = Graph.louvainMoveWeighted(edges, ident)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("u" -> "v", "v" -> "v"))
+  }
+
+  test("louvainMoveWeighted: self-mass travels with the node and Q rises") {
+    // x carries self-mass 6 (a contracted triangle) plus a weight-2
+    // link to y. Merging x into y: Q -0.08 -> 0.
+    val edges = Seq(("x", "x", 6L), ("x", "y", 2L), ("y", "x", 2L))
+      .toDF("src", "dst", "w")
+    val ident = Seq("x" -> "x", "y" -> "y").toDF("node", "label")
+    val r = Graph.louvainMoveWeighted(edges, ident)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("x" -> "y", "y" -> "y"))
+    def q(c: Map[String, String]) = Graph.modularityWeighted(edges,
+        c.toSeq.toDF("node", "label"))
+      .filter($"label" === "__all__").select($"q_term")
+      .as[Double].head()
+    assert(q(Map("x" -> "x", "y" -> "y")) == -0.08)
+    assert(q(r) == 0.0)
+  }
+
+  test("louvainMoveWeighted: two self-heavy supernodes do not merge") {
+    // contracted two-triangle graph: merging across the weak bridge
+    // would LOWER Q (s_move = 14*1 - 7*7 < 0), so the sweep holds
+    val edges = Seq(("L", "L", 6L), ("R", "R", 6L),
+      ("L", "R", 1L), ("R", "L", 1L)).toDF("src", "dst", "w")
+    val ident = Seq("L" -> "L", "R" -> "R").toDF("node", "label")
+    val r = Graph.louvainMoveWeighted(edges, ident)
+      .as[(String, String)].collect().toMap
+    assert(r == Map("L" -> "L", "R" -> "R"))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
