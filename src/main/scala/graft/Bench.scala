@@ -206,7 +206,11 @@ object Bench {
     // adjacency, and the conflict-free Louvain sweep (proposal +
     // two community-window top-1s per sweep)
     "q228_adamic_adar", "q229_sssp_trust", "q232_random_walk",
-    "q235_louvain_sweep")
+    "q235_louvain_sweep",
+    // r11 second half: the full Louvain level loop — does the
+    // level-1 proposal volume and the contracted level-2 sweep track
+    // the edge count?
+    "q242_louvain_levels")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has

@@ -887,6 +887,91 @@ object Graph {
     s"$steps,\n      ktout AS (\n      $rows)"
   }
 
+  /** Bounded onion decomposition (Hébert-Dufresne, Grochow & Allard
+    * '16 "Multi-scale structure and topological anomaly detection via
+    * a new network statistic: the onion decomposition"): per round,
+    * find the remaining graph's MINIMUM degree and peel every node at
+    * it — the layer index refines the k-core number into a full
+    * centre-to-surface ordering (two graphs with identical core
+    * census can have very different onion spectra). In a dedup/crawl
+    * graph the outer layers are the leaf fringe (one-off near-dups,
+    * single-link pages) and the deep layers the template/boilerplate
+    * heart — the "how deep does structure go" curve beside
+    * [[kCorePeel]]'s fixed-k shrink.
+    *
+    * Per round: one degree count, ONE 1-row min broadcast, two
+    * semi-joins to drop the peeled nodes — the [[kCorePeel]] shape
+    * with a data-derived threshold. Edge frame and census roll
+    * through [[Iterate]] slots. All-integer. `edges(src, dst)`
+    * symmetric distinct. Output: (round, peel_deg, n_peeled,
+    * n_nodes_left, n_edges_left), rounds 1..R (rows stop early when
+    * the graph empties — n_peeled 0 on exhausted rounds). */
+  def onionPeel(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eRoll = new Iterate.RollingCheckpoint
+    val sRoll = new Iterate.RollingCheckpoint
+    var e = eRoll.next(edges.select($"src", $"dst"))
+    var stats: DataFrame = null
+    for (r <- 1 to rounds) {
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val mrow = deg.agg(min($"deg").as("mdeg"))
+      val keep = deg.crossJoin(broadcast(mrow))
+        .filter($"deg" > $"mdeg").select($"node")
+      val e2 = eRoll.next(e
+        .join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst"))
+      val row = deg.crossJoin(broadcast(mrow))
+        .agg(coalesce(min($"mdeg"), lit(0L)).as("peel_deg"),
+          sum(when($"deg" === $"mdeg", 1L).otherwise(0L)).as("n_peeled"))
+        .crossJoin(e2.agg(
+          countDistinct($"src").as("n_nodes_left"),
+          count(lit(1)).as("n_edges_left")))
+        .select(lit(r.toLong).as("round"),
+          coalesce($"peel_deg", lit(0L)).as("peel_deg"),
+          coalesce($"n_peeled", lit(0L)).as("n_peeled"),
+          $"n_nodes_left", $"n_edges_left")
+      e = e2
+      // the census row reads deg — release only after sRoll.next has
+      // eagerly materialized it (the Iterate release-after-read rule)
+      stats = sRoll.next(if (stats == null) row else stats.unionByName(row))
+      Iterate.release(deg)
+    }
+    stats.orderBy($"round")
+  }
+
+  /** Oracle twin of [[onionPeel]] over a caller-defined `op0(src,
+    * dst)` CTE (symmetric distinct); exposes `onout(round, peel_deg,
+    * n_peeled, n_nodes_left, n_edges_left)`. */
+  def onionPeelSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val pv = s"op${r - 1}"
+      s"""
+      ond$r AS MATERIALIZED (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM $pv GROUP BY src),
+      onm$r AS (SELECT MIN(deg) AS mdeg FROM ond$r),
+      onk$r AS (SELECT node FROM ond$r, onm$r WHERE deg > mdeg),
+      op$r AS MATERIALIZED (
+        SELECT e.src, e.dst FROM $pv e
+        JOIN onk$r a ON e.src = a.node
+        JOIN onk$r b ON e.dst = b.node)"""
+    }.mkString(",")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+        (SELECT CAST(COALESCE(MIN(mdeg), 0) AS BIGINT) FROM onm$r)
+          AS peel_deg,
+        (SELECT CAST(COALESCE(SUM(CASE WHEN deg = mdeg THEN 1 ELSE 0
+           END), 0) AS BIGINT) FROM ond$r, onm$r) AS n_peeled,
+        (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM op$r)
+          AS n_nodes_left,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM op$r) AS n_edges_left"""
+    }.mkString("\n      UNION ALL ")
+    s"$steps,\n      onout AS (\n      $rows)"
+  }
+
   /** k-hop BFS frontier census from a seed set: per hop, the number
     * of NEWLY reached nodes and the cumulative reach — the
     * crawl-frontier planning curve ("how fast does the trusted seed

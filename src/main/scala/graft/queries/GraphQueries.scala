@@ -1283,8 +1283,45 @@ object GraphQueries extends QueryGroup {
         (SELECT q_term FROM wmodout_m3 WHERE label = '__all__')
       ORDER BY step"""))
 
+  /** Bounded onion decomposition (Graph.onionPeel) of the affiliation
+    * graph — the centre-to-surface layer census that refines q216's
+    * fixed-k core shrink: per round the minimum-degree fringe peels
+    * (layer 1 = the one-delivery leaves, deeper layers the
+    * heavily-connected trade heart), and the spectrum (peel_deg,
+    * n_peeled) per layer is the topology fingerprint two graphs with
+    * identical core numbers can still disagree on. Four rounds; one
+    * degree count + a 1-row min broadcast + two semi-joins each. */
+  private val q243 = Q(
+    "q243_onion_layers",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      Graph.onionPeel(edges, rounds = 4)
+    },
+    Some(s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      op0 AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR)
+        FROM eo),
+      ${Graph.onionPeelSql(4)}
+      SELECT round, peel_deg, n_peeled, n_nodes_left, n_edges_left
+      FROM onout ORDER BY round"""))
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242)
+      q240, q241, q242, q243)
 }

@@ -607,6 +607,25 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("L" -> "L", "R" -> "R"))
   }
 
+  test("onionPeel: pendant peels first, then the triangle, then quiet") {
+    // triangle a-b-c plus pendant c-d: round 1 peels d (min deg 1),
+    // round 2 peels the whole triangle (min deg 2), round 3 is empty
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val r = Graph.onionPeel(edges, rounds = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 1L, 3L, 6L), (2L, 2L, 3L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("onionPeel: a star strips its leaves and the hub leaves the frame") {
+    // hub h deg 3, leaves deg 1: round 1 peels the three leaves and
+    // every edge loses an endpoint — the hub exits with its last edge
+    val r = Graph.onionPeel(
+      sym(("h", "l1"), ("h", "l2"), ("h", "l3")), rounds = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L, 3L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet

@@ -678,6 +678,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("new graph queries: no cartesian; every nested-loop join is a " +
+      "broadcast scalar cross") {
+    for (q <- Seq("q236_ktruss_peel", "q241_conductance",
+        "q240_weighted_label_propagation", "q242_louvain_levels",
+        "q235_louvain_sweep")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // 1-row aggregates (m2, Q, census scalars) ride broadcast CROSS
+      // joins by design — the q221 pattern; any OTHER nested-loop
+      // shape (a conditioned or non-broadcast BNLJ) is a plan bug
+      val bnlj = "BroadcastNestedLoopJoin[ ]+([A-Za-z]+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(bnlj.subsetOf(Set("Cross")), s"$q: BNLJ types $bnlj\n$p")
+    }
+  }
+
+  test("contract is one label-attach join per end + one aggregate — " +
+      "never data x data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val comm = Seq("a" -> "L", "b" -> "R").toDF("node", "label")
+    val p = graft.ops.Graph.contract(edges, comm).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the weight count partial-aggregates before its exchange
+    assert(nodeCount(p, "HashAggregate") >= 2, p)
+  }
+
   test("q212 self-bleu redundancy: n-gram equi-join with map-side " +
       "partials, no cartesian") {
     val p = planOf("q212_selfbleu_redundancy")
