@@ -209,8 +209,14 @@ object Bench {
     "q235_louvain_sweep",
     // r11 second half: the full Louvain level loop — does the
     // level-1 proposal volume and the contracted level-2 sweep track
-    // the edge count?
-    "q242_louvain_levels")
+    // the edge count? — plus the three genuinely new per-round
+    // shapes: the truss peel's triangle enumeration, weighted
+    // diffusion's weight-sum masses, and the onion peel's
+    // data-derived min-degree threshold. (q237/q238/q241 reuse
+    // already-tiered shapes: q210's rank join, q234's pair windows,
+    // q233's label-attach aggregate.)
+    "q242_louvain_levels", "q236_ktruss_peel",
+    "q240_weighted_label_propagation", "q243_onion_layers")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
