@@ -626,6 +626,20 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((1L, 1L, 3L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("louvainMove is invariant to input partitioning") {
+    // the conflict-free acceptance is a total order over exact
+    // integers — no partitioning (and no window evaluation order)
+    // may change which proposals win
+    val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
+    val comm = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    val a = Graph.louvainMove(edges, comm)
+      .as[(String, String)].collect().toSet
+    val b = Graph.louvainMove(edges.repartition(13), comm.repartition(3))
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+
   test("pageRank is invariant to input partitioning") {
     val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
     val a = Graph.pageRank(edges, 3).as[(String, Double)].collect().toSet
