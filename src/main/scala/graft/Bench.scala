@@ -56,10 +56,19 @@ object Bench {
     * 4–6 passes the accumulated blocks are executor-storage pressure,
     * eviction churn, and GC work (the r9 verdict's bimodal-tier-pass
     * suspect). The sweep runs OUTSIDE the timed region. */
+  /** No-throw: a query that OOM-killed the SparkContext must surface
+    * as that query's -1 row, not as an IllegalStateException from the
+    * cleanup path that then discards every already-measured row (the
+    * r11 scale-section collapse — BENCH_DETAIL shipped one word). */
   private def sweepBlocks(spark: SparkSession, before: Set[Int]): Unit =
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+    try spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!before.contains(id)) rdd.unpersist(blocking = false)
-    }
+    } catch { case _: Throwable => () }
+
+  /** getPersistentRDDs that survives a stopped context. */
+  private def persistedIds(spark: SparkSession): Set[Int] =
+    try spark.sparkContext.getPersistentRDDs.keySet.toSet
+    catch { case _: Throwable => Set.empty }
 
   /** Sum of all collectors' accumulated GC wall time, ms. */
   private def totalGcMs: Long = {
@@ -93,7 +102,7 @@ object Bench {
       for (i <- named.indices) {
         val (_, fn) = named(i)
         if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
-          val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+          val before = persistedIds(spark)
           val q0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -109,14 +118,14 @@ object Bench {
       // accumulation signals (GC share, heap residency, leftover
       // persisted blocks, on-disk shuffle residue) per pass boundary,
       // not per query
-      if (health != null) {
+      if (health != null) try {
         val rt = Runtime.getRuntime
         health += s"""{"pass":$p,"wall_s":${fmt((System.nanoTime() - t0) / 1e9)},""" +
           s""""gc_ms":${totalGcMs - gc0},""" +
           s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
-          s""""persisted_rdds":${spark.sparkContext.getPersistentRDDs.size},""" +
+          s""""persisted_rdds":${persistedIds(spark).size},""" +
           s""""blockdir_mb":${blockDirBytes / (1024 * 1024)}}"""
-      }
+      } catch { case _: Throwable => () }
     }
     runs
   }
@@ -216,7 +225,33 @@ object Bench {
     // already-tiered shapes: q210's rank join, q234's pair windows,
     // q233's label-attach aggregate.)
     "q242_louvain_levels", "q236_ktruss_peel",
-    "q240_weighted_label_propagation", "q243_onion_layers")
+    "q240_weighted_label_propagation", "q243_onion_layers",
+    // r12: q237/q238/q241 get measured tier rows (the r11 exclusion
+    // argued by shape-analogy; the r11 verdict asked for data) — they
+    // run in BOTH tiers. q244 (Louvain convergence) is full-tier only:
+    // it is a bounded LOOP over q235's sweep and q242's contract —
+    // shapes the slim tier already times every round.
+    "q237_pagerank_weighted", "q238_walk_ppmi", "q241_conductance",
+    "q244_louvain_converge")
+
+  /** The DEFAULT tier (r11 verdict #1): the driver's unattended run
+    * must fit its 1-hour wall budget — the r11 suite structurally
+    * outgrew it (≈4,300 s: 48 tier rows × 6 passes + 4 composed
+    * sections) and round 11 shipped with NO bench line (rc 124). The
+    * default re-times only the rows whose operators changed in the
+    * last two rounds (the graph family — where a regression could
+    * actually originate) plus q210 as the cross-round anchor, at the
+    * base pass count, with composed_v4 (the newest pipeline, whose DAG
+    * subsumes v2/v3's stages) as the single composed section. The full
+    * 48-row / 5-pass / 4-section adjudication tier stays available
+    * under SPARK_GRAFT_TIER=full for the builder's own runs. */
+  private val slimTierQueries = Seq(
+    "q210_pagerank", "q222_pagerank_directed", "q224_hits",
+    "q226_label_propagation", "q228_adamic_adar", "q229_sssp_trust",
+    "q232_random_walk", "q235_louvain_sweep", "q236_ktruss_peel",
+    "q237_pagerank_weighted", "q238_walk_ppmi",
+    "q240_weighted_label_propagation", "q241_conductance",
+    "q242_louvain_levels", "q243_onion_layers")
 
   /** Synthesize a cost-profile-preserving `copies`× tier from `src`
     * into `out` (bench-only — the driver testdata is read-only and has
@@ -322,7 +357,7 @@ object Bench {
       named.map { case (name, fn) =>
         tally.drain()
         val w0 = tally.write; val r0 = tally.read; val s0 = tally.spill
-        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val before = persistedIds(spark)
         try fn(spark, scaleDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         sweepBlocks(spark, before)
@@ -417,7 +452,7 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     try {
       val runs = (1 to passes).map { _ =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val before = persistedIds(spark)
         val t0 = System.nanoTime()
         val docs = Tables(spark, scaleDir, "documents")
         val (chunks, audit) =
@@ -452,7 +487,7 @@ object Bench {
     spark.sparkContext.addSparkListener(tally)
     try {
       val runs = (1 to passes).map { _ =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val before = persistedIds(spark)
         val t0 = System.nanoTime()
         val docs = Tables(spark, scaleDir, "documents")
         val (chunks, audit) =
@@ -542,35 +577,82 @@ object Bench {
     // scale tier: replicate sf0.1 `scaleCopies`× into /tmp and re-time
     // the heavy set there — sf0.1 medians sit at the plan+codegen fixed
     // cost, so only the tier shows data-dependent regressions (and
-    // q106's memory-pressure envelope). Guarded: a tier failure must
-    // never cost the round its primary bench line.
+    // q106's memory-pressure envelope). SPARK_GRAFT_TIER selects the
+    // row set: "slim" (default — fits the driver's budget),
+    // "full" (the 48-row / 5-pass / 4-composed-section adjudication
+    // run), "off". Every PHASE is guarded independently (r11 verdict
+    // #2): one fatal error late in the tier must discard only its own
+    // phase, never the already-measured rows — partial results ship
+    // with the error attached under "errors".
+    val tierMode = sys.env.getOrElse("SPARK_GRAFT_TIER", "slim")
     val scaleSection =
-      if (scaleCopies <= 1) ""
-      else try {
-        buildScaleTier(spark, sfDir, scaleDir, scaleCopies)
-        // same warmup contract as the primary tier: cold columnar reads
-        // of the freshly-written tier files must not land on whichever
-        // heavy query happens to touch a table first
-        Tables.all.foreach(t =>
-          Tables(spark, scaleDir, t).write.format("noop").mode("overwrite").save())
-        val heavy = named.filter(q => scaleTierQueries.contains(q._1))
-        // r10 verdict #4: the tier runs FIVE kept passes for every row
-        // (the widening rule applied unconditionally — 7 r10 tier rows
-        // violated the <2 max/median bar with 3 passes, all slow in
-        // the final pass), with per-pass health rows for attribution.
-        val tierHealth = scala.collection.mutable.ArrayBuffer.empty[String]
-        val sruns = timePasses(spark, scaleDir, heavy, passes + 2, tierHealth)
-        s""","scale":{"dir":"${graft.io.Sink.jsonEscape(scaleDir)}","copies":$scaleCopies,""" +
-          s""""spread":${spreadJson(heavy, sruns)},""" +
-          s""""runs":${runsJson(heavy, sruns)},""" +
-          s""""pass_health":[${tierHealth.mkString(",")}],""" +
-          s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}}""" +
-          composedSection(spark, scaleDir, passes) +
-          composedV2Section(spark, scaleDir, passes) +
-          composedV3Section(spark, scaleDir, passes) +
-          composedV4Section(spark, scaleDir, passes)
-      } catch { case e: Throwable =>
-        s""","scale":{"error":"${e.getClass.getSimpleName}"}"""
+      if (scaleCopies <= 1 || tierMode == "off") ""
+      else {
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+        def phase(name: String)(body: => Unit): Boolean = {
+          val stopped =
+            try spark.sparkContext.isStopped catch { case _: Throwable => true }
+          if (stopped) {
+            errs += s""""$name":"skipped: SparkContext stopped""""; false
+          } else try { body; true }
+          catch { case e: Throwable =>
+            errs += "\"" + name + "\":\"" + graft.io.Sink.jsonEscape(
+              e.getClass.getName + ": " +
+                String.valueOf(e.getMessage).take(200)) + "\""
+            false
+          }
+        }
+        val tierRows =
+          if (tierMode == "full") scaleTierQueries else slimTierQueries
+        // r10 verdict #4: the FULL tier runs five kept passes per row
+        // (3-pass medians let one slow final pass be the p50 neighbor);
+        // the slim tier keeps the base pass count to fit the budget.
+        val tierPasses = if (tierMode == "full") passes + 2 else passes
+        val heavy = named.filter(q => tierRows.contains(q._1))
+        val built = phase("tier_build") {
+          buildScaleTier(spark, sfDir, scaleDir, scaleCopies)
+        }
+        if (built) {
+          // same warmup contract as the primary tier: cold columnar
+          // reads of the freshly-written tier files must not land on
+          // whichever heavy query happens to touch a table first
+          phase("tier_warmup") {
+            Tables.all.foreach(t => Tables(spark, scaleDir, t)
+              .write.format("noop").mode("overwrite").save())
+          }
+          phase("tier_runs") {
+            val tierHealth =
+              scala.collection.mutable.ArrayBuffer.empty[String]
+            val sruns = timePasses(spark, scaleDir, heavy, tierPasses, tierHealth)
+            parts += s""""spread":${spreadJson(heavy, sruns)}"""
+            parts += s""""runs":${runsJson(heavy, sruns)}"""
+            parts += s""""pass_health":[${tierHealth.mkString(",")}]"""
+          }
+          phase("shuffle") {
+            parts += s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}"""
+          }
+        }
+        val composed = new StringBuilder
+        // v4's DAG subsumes the v2 stages and the v3 rank gate; the
+        // slim run times it alone, the full run times all four
+        phase("composed_v4") {
+          composed ++= composedV4Section(spark, scaleDir, passes) }
+        if (tierMode == "full") {
+          phase("composed") {
+            composed ++= composedSection(spark, scaleDir, passes) }
+          phase("composed_v2") {
+            composed ++= composedV2Section(spark, scaleDir, passes) }
+          phase("composed_v3") {
+            composed ++= composedV3Section(spark, scaleDir, passes) }
+        }
+        val head = Seq(
+          s""""dir":"${graft.io.Sink.jsonEscape(scaleDir)}"""",
+          s""""mode":"${graft.io.Sink.jsonEscape(tierMode)}"""",
+          s""""copies":$scaleCopies""") ++ parts ++
+          (if (errs.isEmpty) Nil
+           else Seq(s""""errors":{${errs.mkString(",")}}"""))
+        s""","scale":{${head.mkString(",")}}""" + composed.result()
       }
     // Full per-run detail goes to a sidecar file (and early stdout): the
     // harness only keeps a bounded tail of stdout, so the final line must

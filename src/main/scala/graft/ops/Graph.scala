@@ -1373,10 +1373,18 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val e = edges.localCheckpoint(true)
-    val cm = comm.localCheckpoint(true)
+    // No internal eager checkpoints (r11 verdict #4): the sweep is
+    // read-once internally — every repeated subtree (deg ×3, kic ×2,
+    // info ×2, prop ×3) is canonically identical, so the single
+    // materializing action reuses its exchanges instead of paying
+    // ~6 barrier jobs of fixed stage+codegen cost per sweep (the
+    // barriers were ~9% of the whole r11 bench wall across q235/q242).
+    // Callers pass materialized `edges`/`comm` (both q235 and q242
+    // checkpoint them) and materialize the RETURNED frame, which is
+    // the only cross-sweep lineage cut the loop needs.
+    val e = edges
+    val cm = comm
     val deg = e.groupBy($"src".as("node")).agg(sum($"w").as("k"))
-      .localCheckpoint(true)
     val m2row = deg.agg(sum($"k").as("m2"))
     val stot = cm.join(deg, Seq("node"))
       .groupBy($"label").agg(sum($"k").as("stot"))
@@ -1388,7 +1396,6 @@ object Graph {
       .join(cm.select($"node".as("dst"), $"label".as("c")),
         Seq("dst"))
       .groupBy($"src".as("node"), $"c").agg(sum($"w").as("kic"))
-      .localCheckpoint(true)
     val info = cm.select($"node", $"label".as("c0"))
       .join(deg, Seq("node"))
       .join(stot.select($"label".as("c0"), $"stot".as("stot0")),
@@ -1399,7 +1406,6 @@ object Graph {
       .select($"node", $"c0", $"k",
         (dec($"m2") * coalesce($"k_own", lit(0L)) -
           dec($"stot0" - $"k") * $"k").as("s_stay"))
-      .localCheckpoint(true)
     val cand = kic
       .join(info.select($"node", $"c0", $"k", $"s_stay"), Seq("node"))
       .filter($"c" =!= $"c0")
@@ -1413,7 +1419,6 @@ object Graph {
         Seq($"s_move".desc, $"c".asc))
       .filter($"s_move" > $"s_stay")
       .select($"node", $"c0", $"c", ($"s_move" - $"s_stay").as("g"))
-      .localCheckpoint(true)
     // conflict-free acceptance: a proposal must rank first within
     // BOTH communities it touches (see doc — disjointness makes the
     // accepted gains exactly additive)
@@ -1645,6 +1650,59 @@ object Graph {
                      - SUM(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE) /
                 CAST(m.m2 * m.m2 AS DOUBLE), 6)
         FROM wmper$sfx, wmtot$sfx m GROUP BY m.m2)"""
+
+  /** The '__all__' Q of [[modularity]] for SEVERAL partitions of the
+    * SAME graph in one pass — the scoring shape a sweep trajectory
+    * needs (q235/q244 score every sweep): `labeled(tag, node, label)`
+    * carries each partition under its tag, so ONE edges⋈labels join
+    * per edge end (the per-tag fan-out rides the join rows, not extra
+    * shuffles) replaces one join pair PER partition, and the
+    * (tag, label)-sized groupBy replaces per-partition aggregates +
+    * their checkpoint barriers. Arithmetic is IDENTICAL to
+    * [[modularity]]'s total row (long products, one rounded IEEE
+    * division), so the q values are bit-equal by construction.
+    * Output: (tag, q). */
+  def modularityAllTagged(edges: DataFrame, labeled: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e2 = edges
+      .join(labeled.select($"tag", $"node".as("src"), $"label".as("lsrc")),
+        Seq("src"))
+      .join(labeled.select($"tag", $"node".as("dst"), $"label".as("ldst")),
+        Seq("dst", "tag"))
+    e2.groupBy($"tag", $"lsrc").agg(
+        count(lit(1)).as("d_c"),
+        sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("e_in"))
+      .groupBy($"tag").agg(sum($"d_c").as("m2"), sum($"e_in").as("e_in"),
+        sum($"d_c" * $"d_c").as("sd2"))
+      .select($"tag",
+        round(($"m2" * $"e_in" - $"sd2").cast("double") /
+          ($"m2" * $"m2").cast("double"), 6).as("q"))
+  }
+
+  /** [[modularityAllTagged]] over a WEIGHTED frame `edges(src, dst,
+    * w)` that may carry self-rows — arithmetic identical to
+    * [[modularityWeighted]]'s total row (decimal(38,0) products).
+    * Output: (tag, q). */
+  def modularityWeightedAllTagged(edges: DataFrame,
+      labeled: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e2 = edges
+      .join(labeled.select($"tag", $"node".as("src"), $"label".as("lsrc")),
+        Seq("src"))
+      .join(labeled.select($"tag", $"node".as("dst"), $"label".as("ldst")),
+        Seq("dst", "tag"))
+    e2.groupBy($"tag", $"lsrc").agg(
+        sum($"w").as("d_c"),
+        sum(when($"ldst" === $"lsrc", $"w").otherwise(0L)).as("e_in"))
+      .groupBy($"tag").agg(sum($"d_c").as("m2"), sum($"e_in").as("e_in"),
+        sum(dec($"d_c") * $"d_c").as("sd2"))
+      .select($"tag",
+        round((dec($"m2") * $"e_in" - $"sd2").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q"))
+  }
 
   /** Community conductance φ(c) = cut(c) / min(vol(c), vol(rest)) —
     * the SECOND community-quality metric beside [[modularity]], and

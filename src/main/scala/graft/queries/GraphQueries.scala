@@ -846,24 +846,28 @@ object GraphQueries extends QueryGroup {
         .select($"node", coalesce($"label", $"node").as("label"))
         .localCheckpoint(true)
       val s1 = Graph.louvainMove(edges, before).localCheckpoint(true)
-      val s2 = Graph.louvainMove(edges, s1).localCheckpoint(true)
-      def moved(a: org.apache.spark.sql.DataFrame,
-          b: org.apache.spark.sql.DataFrame) = a
-        .join(b.select($"node", $"label".as("l2")), Seq("node"))
-        .filter($"label" =!= $"l2")
-        .agg(count(lit(1)).as("n_moved"))
-      def row(sweep: Int, comm: org.apache.spark.sql.DataFrame,
-          mv: org.apache.spark.sql.DataFrame) =
-        comm.agg(countDistinct($"label").as("n_comms"))
-          .crossJoin(mv)
-          .crossJoin(Graph.modularity(edges, comm)
-            .filter($"label" === "__all__").select($"q_term".as("q")))
-          .select(lit(sweep.toLong).as("sweep"), $"n_comms",
-            $"n_moved", $"q")
-      val zeroMv = s.range(1).select(lit(0L).as("n_moved"))
-      row(0, before, zeroMv)
-        .unionByName(row(1, s1, moved(before, s1)))
-        .unionByName(row(2, s2, moved(s1, s2)))
+      val s2 = Graph.louvainMove(edges, s1)
+      // ONE tagged label frame scores the whole trajectory (r11
+      // verdict #4): n_comms, n_moved, and all three Q rows come off
+      // one checkpoint + one tagged modularity pass instead of three
+      // separate edges⋈comm⋈comm joins with their own barriers
+      val lab = before.withColumn("sweep", lit(0L))
+        .unionByName(s1.withColumn("sweep", lit(1L)))
+        .unionByName(s2.withColumn("sweep", lit(2L)))
+        .localCheckpoint(true)
+      val nc = lab.groupBy($"sweep")
+        .agg(countDistinct($"label").as("n_comms"))
+      val mv = lab.join(
+          lab.select(($"sweep" + 1).as("sweep"), $"node",
+            $"label".as("prev")), Seq("sweep", "node"))
+        .groupBy($"sweep")
+        .agg(sum(when($"label" =!= $"prev", 1L).otherwise(0L)).as("n_moved"))
+      val qs = Graph.modularityAllTagged(edges,
+        lab.select($"sweep".as("tag"), $"node", $"label"))
+      nc.join(mv, Seq("sweep"), "left")
+        .join(qs.select($"tag".as("sweep"), $"q"), Seq("sweep"))
+        .select($"sweep", $"n_comms",
+          coalesce($"n_moved", lit(0L)).as("n_moved"), $"q")
         .orderBy($"sweep")
     },
     Some(s"""
@@ -1222,22 +1226,29 @@ object GraphQueries extends QueryGroup {
       val g1 = Graph.contract(edges, p1).localCheckpoint(true)
       val id1 = g1.select($"src".as("node")).distinct()
         .select($"node", $"node".as("label")).localCheckpoint(true)
-      val p2 = Graph.louvainMoveWeighted(g1, id1).localCheckpoint(true)
-      def allQ(e: org.apache.spark.sql.DataFrame,
-          c: org.apache.spark.sql.DataFrame) =
-        Graph.modularityWeighted(e, c)
-          .filter($"label" === "__all__").select($"q_term".as("q"))
-      def row(step: Int, stage: String,
-          comm: org.apache.spark.sql.DataFrame,
-          e: org.apache.spark.sql.DataFrame) =
-        comm.agg(countDistinct($"label").as("n_comms"))
-          .crossJoin(allQ(e, comm))
-          .select(lit(step.toLong).as("step"), lit(stage).as("stage"),
-            $"n_comms", $"q")
-      row(0, "singletons", comm0, ew1)
-        .unionByName(row(1, "level1_sweep", p1, ew1))
-        .unionByName(row(2, "contract_invariance", id1, g1))
-        .unionByName(row(3, "level2_sweep", p2, g1))
+      val p2 = Graph.louvainMoveWeighted(g1, id1)
+      // two tagged label frames — one per edge frame — score all four
+      // stages in two passes instead of four join pairs + barriers
+      // (r11 verdict #4); p2's only reader is lab2, whose checkpoint
+      // is the level-2 lineage cut
+      val lab1 = comm0.withColumn("step", lit(0L))
+        .unionByName(p1.withColumn("step", lit(1L)))
+      val lab2 = id1.withColumn("step", lit(2L))
+        .unionByName(p2.withColumn("step", lit(3L)))
+        .localCheckpoint(true)
+      val nc = lab1.unionByName(lab2).groupBy($"step")
+        .agg(countDistinct($"label").as("n_comms"))
+      val qs = Graph.modularityWeightedAllTagged(ew1,
+          lab1.select($"step".as("tag"), $"node", $"label"))
+        .unionByName(Graph.modularityWeightedAllTagged(g1,
+          lab2.select($"step".as("tag"), $"node", $"label")))
+      val stages = s.createDataFrame(Seq(
+        (0L, "singletons"), (1L, "level1_sweep"),
+        (2L, "contract_invariance"), (3L, "level2_sweep")))
+        .toDF("step", "stage")
+      broadcast(stages).join(nc, Seq("step"))
+        .join(qs.select($"tag".as("step"), $"q"), Seq("step"))
+        .select($"step", $"stage", $"n_comms", $"q")
         .orderBy($"step")
     },
     Some(s"""
