@@ -419,7 +419,8 @@ object CorpusPipelineV2 {
     * serves PageRank and label propagation), both verdict frames
     * broadcast host-sized, and the document filter applied in ONE
     * pass over docs. Audit frame = leakage + PSI + rank_gate +
-    * tier_gate rows — per-tier attribution for the promotion record.
+    * tier_gate + per-tier conductance rows — per-tier attribution and
+    * boundary quality for the promotion record.
     * The PSI reference stays the RAW corpus (the v3 convention: the
     * drift gate must see what the gates did to the tail). Returns
     * (chunk frame, audit frame). */
@@ -453,11 +454,26 @@ object CorpusPipelineV2 {
         .when(col("tier") === "lo", 0.0)
         .otherwise(-1.0).as("value"),
       coalesce(col("tier") =!= "lo", lit(true)).as("pass"))
+    // per-tier conductance over the SAME affinity graph (r11 verdict
+    // #5): the tier gate halves documents on the propagated labels, so
+    // the audit frame must say whether those labels trace real graph
+    // structure — φ(tier) reads each tier's boundary directly
+    // (Graph.conductance; Leskovec '09 NCP). φ = 1 means the tier has
+    // zero internal edges — the diffusion stamped a label across pure
+    // boundary and the gate is acting on noise; that is the fail.
+    // Cost: one more label-attach join pair + a 3-row groupBy on the
+    // HOSTS-sized graph — invisible beside the pipeline stages.
+    val phiAudit = Graph.conductance(edges,
+        tiers.select(col("source").as("node"),
+          coalesce(col("tier"), lit("none")).as("label")))
+      .select(lit("conductance").as("check"), col("label").as("key"),
+        col("phi").cast("double").as("value"),
+        (col("phi") < 1.0).as("pass"))
     val st = stages(gated, checkpoint = true)
     val kept = st.kept.localCheckpoint(true)
     (buildFromKept(kept),
       auditsFromKept(docs, kept).unionByName(rankAudit)
-        .unionByName(tierAudit))
+        .unionByName(tierAudit).unionByName(phiAudit))
   }
 
   /** v3 composition: the rank gate ([[rankGate]]) feeds the full v2

@@ -201,16 +201,25 @@ object Graph {
     val e = edges.localCheckpoint(true)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
+    // sentinel dst key for the dangling group: a leading space cannot occur
+    // in caller node ids built from printable prefixes + numerals — and the
+    // guard below turns that comment-only invariant into a runtime error
+    // (r11 advice): a colliding id would silently fold a real node's
+    // in-mass into the dangling redistribution
+    val dkey = " dangling"
     val nodes = e.select($"src".as("node"))
       .unionByName(e.select($"dst".as("node"))).distinct()
+      // one string comparison per node row, folded into the checkpoint
+      // materialization — never an extra action
+      .select(when($"node" === dkey, raise_error(concat(
+          lit("pageRankDirected: node id collides with the dangling " +
+            "sentinel key: '"), $"node", lit("'"))).cast("string"))
+        .otherwise($"node").as("node"))
       .localCheckpoint(true)
     val nrow = nodes.agg(count(lit(1)).as("n"))
       .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
         round(lit(0.15) / $"n", 6).as("base"))
       .localCheckpoint(true)
-    // sentinel dst key for the dangling group: a leading space cannot occur
-    // in caller node ids built from printable prefixes + numerals
-    val dkey = " dangling"
     // routed = one row per (edge ∪ dangling node): the single frame
     // the rank vector joins per round. Dangling rows carry a null
     // outdeg; their "contribution" is the rank itself, aggregated
@@ -1243,17 +1252,23 @@ object Graph {
       sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("e_in"))
       .localCheckpoint(true)
     val m2 = per.agg(sum($"d_c").as("m2"))
+    // products in decimal(38,0), not long (r12 advice): m2·e_in and
+    // m2·m2 wrap 64-bit arithmetic once m2 exceeds ~3.04e9 edge-ends
+    // — real at the 100 TB target — while the decimal products stay
+    // exact for any long-sized input (the assortativityR convention).
+    // Same cast in [[modularityAllTagged]], keeping the two bit-equal.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val terms = per.crossJoin(broadcast(m2))
       .select($"label", $"n_nodes", $"d_c", $"e_in",
-        round(($"m2" * $"e_in" - $"d_c" * $"d_c").cast("double") /
-          ($"m2" * $"m2").cast("double"), 6).as("q_term"))
+        round((dec($"m2") * $"e_in" - dec($"d_c") * $"d_c").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q_term"))
     val total = per.agg(sum($"n_nodes").as("n_nodes"),
         sum($"d_c").as("d_c"), sum($"e_in").as("e_in"),
-        sum($"d_c" * $"d_c").as("sd2"))
+        sum(dec($"d_c") * $"d_c").as("sd2"))
       .crossJoin(broadcast(m2))
       .select(lit("__all__").as("label"), $"n_nodes", $"d_c", $"e_in",
-        round(($"m2" * $"e_in" - $"sd2").cast("double") /
-          ($"m2" * $"m2").cast("double"), 6).as("q_term"))
+        round((dec($"m2") * $"e_in" - $"sd2").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q_term"))
     terms.unionByName(total)
   }
 
@@ -1301,16 +1316,17 @@ object Graph {
                CAST(SUM(CASE WHEN ldst = lsrc THEN 1 ELSE 0 END)
                     AS BIGINT) AS e_in
         FROM mj$sfx GROUP BY lsrc),
-      mtot$sfx AS (SELECT CAST(SUM(d_c) AS BIGINT) AS m2 FROM mper$sfx),
+      mtot$sfx AS (SELECT CAST(SUM(d_c) AS HUGEINT) AS m2 FROM mper$sfx),
       modout$sfx AS (
         SELECT label, n_nodes, d_c, e_in,
-          round(CAST(m2 * e_in - d_c * d_c AS DOUBLE) /
+          round(CAST(m2 * e_in - CAST(d_c AS HUGEINT) * d_c AS DOUBLE) /
                 CAST(m2 * m2 AS DOUBLE), 6) AS q_term
         FROM mper$sfx, mtot$sfx
         UNION ALL
         SELECT '__all__', CAST(SUM(n_nodes) AS BIGINT),
           CAST(SUM(d_c) AS BIGINT), CAST(SUM(e_in) AS BIGINT),
-          round(CAST(m.m2 * SUM(e_in) - SUM(d_c * d_c) AS DOUBLE) /
+          round(CAST(m.m2 * SUM(e_in)
+                     - SUM(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE) /
                 CAST(m.m2 * m.m2 AS DOUBLE), 6)
         FROM mper$sfx, mtot$sfx m GROUP BY m.m2)"""
 
@@ -1493,6 +1509,207 @@ object Graph {
         LEFT JOIN wlvprop$sfx p ON i.node = p.node
         LEFT JOIN wlvacc$sfx a ON i.node = a.node)"""
 
+  /** [[louvainMoveWeighted]] with PREFIX-BOUNDED BATCH ACCEPTANCE —
+    * the sweep that actually CONVERGES in a handful of rounds (q244).
+    *
+    * Why: the conflict-free rule accepts at most one move per touched
+    * community pair — a maximal-matching bound. Measured on the
+    * affiliation graph from singletons (r13 probe), that is ~15
+    * accepted moves per sweep over 1,585 communities: a hub community
+    * absorbs ONE member per sweep, so convergence needs O(community
+    * size) sweeps — structurally infeasible, and worse at 100 TB where
+    * hub communities are millions of nodes.
+    *
+    * The fix keeps Q-monotonicity EXACT while letting one community
+    * accept many movers per sweep. Expanding Q·m2² = Σ_c [m2·e_in_c −
+    * d_c²] for a SET of accepted single-best proposals applied
+    * simultaneously gives
+    *
+    *   ΔQ·m2² = Σ_i 2g_i − 2·Σ_{i<j same target} k_i·k_j
+    *                     − 2·Σ_{i<j same source} k_i·k_j
+    *                     + (non-negative adjacency terms),
+    *
+    * where g_i = s_move_i − s_stay_i is the implemented single-move
+    * gain and k_i the mover's weighted degree: movers sharing a
+    * community pay exactly the pairwise degree products (the (d+K)²
+    * expansion), adjacent movers into one community REFUND m2-scaled
+    * edge mass (dropped — it only helps), and movers touching disjoint
+    * communities are exactly independent. A community hosting both an
+    * in-mover and an out-mover is NOT covered by the expansion (the
+    * in-mover's k_{i,c} may count an edge to the leaver), so each
+    * community accepts ONE DIRECTION per sweep — its top-ranked
+    * proposal's.
+    *
+    * Acceptance therefore ranks each community's touching proposals by
+    * (g desc, node), fixes the community's mode from its rank-1 row,
+    * and accepts node i iff BOTH its rows match their community's mode
+    * and g_i > k_i · (K_prev(target) + K_prev(source)), K_prev = the
+    * same-mode degree mass ranked ahead of i (counting ahead-ranked
+    * candidates that end up rejected only makes the bound stricter —
+    * safe). Charging each accepted pairwise product to the lower
+    * -ranked mover telescopes: ΔQ·m2² ≥ Σ_accepted (2g_i −
+    * 2k_i·K_prev(i)) > 0. The (g desc, node)-minimal proposal is
+    * rank-1 in both its communities with K_prev = 0, so a sweep
+    * accepts at least one move whenever ANY strict improvement exists
+    * — same progress + termination guarantee as the matching rule,
+    * but a hub absorbs every prefix-feasible proposer at once (its
+    * singleton joiners have k_i ≪ g_i/K_prev, so in practice the
+    * whole queue lands in one sweep). All-integer decimal(38,0)
+    * arithmetic (HUGEINT in the oracle twin); cost = one extra
+    * node-sized window + groupBy over [[louvainMoveWeighted]]'s plan
+    * — nothing data-sized. `edges(src, dst, w)` symmetric, self-rows
+    * allowed; returns the new (node, label).
+    *
+    * `minGainDen > 0` adds a SCALE-FREE convergence threshold: a
+    * proposal must improve Q by MORE than 1/minGainDen of one edge's
+    * modularity share (exactly: g·minGainDen > m2, all-integer —
+    * per-move ΔQ = 2g/m2², one undirected edge's share ≈ 2/m2). The
+    * threshold cuts the microscopic tail where sweeps shuffle members
+    * between settled communities for ~1e-6 gains (measured: 28 sweeps
+    * to strict convergence on the sf0.01 affiliation graph, the last
+    * 15 worth ΔQ < 4e-3 combined) — and because single-move gains
+    * themselves scale as k/m, a FIXED ΔQ cutoff would silently reject
+    * every move on a 10× bigger graph (measured at sf0.1: ΔQ > 1e-5
+    * accepted zero of 16k singleton proposals), while the edge-share
+    * form admits the same structural moves at every scale. 0 = strict
+    * positive gain (full convergence). */
+  def louvainMoveBatch(edges: DataFrame, comm: DataFrame,
+      minGainDen: Long = 0L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val e = edges
+    val cm = comm
+    val deg = e.groupBy($"src".as("node")).agg(sum($"w").as("k"))
+    val m2row = deg.agg(sum($"k").as("m2"))
+    val stot = cm.join(deg, Seq("node"))
+      .groupBy($"label").agg(sum($"k").as("stot"))
+    val kic = e.filter($"src" =!= $"dst")
+      .join(cm.select($"node".as("dst"), $"label".as("c")), Seq("dst"))
+      .groupBy($"src".as("node"), $"c").agg(sum($"w").as("kic"))
+    val info = cm.select($"node", $"label".as("c0"))
+      .join(deg, Seq("node"))
+      .join(stot.select($"label".as("c0"), $"stot".as("stot0")), Seq("c0"))
+      .join(kic.select($"node", $"c".as("c0"), $"kic".as("k_own")),
+        Seq("node", "c0"), "left")
+      .crossJoin(broadcast(m2row))
+      .select($"node", $"c0", $"k",
+        (dec($"m2") * coalesce($"k_own", lit(0L)) -
+          dec($"stot0" - $"k") * $"k").as("s_stay"))
+    val cand = kic
+      .join(info.select($"node", $"c0", $"k", $"s_stay"), Seq("node"))
+      .filter($"c" =!= $"c0")
+      .join(stot.select($"label".as("c"), $"stot"), Seq("c"))
+      .crossJoin(broadcast(m2row))
+      .select($"node", $"c0", $"c", $"k", $"m2",
+        (dec($"m2") * $"kic" - dec($"stot") * $"k").as("s_move"),
+        $"s_stay")
+    val prop = Relational.topOnePerGroup(cand, Seq($"node"),
+        Seq($"s_move".desc, $"c".asc))
+      .filter($"s_move" > $"s_stay" && (if (minGainDen > 0L)
+          ($"s_move" - $"s_stay") * lit(minGainDen) > dec($"m2")
+        else lit(true)))
+      .select($"node", $"c0", $"c", $"k",
+        ($"s_move" - $"s_stay").as("g"))
+    // batch acceptance: per community, rank by (g desc, node), fix the
+    // direction from the rank-1 row, and charge each candidate the
+    // degree mass ranked ahead of it (same mode)
+    val touch = prop
+      .select($"node", $"c0".as("cmty"), lit("out").as("mode"), $"g", $"k")
+      .unionByName(prop
+        .select($"node", $"c".as("cmty"), lit("in").as("mode"), $"g", $"k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cmty").orderBy($"g".desc, $"node".asc)
+    val ranked = touch.select($"node", $"mode", $"g", $"k", $"cmty",
+      first($"mode").over(w).as("m1"))
+    val kp = ranked.select($"node", $"mode", $"m1", $"g", $"k",
+      coalesce(sum(when($"mode" === $"m1", $"k")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)).as("kprev"))
+    val acc = kp.groupBy($"node", $"g", $"k")
+      .agg(sum(when($"mode" === $"m1", 1L).otherwise(0L)).as("okrows"),
+        sum($"kprev").as("kprevsum"))
+      .filter($"okrows" === 2 && $"g" > dec($"k") * $"kprevsum")
+      .select($"node")
+    info.join(prop.join(acc, Seq("node"), "left_semi")
+        .select($"node", $"c".as("newc")), Seq("node"), "left")
+      .select($"node", coalesce($"newc", $"c0").as("label"))
+  }
+
+  /** Oracle twin of [[louvainMoveBatch]] over caller-defined
+    * `$edges(src, dst, w)` and `$comm(node, label)` CTEs; exposes
+    * `blvout$sfx(node, label)`. HUGEINT gains and prefix products,
+    * window framing identical to the Spark side (ROWS UNBOUNDED
+    * PRECEDING .. 1 PRECEDING for the prefix mass). */
+  def louvainMoveBatchSql(edges: String, comm: String,
+      sfx: String, minGainDen: Long = 0L): String = s"""
+      blvdeg$sfx AS MATERIALIZED (
+        SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k
+        FROM $edges GROUP BY src),
+      blvm2$sfx AS (
+        SELECT CAST(SUM(k) AS HUGEINT) AS m2 FROM blvdeg$sfx),
+      blvstot$sfx AS (
+        SELECT c.label, CAST(SUM(d.k) AS BIGINT) AS stot
+        FROM $comm c JOIN blvdeg$sfx d ON c.node = d.node
+        GROUP BY c.label),
+      blvkic$sfx AS MATERIALIZED (
+        SELECT e.src AS node, c.label AS cc,
+               CAST(SUM(e.w) AS BIGINT) AS kic
+        FROM $edges e JOIN $comm c ON e.dst = c.node
+        WHERE e.src <> e.dst
+        GROUP BY 1, 2),
+      blvinfo$sfx AS MATERIALIZED (
+        SELECT c.node, c.label AS c0, d.k,
+          m.m2 * COALESCE(ko.kic, 0)
+            - CAST(s.stot - d.k AS HUGEINT) * d.k AS s_stay
+        FROM $comm c
+        JOIN blvdeg$sfx d ON c.node = d.node
+        JOIN blvstot$sfx s ON c.label = s.label
+        LEFT JOIN blvkic$sfx ko ON ko.node = c.node AND ko.cc = c.label,
+        blvm2$sfx m),
+      blvprop$sfx AS MATERIALIZED (
+        SELECT node, c0, c, k, s_move - s_stay AS g FROM (
+          SELECT kc.node, i.c0, kc.cc AS c, i.k, m.m2,
+            m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k AS s_move,
+            i.s_stay,
+            ROW_NUMBER() OVER (PARTITION BY kc.node
+              ORDER BY m.m2 * kc.kic - CAST(s.stot AS HUGEINT) * i.k
+                DESC, kc.cc) AS rk
+          FROM blvkic$sfx kc
+          JOIN blvinfo$sfx i ON kc.node = i.node AND kc.cc <> i.c0
+          JOIN blvstot$sfx s ON kc.cc = s.label, blvm2$sfx m)
+        WHERE rk = 1 AND s_move > s_stay${
+          if (minGainDen > 0L)
+            s"\n          AND (s_move - s_stay) * $minGainDen > m2"
+          else ""}),
+      blvtouch$sfx AS (
+        SELECT node, c0 AS cmty, 'out' AS mode, g, k FROM blvprop$sfx
+        UNION ALL
+        SELECT node, c, 'in', g, k FROM blvprop$sfx),
+      blvrk$sfx AS (
+        SELECT node, mode, g, k, cmty,
+          FIRST_VALUE(mode) OVER (PARTITION BY cmty
+            ORDER BY g DESC, node) AS m1
+        FROM blvtouch$sfx),
+      blvkp$sfx AS (
+        SELECT node, mode, m1, g, k,
+          COALESCE(SUM(CASE WHEN mode = m1 THEN k END) OVER (
+            PARTITION BY cmty ORDER BY g DESC, node
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS kprev
+        FROM blvrk$sfx),
+      blvacc$sfx AS (
+        SELECT node FROM blvkp$sfx
+        GROUP BY node, g, k
+        HAVING SUM(CASE WHEN mode = m1 THEN 1 ELSE 0 END) = 2
+           AND g > CAST(k AS HUGEINT) * SUM(kprev)),
+      blvout$sfx AS (
+        SELECT i.node,
+          CASE WHEN a.node IS NOT NULL THEN p.c ELSE i.c0 END AS label
+        FROM blvinfo$sfx i
+        LEFT JOIN blvprop$sfx p ON i.node = p.node
+        LEFT JOIN blvacc$sfx a ON i.node = a.node)"""
+
   /** Oracle twin of [[louvainMove]] over caller-defined `ed(src, dst)`
     * and `$comm(node, label)` CTEs; exposes `lvout$sfx(node, label)`.
     * Scores in HUGEINT — exact, matching the engine's decimal(38,0).
@@ -1578,6 +1795,36 @@ object Graph {
         SELECT cs.label AS src, cd.label AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM ed e
+        JOIN $comm cs ON e.src = cs.node
+        JOIN $comm cd ON e.dst = cd.node
+        GROUP BY 1, 2)"""
+
+  /** [[contract]] for an already-WEIGHTED symmetric frame
+    * `edges(src, dst, w)` (self-rows allowed) — the level-3+ boundary
+    * of the full Louvain loop (q244): parallel weights SUM instead of
+    * count, so contracting a contracted graph keeps every community's
+    * (d_c, e_in) and therefore Q invariant, level after level. A w ≡ 1
+    * self-row-free input collapses to [[contract]]. Same single
+    * label-attach join per edge end + (label, label)-sized groupBy. */
+  def contractWeighted(edges: DataFrame, comm: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges
+      .join(comm.select($"node".as("src"), $"label".as("lsrc")), Seq("src"))
+      .join(comm.select($"node".as("dst"), $"label".as("ldst")), Seq("dst"))
+      .groupBy($"lsrc".as("src"), $"ldst".as("dst"))
+      .agg(sum($"w").as("w"))
+  }
+
+  /** Oracle twin of [[contractWeighted]] over caller-defined
+    * `$edges(src, dst, w)` and `$comm(node, label)` CTEs; exposes
+    * `wctout$sfx(src, dst, w)`. */
+  def contractWeightedSql(edges: String, comm: String,
+      sfx: String): String = s"""
+      wctout$sfx AS (
+        SELECT cs.label AS src, cd.label AS dst,
+               CAST(SUM(e.w) AS BIGINT) AS w
+        FROM $edges e
         JOIN $comm cs ON e.src = cs.node
         JOIN $comm cd ON e.dst = cd.node
         GROUP BY 1, 2)"""
@@ -1670,14 +1917,19 @@ object Graph {
         Seq("src"))
       .join(labeled.select($"tag", $"node".as("dst"), $"label".as("ldst")),
         Seq("dst", "tag"))
+    // decimal(38,0) products, exactly as [[modularity]]'s total row
+    // (r12 advice: both moved off long together — the long products
+    // wrap once m2 exceeds ~3.04e9 edge-ends, and the scale tier
+    // multiplies m2 by `copies` toward that threshold)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     e2.groupBy($"tag", $"lsrc").agg(
         count(lit(1)).as("d_c"),
         sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("e_in"))
       .groupBy($"tag").agg(sum($"d_c").as("m2"), sum($"e_in").as("e_in"),
-        sum($"d_c" * $"d_c").as("sd2"))
+        sum(dec($"d_c") * $"d_c").as("sd2"))
       .select($"tag",
-        round(($"m2" * $"e_in" - $"sd2").cast("double") /
-          ($"m2" * $"m2").cast("double"), 6).as("q"))
+        round((dec($"m2") * $"e_in" - $"sd2").cast("double") /
+          (dec($"m2") * $"m2").cast("double"), 6).as("q"))
   }
 
   /** [[modularityAllTagged]] over a WEIGHTED frame `edges(src, dst,

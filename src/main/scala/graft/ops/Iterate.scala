@@ -54,14 +54,34 @@ object Iterate {
   def release(df: DataFrame): Unit =
     checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
+  /** The loop-safe lineage cut: eager localCheckpoint PLUS origin
+    * -statistics clamp (`GraftSqlBridge.clampCheckpointStats`). A bare
+    * `localCheckpoint(true)` copies the source plan's estimated
+    * Statistics onto the returned LogicalRDD, and Catalyst's size-only
+    * estimator multiplies child sizes through joins — in a loop that
+    * feeds round k−1's checkpoint into several joins, the estimate's
+    * digit count doubles per round and the DRIVER goes quadratic-then
+    * -worse in BigInteger arithmetic (measured: 2.5 s sweeps became
+    * 115 s by sweep 13 on a constant 1,585-node frame). Every
+    * driver-side loop must cut with THIS, not with localCheckpoint
+    * directly; sane estimates pass through untouched, so no broadcast
+    * decision on a genuinely small frame changes. One-shot barriers
+    * outside loops may keep their stats — a single hop cannot
+    * compound. */
+  def cut(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.clampCheckpointStats(
+      df.localCheckpoint(true))
+
   /** One rolling checkpoint slot: `next(df)` eagerly checkpoints `df`
-    * and releases the slot's previous round. The LAST round's blocks
-    * are deliberately kept (the caller's result reads them); a caller
-    * that materializes the result elsewhere may `close()` the slot. */
+    * (via [[cut]] — see its doc for why loops must strip checkpoint
+    * statistics) and releases the slot's previous round. The LAST
+    * round's blocks are deliberately kept (the caller's result reads
+    * them); a caller that materializes the result elsewhere may
+    * `close()` the slot. */
   final class RollingCheckpoint {
     private var prev: Option[RDD[_]] = None
     def next(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+      val out = cut(df)
       val rdd = checkpointedRdd(out)
       prev.foreach(_.unpersist(blocking = false))
       prev = rdd

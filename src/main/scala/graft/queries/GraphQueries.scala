@@ -1331,8 +1331,200 @@ object GraphQueries extends QueryGroup {
       SELECT round, peel_deg, n_peeled, n_nodes_left, n_edges_left
       FROM onout ORDER BY round"""))
 
+  /** Sweep cap per level / level cap for q244: the batch-acceptance
+    * sweep converges from singletons in 20 sweeps at sf0.01 and 28 at
+    * sf0.1 on the affiliation graph (r13 probe, threshold below), and
+    * the level loop reaches its all-quiet witness by level 3 (sf0.01)
+    * / level 4 (sf0.1) — the caps are safety bounds just past the
+    * measured horizon. They exist because the oracle must be a STATIC
+    * chain (DuckDB cannot loop) and the Spark loop must stop at
+    * exactly the same horizon if a future dataset converges slower. */
+  private val LouvainS = 32
+  private val LouvainL = 4
+
+  /** Scale-free convergence threshold for q244: a move must be worth
+    * more than half of one edge's modularity share (g·2 > m2, exact
+    * integers — ΔQ > 1/m2). Cuts the microscopic tail where
+    * strict convergence spends 15+ extra sweeps shuffling members
+    * between settled communities, at EVERY scale — a fixed ΔQ cutoff
+    * rejects all moves once m2 grows past 2/ΔQ_min (see
+    * Graph.louvainMoveBatch). */
+  private val LouvainMinGainDen = 2L
+
+  /** The full Louvain loop TO CONVERGENCE (Blondel '08, iterated):
+    * per level, batch-acceptance sweeps (Graph.louvainMoveBatch) from
+    * singletons until a sweep accepts no move, then CONTRACT
+    * (Graph.contractWeighted) and repeat, until a level's first sweep
+    * moves nothing or the L cap. q242 runs one sweep per level; this
+    * is the production loop — and it is only feasible because the
+    * batch sweep exists: the conflict-free matching rule accepts ≤ 1
+    * move per community pair (measured ~15/sweep over 1,585 singleton
+    * communities — O(hub size) sweeps to converge), while the
+    * prefix-bounded batch rule lets a hub absorb its whole queue in
+    * one sweep (12,810 accepted moves in sweep 1 at sf0.1), reaching
+    * the thresholded local optimum in 20–28 sweeps (see
+    * Graph.louvainMoveBatch's derivation).
+    *
+    * Output: (level, sweep, n_comms, n_moved, q) — one row per
+    * EXECUTED sweep plus each level's sweep-0 singleton row. Q is
+    * scored for every sweep in ONE tagged pass per level
+    * (Graph.modularityWeightedAllTagged); contract invariance makes q
+    * continuous across the level boundary (level l+1's sweep-0 q
+    * equals level l's final q), so q is monotone non-decreasing down
+    * the whole frame and each level's last row has n_moved = 0 — the
+    * convergence witness. The oracle replays the loop as a static
+    * S×L sweep chain: a post-convergence sweep is the identity (no
+    * strictly-improving proposal ⟹ no proposal accepted), so gating
+    * each row on "the previous sweep moved" reproduces the dynamic
+    * loop's row set exactly, and level l+1 is active iff level l's
+    * FIRST sweep moved (zero first-sweep moves ⟹ identity level). */
+  private val q244 = Q(
+    "q244_louvain_converge",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      var ew = graft.ops.Iterate.cut(fwd.unionByName(
+          fwd.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("w", lit(1L)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      var level = 1
+      var levelMoved = -1L
+      while (level <= LouvainL && levelMoved != 0L) {
+        // per-sweep checkpoints live until the level's tagged union
+        // materializes, then release in one batch (Iterate discipline;
+        // ew / labT stay persisted — the lazy output frame reads them)
+        val cps = scala.collection.mutable.ArrayBuffer.empty[
+          org.apache.spark.sql.DataFrame]
+        var comm = graft.ops.Iterate.cut(
+          ew.select($"src".as("node")).distinct()
+            .select($"node", $"node".as("label")))
+        cps += comm
+        // every sweep's labels accumulate under their sweep tag; the
+        // per-sweep n_moved count doubles as the loop condition, so
+        // the output frame and the control flow read the same joins
+        var lab = comm.withColumn("sweep", lit(0L))
+        var sweep = 0
+        var moved = -1L
+        levelMoved = 0L
+        while (moved != 0L && sweep < LouvainS) {
+          val next = graft.ops.Iterate.cut(
+            Graph.louvainMoveBatch(ew, comm, LouvainMinGainDen))
+          cps += next
+          moved = next
+            .join(comm.select($"node", $"label".as("prev")), Seq("node"))
+            .filter($"label" =!= $"prev").count()
+          sweep += 1
+          levelMoved += moved
+          lab = lab.unionByName(next.withColumn("sweep", lit(sweep.toLong)))
+          comm = next
+        }
+        val labT = graft.ops.Iterate.cut(lab) // the level's lineage cut
+        val ewLevel = ew // the frame this level's sweeps and Q ran on
+        if (levelMoved != 0L && level < LouvainL)
+          ew = graft.ops.Iterate.cut(Graph.contractWeighted(ewLevel, comm))
+        cps.foreach(graft.ops.Iterate.release)
+        val nc = labT.groupBy($"sweep")
+          .agg(countDistinct($"label").as("n_comms"))
+        val mv = labT.join(
+            labT.select(($"sweep" + 1).as("sweep"), $"node",
+              $"label".as("prev")), Seq("sweep", "node"))
+          .groupBy($"sweep")
+          .agg(sum(when($"label" =!= $"prev", 1L).otherwise(0L))
+            .as("n_moved"))
+        val qs = Graph.modularityWeightedAllTagged(ewLevel,
+          labT.select($"sweep".as("tag"), $"node", $"label"))
+        out += nc.join(mv, Seq("sweep"), "left")
+          .join(qs.select($"tag".as("sweep"), $"q"), Seq("sweep"))
+          .select(lit(level.toLong).as("level"), $"sweep", $"n_comms",
+            coalesce($"n_moved", lit(0L)).as("n_moved"), $"q")
+        level += 1
+      }
+      out.reduce(_ unionByName _).orderBy($"level", $"sweep")
+    },
+    Some(q244Sql(LouvainS, LouvainL)))
+
+  /** The q244 oracle: a static S×L chain of Graph.louvainMoveBatchSql
+    * sweeps with per-sweep move counts and modularity scores, row
+    * -gated on the previous sweep having moved (post-convergence
+    * sweeps are the identity, so the static chain agrees with the
+    * dynamic loop wherever rows are emitted) and level-gated on the
+    * previous level's first sweep having moved. */
+  private def q244Sql(s: Int, l: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e1 AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst,
+               CAST(1 AS BIGINT) AS w FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR),
+               CAST(1 AS BIGINT)
+        FROM eo),
+      lv1_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e1),"""
+    for (lv <- 1 to l) {
+      for (k <- 1 to s) {
+        sb ++= Graph.louvainMoveBatchSql(s"e$lv", s"lv${lv}_${k - 1}",
+          s"_${lv}_$k", LouvainMinGainDen) + ","
+        sb ++= s"""
+      lv${lv}_$k AS MATERIALIZED (
+        SELECT node, label FROM blvout_${lv}_$k),
+      mv${lv}_$k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM lv${lv}_${k - 1} b JOIN lv${lv}_$k a
+          ON b.node = a.node AND b.label <> a.label),"""
+      }
+      for (k <- 0 to s)
+        sb ++= Graph.modularityWeightedSqlFor(s"e$lv", s"lv${lv}_$k",
+          s"_q${lv}_$k") + ","
+      if (lv < l) {
+        sb ++= Graph.contractWeightedSql(s"e$lv", s"lv${lv}_$s",
+          s"_g${lv + 1}") + ","
+        sb ++= s"""
+      e${lv + 1} AS MATERIALIZED (
+        SELECT src, dst, w FROM wctout_g${lv + 1}),
+      lv${lv + 1}_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e${lv + 1}),"""
+      }
+    }
+    sb ++= "\n      act1 AS (SELECT TRUE AS a)"
+    for (lv <- 2 to l)
+      sb ++= s""",
+      act$lv AS (SELECT (SELECT a FROM act${lv - 1})
+                    AND (SELECT n FROM mv${lv - 1}_1) > 0 AS a)"""
+    val rows = for (lv <- 1 to l; k <- 0 to s) yield {
+      val gate =
+        if (k == 0) s"(SELECT a FROM act$lv)"
+        else if (k == 1) s"(SELECT a FROM act$lv)"
+        else s"(SELECT a FROM act$lv) AND (SELECT n FROM mv${lv}_${k - 1}) > 0"
+      val nm = if (k == 0) "CAST(0 AS BIGINT)"
+        else s"(SELECT n FROM mv${lv}_$k)"
+      s"""
+      SELECT CAST($lv AS BIGINT) AS level, CAST($k AS BIGINT) AS sweep,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM lv${lv}_$k)
+          AS n_comms,
+        $nm AS n_moved,
+        (SELECT q_term FROM wmodout_q${lv}_$k WHERE label = '__all__')
+          AS q
+      WHERE $gate"""
+    }
+    sb ++= rows.mkString("", "\n      UNION ALL", "")
+    sb ++= "\n      ORDER BY level, sweep"
+    sb.result()
+  }
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242, q243)
+      q240, q241, q242, q243, q244)
 }

@@ -11,6 +11,46 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Digit bound for checkpoint size estimates: far above every
+    * broadcast/skew threshold (≈4.6 EB), far below compounding
+    * BigInteger territory. */
+  private val MaxCheckpointSizeEstimate = BigInt(Long.MaxValue >> 1)
+
+  /** Clamp a checkpointed frame's origin-statistics size estimate —
+    * the iterative-loop guard behind `Iterate.cut`.
+    *
+    * `Dataset.localCheckpoint` copies the source plan's estimated
+    * `Statistics` onto the `LogicalRDD` it returns, and Catalyst's
+    * size-only estimator MULTIPLIES child `sizeInBytes` through every
+    * join (`SizeInBytesOnlyStatsPlanVisitor.visitJoin`). In a loop
+    * where round k's plan joins round k−1's checkpoint several times,
+    * the estimate's DIGIT COUNT therefore doubles per round, and by
+    * round ~12 the driver spends its whole sweep budget doing
+    * Toom-Cook BigInteger multiplication inside stats estimation
+    * (r13 probe: sweeps over a constant 1,585-node frame went 2.5 s
+    * → 7 s → 27 s → 115 s; jstack showed 100% of main in
+    * `BigInteger.multiplyToomCook3` under `visitJoin`). Clamping the
+    * estimate at an over-every-threshold bound stops the compounding
+    * (bounded digits at every leaf ⇒ bounded digits in every product)
+    * while leaving SANE estimates — and therefore every auto
+    * -broadcast decision on genuinely small frames — bit-identical.
+    * Same RDD, same attributes: the release discipline still sees the
+    * checkpointed blocks. */
+  def clampCheckpointStats(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.computeStats().sizeInBytes > MaxCheckpointSizeEstimate =>
+        ofRows(df.sparkSession,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(
+            df.sparkSession.asInstanceOf[classic.SparkSession],
+            scala.Some(org.apache.spark.sql.catalyst.plans.logical
+              .Statistics(sizeInBytes = MaxCheckpointSizeEstimate)),
+            scala.None))
+      case _ => df
+    }
+
   /** Column ⇄ Expression bridges (classic.ExpressionUtils is the
     * blessed conversion since Columns became ColumnNode wrappers) —
     * lets library code build Columns over custom expressions without

@@ -272,7 +272,7 @@ class CorpusPipelineSpec extends SparkSpec {
       "s3" -> ((-1.0, true))), rows.toString)
   }
 
-  test("v4 composed run: one graph, both gates, audit carries four families") {
+  test("v4 composed run: one graph, both gates, audit carries five families") {
     val docs = mkDocsV3
     val (chunks, audit) =
       graft.ops.CorpusPipelineV2.buildAndAuditTierGated(docs)
@@ -283,6 +283,13 @@ class CorpusPipelineSpec extends SparkSpec {
     // tier attribution: every graph source gets a tier row
     assert(byCheck("tier_gate").map(_.getString(1)).toSet ==
       Set("s1", "s2", "s3", "s4"))
+    // per-tier conductance (r11 verdict #5): one φ row per propagated
+    // tier label, φ ∈ [0, 1], and the keys are tier names, not sources
+    val phi = byCheck("conductance")
+    assert(phi.map(_.getString(1)).toSet.subsetOf(Set("hi", "lo", "none")),
+      phi.mkString(", "))
+    assert(phi.nonEmpty && phi.forall(r =>
+      r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0), phi.mkString(", "))
     // the chunk frame only ever sees docs that survived BOTH gates —
     // i.e. it is a subset of the v3 gate alone
     val chunkDocs = chunks.select($"doc_id").as[Long].collect().toSet

@@ -626,6 +626,117 @@ class GraphSpec extends SparkSpec {
     assert(r == Seq((1L, 1L, 3L, 0L, 0L), (2L, 0L, 0L, 0L, 0L)))
   }
 
+  test("louvainMoveBatch: a community absorbs its whole queue in one sweep") {
+    // h1-h2 labeled C; leaves l1..l3 attached to h1 as singletons.
+    // All three leaves propose into C with g=3, k=1. The conflict-free
+    // rule accepts ONE (l1 — rank-1 in C's window); the batch rule's
+    // prefix bound g > k·K_prev admits the whole queue: l1 (3>0),
+    // l2 (3>1), l3 (3>2). ΔQ is exactly Σ2g − 2Σ_{i<j}k_ik_j =
+    // 18 − 2·(0+1+2) = 12 over m2² = 64.
+    val edges = sym(("h1", "h2"), ("h1", "l1"), ("h1", "l2"),
+      ("h1", "l3")).withColumn("w", lit(1L))
+    val comm = Seq("h1" -> "C", "h2" -> "C", "l1" -> "l1",
+      "l2" -> "l2", "l3" -> "l3").toDF("node", "label")
+    val batch = Graph.louvainMoveBatch(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(batch == Map("h1" -> "C", "h2" -> "C", "l1" -> "C",
+      "l2" -> "C", "l3" -> "C"))
+    val matching = Graph.louvainMoveWeighted(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(matching.values.count(_ == "C") == 3) // h1, h2, l1 only
+    def q(c: Map[String, String]) = Graph.modularityWeighted(edges,
+        c.toSeq.toDF("node", "label"))
+      .filter($"label" === "__all__").select($"q_term")
+      .as[Double].head()
+    assert(q(comm.as[(String, String)].collect().toMap) == -0.1875)
+    assert(q(batch) == 0.0) // −12/64 + 12/64, the formula's exact ΔQ
+  }
+
+  test("louvainMoveBatch: the prefix bound rejects the over-mass mover") {
+    // a and b (degree 4 each, self-mass 1) both propose into the C
+    // triangle with g=12. a ranks first (node asc) and is accepted;
+    // b must clear g > k·K_prev = 4·4 = 16 and is rejected — the
+    // exact pairwise correction 2·k_a·k_b the simultaneous move would
+    // owe. The NEXT sweep is then a fixed point: with a inside, C is
+    // too heavy for b to gain (s_move = 20·3 − 16·4 < 0).
+    val base = sym(("c1", "c2"), ("c2", "c3"), ("c1", "c3"),
+      ("a", "c1"), ("a", "c2"), ("a", "c3"),
+      ("b", "c1"), ("b", "c2"), ("b", "c3"))
+      .withColumn("w", lit(1L))
+    val edges = base.unionByName(
+      Seq(("a", "a", 1L), ("b", "b", 1L)).toDF("src", "dst", "w"))
+    val comm = Seq("c1" -> "C", "c2" -> "C", "c3" -> "C",
+      "a" -> "a", "b" -> "b").toDF("node", "label")
+    val s1 = Graph.louvainMoveBatch(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(s1 == Map("c1" -> "C", "c2" -> "C", "c3" -> "C",
+      "a" -> "C", "b" -> "b"))
+    val s2 = Graph.louvainMoveBatch(edges, s1.toSeq.toDF("node", "label"))
+      .as[(String, String)].collect().toMap
+    assert(s2 == s1) // converged: n_moved = 0
+  }
+
+  test("louvainMoveBatch: a stable partition is a fixed point") {
+    val edges = sym(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x"))
+      .withColumn("w", lit(1L))
+    val comm = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "x" -> "R", "y" -> "R", "z" -> "R").toDF("node", "label")
+    val r = Graph.louvainMoveBatch(edges, comm)
+      .as[(String, String)].collect().toMap
+    assert(r == comm.as[(String, String)].collect().toMap)
+  }
+
+  test("louvainMoveBatch: the min-gain threshold drops marginal moves") {
+    // the absorption case again, but each leaf move is worth
+    // ΔQ = 2g/m2² = 6/64 ≈ 0.094 and one edge's share is 2/m2 = 0.25:
+    // den = 2 requires g·2 > m2 (g > 4) — g = 3 fails, so the
+    // thresholded sweep moves nothing while the strict sweep moves all
+    val edges = sym(("h1", "h2"), ("h1", "l1"), ("h1", "l2"),
+      ("h1", "l3")).withColumn("w", lit(1L))
+    val comm = Seq("h1" -> "C", "h2" -> "C", "l1" -> "l1",
+      "l2" -> "l2", "l3" -> "l3").toDF("node", "label")
+    val r = Graph.louvainMoveBatch(edges, comm, minGainDen = 2L)
+      .as[(String, String)].collect().toMap
+    assert(r == comm.as[(String, String)].collect().toMap)
+  }
+
+  test("louvainMoveBatch is invariant to input partitioning") {
+    // acceptance is windows over exact integers with total tie orders;
+    // no physical partitioning may change which proposals win
+    val edges = sym((1 to 40).map(i => (s"h${i % 7}", s"u$i")): _*)
+      .withColumn("w", lit(1L))
+    val comm = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    val a = Graph.louvainMoveBatch(edges, comm)
+      .as[(String, String)].collect().toSet
+    val b = Graph.louvainMoveBatch(edges.repartition(13),
+        comm.repartition(3))
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("contractWeighted: weights sum and Q stays invariant") {
+    // u,v,w with a self-row on u; contracting {u,v} keeps every
+    // community's (d_c, e_in) — Q before/after must be bit-equal
+    val edges = Seq(("u", "v", 4L), ("v", "u", 4L), ("v", "w", 2L),
+      ("w", "v", 2L), ("u", "u", 2L)).toDF("src", "dst", "w")
+    val comm = Seq("u" -> "P", "v" -> "P", "w" -> "w")
+      .toDF("node", "label")
+    val g = Graph.contractWeighted(edges, comm)
+      .as[(String, String, Long)].collect().toSet
+    assert(g == Set(("P", "P", 10L), ("P", "w", 2L), ("w", "P", 2L)))
+    def allQ(e: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      Graph.modularityWeighted(e, c)
+        .filter($"label" === "__all__").select($"q_term")
+        .as[Double].head()
+    val ident = Seq("P" -> "P", "w" -> "w").toDF("node", "label")
+    assert(allQ(edges, comm) == allQ(
+      Seq(("P", "P", 10L), ("P", "w", 2L), ("w", "P", 2L))
+        .toDF("src", "dst", "w"), ident))
+  }
+
   test("louvainMove is invariant to input partitioning") {
     // the conflict-free acceptance is a total order over exact
     // integers — no partitioning (and no window evaluation order)
