@@ -577,16 +577,20 @@ object Bench {
     // stealing the cores mid-pass) can still disturb one pass, and
     // with 3 kept passes that outlier sits next to the median (r8's
     // q147: [2.22, 17.91, 8.23] reported 8.23 s — 4× its repeatable
-    // cost). Queries whose kept passes spread max/min > 3 get two
+    // cost). Queries whose kept passes spread max/min > 2 get two
     // extra passes and report the median-of-5, so one disturbed pass
-    // can never be the p50 neighbor. Sub-0.5 s queries are exempt —
-    // their spread is JIT/GC jitter, not host interference.
+    // can never be the p50 neighbor. The trigger matches the <2
+    // max/median HEALTH BAR (the r13 full-tier run had 4 rows violate
+    // the bar at max/min 2.2–2.8 while the old >3 trigger slept —
+    // a widen rule the health bar can't invoke is no adjudicator).
+    // Sub-0.5 s queries are exempt — their spread is JIT/GC jitter,
+    // not host interference.
     def widen(runsIn: Array[Vector[Double]],
         namedIn: Seq[(String, (SparkSession, String) => DataFrame)],
         dir: String): Array[Vector[Double]] = {
       val noisy = namedIn.indices.filter { i =>
         val ok = runsIn(i).filter(_ > 0)
-        ok.nonEmpty && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 3.0
+        ok.nonEmpty && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 2.0
       }
       if (noisy.isEmpty) runsIn
       else {
