@@ -364,5 +364,68 @@ object ComposedQueries extends QueryGroup {
       CROSS JOIN gmed m
       ORDER BY s.source"""))
 
-  def queries: Seq[Q] = Seq(q221, q239)
+  /** The v4 audit's per-tier conductance as its own oracle row (r11
+    * verdict #5, upgraded from spec-only to hash-checked): φ of each
+    * propagated quality tier over the SAME affinity graph both gates
+    * run on — q239 checks the LABELS, this row checks the BOUNDARY
+    * QUALITY the audit frame reports about them (φ = 1: the tier has
+    * zero internal edges, i.e. the gate halves documents on diffusion
+    * noise). Walks line shingling → hot-line cap → pair join → seed
+    * ranking → 3 clamped propagation rounds → the conductance join
+    * pair in DuckDB end to end. Off-graph/unreached sources fold into
+    * 'none' exactly as the audit does. */
+  private val q245 = Q(
+    "q245_tier_conductance",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val edges = CorpusPipelineV2.sourceAffinityEdges(docs)
+        .localCheckpoint(true)
+      val tiers = CorpusPipelineV2.qualityTiers(edges, docs)
+      graft.ops.Graph.conductance(edges,
+          tiers.select($"source".as("node"),
+            coalesce($"tier", lit("none")).as("label")))
+        .orderBy($"label")
+    },
+    Some(s"""
+      WITH dwords AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents),
+      dlines AS (
+        SELECT DISTINCT source, ${TextOps.h64Sql("ln")} AS lh FROM (
+          SELECT source, unnest(list_transform(
+            generate_series(0, (len(ws) - 1) // 10),
+            n -> array_to_string(ws[n*10+1 : n*10+10], ' '))) AS ln
+          FROM dwords)),
+      dcap AS (
+        SELECT lh FROM dlines GROUP BY lh
+        HAVING COUNT(*) BETWEEN 2 AND 100),
+      dkept AS (
+        SELECT l.source, l.lh FROM dlines l JOIN dcap c ON l.lh = c.lh),
+      dpairs AS MATERIALIZED (
+        SELECT DISTINCT a.source AS sa, b.source AS sb
+        FROM dkept a JOIN dkept b
+          ON a.lh = b.lh AND a.source < b.source),
+      ed AS MATERIALIZED (
+        SELECT sa AS src, sb AS dst FROM dpairs
+        UNION ALL SELECT sb, sa FROM dpairs),
+      gstat AS (
+        SELECT source,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_len
+        FROM documents GROUP BY source),
+      grk AS (
+        SELECT source,
+          ROW_NUMBER() OVER (ORDER BY avg_len DESC, source) AS hi_rk,
+          ROW_NUMBER() OVER (ORDER BY avg_len ASC, source) AS lo_rk
+        FROM gstat),
+      seeds AS (
+        SELECT source AS node,
+          CASE WHEN hi_rk <= 3 THEN 'hi' ELSE 'lo' END AS label
+        FROM grk WHERE hi_rk <= 3 OR lo_rk <= 3),
+      ${graft.ops.Graph.labelPropagateSql(3)},
+      comm AS (
+        SELECT node, COALESCE(label, 'none') AS label FROM lpout),
+      ${graft.ops.Graph.conductanceSql}
+      SELECT label, vol, cut, phi FROM condout ORDER BY label"""))
+
+  def queries: Seq[Q] = Seq(q221, q239, q245)
 }
