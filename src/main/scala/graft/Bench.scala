@@ -245,9 +245,11 @@ object Bench {
     "q240_weighted_label_propagation", "q243_onion_layers",
     // r12: q237/q238/q241 get measured tier rows (the r11 exclusion
     // argued by shape-analogy; the r11 verdict asked for data) — they
-    // run in BOTH tiers. q244 (Louvain convergence) is full-tier only:
-    // it is a bounded LOOP over q235's sweep and q242's contract —
-    // shapes the slim tier already times every round.
+    // run in BOTH tiers. q244 (Louvain to convergence, r13) is
+    // full-tier only: a 20–30-round loop of the batch sweep + the
+    // q242 contract shape (measured 247 s median at 3× —
+    // BENCH_FULL_TIER_r13.json), per-round shapes the slim tier
+    // already times every round via q235/q242.
     "q237_pagerank_weighted", "q238_walk_ppmi", "q241_conductance",
     "q244_louvain_converge")
 
