@@ -251,7 +251,11 @@ object Bench {
     // BENCH_FULL_TIER_r13.json), per-round shapes the slim tier
     // already times every round via q235/q242.
     "q237_pagerank_weighted", "q238_walk_ppmi", "q241_conductance",
-    "q244_louvain_converge")
+    "q244_louvain_converge",
+    // r14: the γ = 3/2 resolution sweep — same per-sweep shape as
+    // q235/q244 but a 4-sweep static chain; its tier row shows whether
+    // the γ-scaled prefix bound changes the acceptance volume's growth
+    "q246_louvain_resolution")
 
   /** The DEFAULT tier (r11 verdict #1): the driver's unattended run
     * must fit its 1-hour wall budget — the r11 suite structurally
@@ -681,6 +685,29 @@ object Bench {
           }
           phase("shuffle") {
             parts += s""""shuffle":${scaleShuffleJson(spark, scaleDir, heavy)}"""
+          }
+          // q244 sweep-count telemetry (r13 verdict #4): the quantity
+          // that decides 100 TB feasibility for a convergence loop is
+          // how the SWEEP HORIZON grows with graph size, not the wall
+          // time — emit per-level sweep counts at both scales the full
+          // tier touches (1× = sfDir, copies× = scaleDir). One extra
+          // materialization of the q244 frame per scale; the output
+          // frame already carries (level, sweep), so the counts are an
+          // agg away.
+          if (tierMode == "full") phase("louvain_sweeps") {
+            import org.apache.spark.sql.functions.{col, max}
+            val q244 = SparkEntry.queries("q244_louvain_converge")
+            val secs = Seq("x1" -> sfDir, s"x$scaleCopies" -> scaleDir)
+              .map { case (tag, dir) =>
+                val lv = q244(spark, dir)
+                  .groupBy(col("level"))
+                  .agg(max(col("sweep")).as("sweeps"))
+                  .collect()
+                  .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+                s""""$tag":{${lv.map { case (l, s) => s""""$l":$s""" }
+                  .mkString(",")}}"""
+              }
+            parts += s""""louvain_sweeps":{${secs.mkString(",")}}"""
           }
         }
         val composed = new StringBuilder

@@ -424,6 +424,34 @@ object CorpusPipelineV2 {
     * The PSI reference stays the RAW corpus (the v3 convention: the
     * drift gate must see what the gates did to the tail). Returns
     * (chunk frame, audit frame). */
+  /** Per-tier conductance rows for the v4 audit frame (r11 verdict
+    * #5): φ of each propagated quality tier over the SAME affinity
+    * graph the gates ran on — the tier gate halves documents on the
+    * propagated labels, so the audit frame must say whether those
+    * labels trace real graph structure (Graph.conductance; Leskovec
+    * '09 NCP). φ = 1 means the tier has zero internal edges — the
+    * diffusion stamped a label across pure boundary and the gate is
+    * acting on noise; that is one fail. The OTHER fail is the
+    * degenerate partition (r13 advice): a labeling that stamps every
+    * graph source into ONE tier has no boundary at all, so
+    * Graph.conductance reports φ = 0 (min(vol, rest) = 0 — nothing to
+    * score) — passing that row would let "labels trace no structure"
+    * masquerade as a perfect boundary, so pass additionally requires
+    * the tier's volume to be a strict SUBSET of the graph's
+    * (vol < Σvol). Cost: one label-attach join pair + a
+    * tier-count-sized groupBy + a tier-count-sized re-agg on the
+    * host-sized graph — invisible beside the pipeline stages.
+    * Output: (check='conductance', key=tier, value=φ, pass). */
+  def conductanceAudit(edges: DataFrame, tiers: DataFrame): DataFrame = {
+    val phi = Graph.conductance(edges,
+      tiers.select(col("source").as("node"),
+        coalesce(col("tier"), lit("none")).as("label")))
+    phi.crossJoin(broadcast(phi.agg(sum(col("vol")).as("vol_all"))))
+      .select(lit("conductance").as("check"), col("label").as("key"),
+        col("phi").cast("double").as("value"),
+        (col("phi") < 1.0 && col("vol") < col("vol_all")).as("pass"))
+  }
+
   def buildAndAuditTierGated(docs: DataFrame): (DataFrame, DataFrame) = {
     val edges = sourceAffinityEdges(docs).localCheckpoint(true)
     val pr = Graph.pageRank(edges, iters = 3).localCheckpoint(true)
@@ -454,21 +482,7 @@ object CorpusPipelineV2 {
         .when(col("tier") === "lo", 0.0)
         .otherwise(-1.0).as("value"),
       coalesce(col("tier") =!= "lo", lit(true)).as("pass"))
-    // per-tier conductance over the SAME affinity graph (r11 verdict
-    // #5): the tier gate halves documents on the propagated labels, so
-    // the audit frame must say whether those labels trace real graph
-    // structure — φ(tier) reads each tier's boundary directly
-    // (Graph.conductance; Leskovec '09 NCP). φ = 1 means the tier has
-    // zero internal edges — the diffusion stamped a label across pure
-    // boundary and the gate is acting on noise; that is the fail.
-    // Cost: one more label-attach join pair + a 3-row groupBy on the
-    // HOSTS-sized graph — invisible beside the pipeline stages.
-    val phiAudit = Graph.conductance(edges,
-        tiers.select(col("source").as("node"),
-          coalesce(col("tier"), lit("none")).as("label")))
-      .select(lit("conductance").as("check"), col("label").as("key"),
-        col("phi").cast("double").as("value"),
-        (col("phi") < 1.0).as("pass"))
+    val phiAudit = conductanceAudit(edges, tiers)
     val st = stages(gated, checkpoint = true)
     val kept = st.kept.localCheckpoint(true)
     (buildFromKept(kept),

@@ -357,11 +357,14 @@ object TextOps {
       // m = min(N(h)); attach h and its other small neighbors to m
       val sMins = large.groupBy(col("s")).agg(min(col("d")).as("m"))
       val withM = large.join(sMins, Seq("s"))
-      val next = canon(
+      // Iterate.cut, not bare localCheckpoint: `next` becomes `cur`
+      // for the next alternation's joins, so an unclamped size
+      // estimate would compound across rounds (the r13 BigInteger
+      // stall class — see Iterate.scala)
+      val next = Iterate.cut(canon(
         withM.filter(col("d") =!= col("m"))
           .select(col("d").as("s"), col("m").as("d"))
-          .unionByName(withM.select(col("s"), col("m").as("d"))))
-        .localCheckpoint(true)
+          .unionByName(withM.select(col("s"), col("m").as("d")))))
       // cheap monotone pre-check (one aggregate on the checkpointed
       // edge frame); only a stable (count, Σs, Σd) triple pays for the
       // EXACT set-equality confirmation — correctness never rides on

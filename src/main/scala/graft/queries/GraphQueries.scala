@@ -1338,7 +1338,10 @@ object GraphQueries extends QueryGroup {
     * / level 4 (sf0.1) — the caps are safety bounds just past the
     * measured horizon. They exist because the oracle must be a STATIC
     * chain (DuckDB cannot loop) and the Spark loop must stop at
-    * exactly the same horizon if a future dataset converges slower. */
+    * exactly the same horizon if a future dataset converges slower —
+    * and since r14 a cap hit with moves still accepted RAISES inside
+    * Graph.louvainConverge instead of silently emitting a frame
+    * without its n_moved = 0 witness (r13 verdict #2). */
   private val LouvainS = 32
   private val LouvainL = 4
 
@@ -1389,64 +1392,13 @@ object GraphQueries extends QueryGroup {
       val fwd = eo.select(
         concat(lit("s"), $"sk".cast("string")).as("src"),
         concat(lit("c"), $"ck".cast("string")).as("dst"))
-      var ew = graft.ops.Iterate.cut(fwd.unionByName(
+      val ew = graft.ops.Iterate.cut(fwd.unionByName(
           fwd.select($"dst".as("src"), $"src".as("dst")))
         .withColumn("w", lit(1L)))
-      val out = scala.collection.mutable.ArrayBuffer.empty[
-        org.apache.spark.sql.DataFrame]
-      var level = 1
-      var levelMoved = -1L
-      while (level <= LouvainL && levelMoved != 0L) {
-        // per-sweep checkpoints live until the level's tagged union
-        // materializes, then release in one batch (Iterate discipline;
-        // ew / labT stay persisted — the lazy output frame reads them)
-        val cps = scala.collection.mutable.ArrayBuffer.empty[
-          org.apache.spark.sql.DataFrame]
-        var comm = graft.ops.Iterate.cut(
-          ew.select($"src".as("node")).distinct()
-            .select($"node", $"node".as("label")))
-        cps += comm
-        // every sweep's labels accumulate under their sweep tag; the
-        // per-sweep n_moved count doubles as the loop condition, so
-        // the output frame and the control flow read the same joins
-        var lab = comm.withColumn("sweep", lit(0L))
-        var sweep = 0
-        var moved = -1L
-        levelMoved = 0L
-        while (moved != 0L && sweep < LouvainS) {
-          val next = graft.ops.Iterate.cut(
-            Graph.louvainMoveBatch(ew, comm, LouvainMinGainDen))
-          cps += next
-          moved = next
-            .join(comm.select($"node", $"label".as("prev")), Seq("node"))
-            .filter($"label" =!= $"prev").count()
-          sweep += 1
-          levelMoved += moved
-          lab = lab.unionByName(next.withColumn("sweep", lit(sweep.toLong)))
-          comm = next
-        }
-        val labT = graft.ops.Iterate.cut(lab) // the level's lineage cut
-        val ewLevel = ew // the frame this level's sweeps and Q ran on
-        if (levelMoved != 0L && level < LouvainL)
-          ew = graft.ops.Iterate.cut(Graph.contractWeighted(ewLevel, comm))
-        cps.foreach(graft.ops.Iterate.release)
-        val nc = labT.groupBy($"sweep")
-          .agg(countDistinct($"label").as("n_comms"))
-        val mv = labT.join(
-            labT.select(($"sweep" + 1).as("sweep"), $"node",
-              $"label".as("prev")), Seq("sweep", "node"))
-          .groupBy($"sweep")
-          .agg(sum(when($"label" =!= $"prev", 1L).otherwise(0L))
-            .as("n_moved"))
-        val qs = Graph.modularityWeightedAllTagged(ewLevel,
-          labT.select($"sweep".as("tag"), $"node", $"label"))
-        out += nc.join(mv, Seq("sweep"), "left")
-          .join(qs.select($"tag".as("sweep"), $"q"), Seq("sweep"))
-          .select(lit(level.toLong).as("level"), $"sweep", $"n_comms",
-            coalesce($"n_moved", lit(0L)).as("n_moved"), $"q")
-        level += 1
-      }
-      out.reduce(_ unionByName _).orderBy($"level", $"sweep")
+      // the loop itself lives in Graph.louvainConverge (r13 verdict
+      // #2): it RAISES if either cap is hit with moves still accepted,
+      // so the emitted frame always carries its n_moved=0 witness
+      Graph.louvainConverge(ew, LouvainS, LouvainL, LouvainMinGainDen)
     },
     Some(q244Sql(LouvainS, LouvainL)))
 
@@ -1523,8 +1475,122 @@ object GraphQueries extends QueryGroup {
     sb.result()
   }
 
+  /** Resolution parameter for q246: γ = 3/2 (Reichardt & Bornholdt
+    * '06) — strictly inside the classic-modularity γ = 1 and far from
+    * degenerate, so the sweep trajectory visibly diverges from q244's
+    * level-1 rows (more, smaller communities) while every score stays
+    * all-integer (the γ factors multiply through the common
+    * denominator — Graph.louvainMoveBatch's doc). */
+  private val LouvainGammaNum = 3L
+  private val LouvainGammaDen = 2L
+  private val GammaSweeps = 4
+
+  /** Resolution-parameter Louvain (γ = 3/2): a STATIC chain of
+    * [[Graph.louvainMoveBatch]] sweeps from singletons on the same
+    * supplier–customer affiliation graph as q244 — the γ ≠ 1 member of
+    * the community layer's public API (r13 verdict #7). Static, not
+    * convergence-gated: both engines run exactly `GammaSweeps` sweeps
+    * (a post-convergence sweep is the identity, so no gating is needed
+    * for the row sets to agree), which also keeps the whole query free
+    * of driver-side actions beyond the per-sweep lineage cuts. The
+    * γ = 1 collapse (identical plan and identical oracle text to the
+    * unparameterized sweep) is pinned in GraphSpec. Output: one row
+    * per sweep (sweep, n_comms, n_moved) — the trajectory fingerprint;
+    * at γ = 3/2 the partition stays strictly finer than q244's level-1
+    * result because the doubled degree-product penalty rejects the
+    * coarsest merges. */
+  private val q246 = Q(
+    "q246_louvain_resolution",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val ew = graft.ops.Iterate.cut(fwd.unionByName(
+          fwd.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("w", lit(1L)))
+      val cps = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      var comm = graft.ops.Iterate.cut(
+        ew.select($"src".as("node")).distinct()
+          .select($"node", $"node".as("label")))
+      cps += comm
+      var lab = comm.withColumn("sweep", lit(0L))
+      for (k <- 1 to GammaSweeps) {
+        val next = graft.ops.Iterate.cut(Graph.louvainMoveBatch(
+          ew, comm, LouvainMinGainDen, LouvainGammaNum, LouvainGammaDen))
+        cps += next
+        lab = lab.unionByName(next.withColumn("sweep", lit(k.toLong)))
+        comm = next
+      }
+      val labT = graft.ops.Iterate.cut(lab)
+      cps.foreach(graft.ops.Iterate.release)
+      val nc = labT.groupBy($"sweep")
+        .agg(countDistinct($"label").as("n_comms"))
+      val mv = labT.join(
+          labT.select(($"sweep" + 1).as("sweep"), $"node",
+            $"label".as("prev")), Seq("sweep", "node"))
+        .groupBy($"sweep")
+        .agg(sum(when($"label" =!= $"prev", 1L).otherwise(0L))
+          .as("n_moved"))
+      nc.join(mv, Seq("sweep"), "left")
+        .select($"sweep", $"n_comms",
+          coalesce($"n_moved", lit(0L)).as("n_moved"))
+        .orderBy($"sweep")
+    },
+    Some(q246Sql(GammaSweeps)))
+
+  /** The q246 oracle: the identical static sweep chain in DuckDB —
+    * Graph.louvainMoveBatchSql with the same γ, no gating (both sides
+    * run every sweep). */
+  private def q246Sql(s: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e1 AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst,
+               CAST(1 AS BIGINT) AS w FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR),
+               CAST(1 AS BIGINT)
+        FROM eo),
+      lv1_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e1),"""
+    for (k <- 1 to s) {
+      sb ++= Graph.louvainMoveBatchSql("e1", s"lv1_${k - 1}",
+        s"_1_$k", LouvainMinGainDen, LouvainGammaNum, LouvainGammaDen) + ","
+      sb ++= s"""
+      lv1_$k AS MATERIALIZED (
+        SELECT node, label FROM blvout_1_$k),
+      mv1_$k AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM lv1_${k - 1} b JOIN lv1_$k a
+          ON b.node = a.node AND b.label <> a.label)${
+        if (k < s) "," else ""}"""
+    }
+    val rows = for (k <- 0 to s) yield {
+      val nm = if (k == 0) "CAST(0 AS BIGINT)"
+        else s"(SELECT n FROM mv1_$k)"
+      s"""
+      SELECT CAST($k AS BIGINT) AS sweep,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM lv1_$k)
+          AS n_comms,
+        $nm AS n_moved"""
+    }
+    sb ++= rows.mkString("", "\n      UNION ALL", "")
+    sb ++= "\n      ORDER BY sweep"
+    sb.result()
+  }
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242, q243, q244)
+      q240, q241, q242, q243, q244, q246)
 }

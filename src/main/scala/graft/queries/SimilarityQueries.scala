@@ -1263,10 +1263,10 @@ object SimilarityQueries extends QueryGroup {
           Similarity.sqDistExact("emb", "cemb").as("d")))
       graft.ops.Iterate.release(first)
       for (step <- 2 to k) {
-        val pick = mind
+        // Iterate.cut: structural loop discipline (IterateDisciplineSpec)
+        val pick = graft.ops.Iterate.cut(mind
           .join(picks.select($"id"), Seq("id"), "left_anti")
-          .orderBy($"d".desc, $"id".asc).limit(1)
-          .localCheckpoint(true)
+          .orderBy($"d".desc, $"id".asc).limit(1))
         picks = picksRoll.next(picks.unionByName(pick.select($"id",
           lit(step.toLong).as("pick_order"), $"d".as("min_dist2"))))
         if (step < k)
@@ -1330,13 +1330,13 @@ object SimilarityQueries extends QueryGroup {
         val cand =
           if (picks == null) base
           else base.join(picks.select($"cid"), Seq("cid"), "left_anti")
-        val pick = cand.groupBy($"cid")
+        // Iterate.cut: structural loop discipline (IterateDisciplineSpec)
+        val pick = graft.ops.Iterate.cut(cand.groupBy($"cid")
           .agg(sum(greatest($"sim" - $"cur", lit(0.0))
             .cast("decimal(18,6)")).as("g"))
           .orderBy($"g".desc, $"cid".asc).limit(1)
           .select($"cid", lit(step.toLong).as("pick_order"),
-            $"g".cast("double").as("gain"))
-          .localCheckpoint(true)
+            $"g".cast("double").as("gain")))
         picks = picksRoll.next(
           if (picks == null) pick else picks.unionByName(pick))
         val pickSims = sims

@@ -35,19 +35,30 @@ object GraftSqlBridge {
     * while leaving SANE estimates — and therefore every auto
     * -broadcast decision on genuinely small frames — bit-identical.
     * Same RDD, same attributes: the release discipline still sees the
-    * checkpointed blocks. */
+    * checkpointed blocks. ONLY sizeInBytes changes on the clamped path
+    * (r13 advice): rowCount / attributeStats / isRuntime carry over
+    * from the origin Statistics, and the origin CONSTRAINT set rides
+    * through via the rebuilt node's originConstraints (LogicalRDD's
+    * `constraints` override reads it; `lr.constraints` is exactly the
+    * effective origin set, already filtered to the node's output, so
+    * re-wrapping it is idempotent) — a clamped checkpoint keeps every
+    * notNull/isNotNull fact an unclamped one would propagate. */
   def clampCheckpointStats(df: DataFrame): DataFrame =
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD
           if lr.computeStats().sizeInBytes > MaxCheckpointSizeEstimate =>
+        val st = lr.computeStats()
         ofRows(df.sparkSession,
           new org.apache.spark.sql.execution.LogicalRDD(
             lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
             lr.isStreaming, lr.stream)(
             df.sparkSession.asInstanceOf[classic.SparkSession],
             scala.Some(org.apache.spark.sql.catalyst.plans.logical
-              .Statistics(sizeInBytes = MaxCheckpointSizeEstimate)),
-            scala.None))
+              .Statistics(sizeInBytes = MaxCheckpointSizeEstimate,
+                rowCount = st.rowCount,
+                attributeStats = st.attributeStats,
+                isRuntime = st.isRuntime)),
+            scala.Some(lr.constraints)))
       case _ => df
     }
 

@@ -298,6 +298,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(chunkDocs.subsetOf(rankOnly))
   }
 
+  test("conductanceAudit: a degenerate one-tier labeling cannot pass on phi = 0") {
+    // φ = 0 means EITHER a perfectly separated tier (cut = 0 with a
+    // real boundary available) OR no boundary at all (min(vol, rest)
+    // = 0 — every graph source stamped into one tier). The first is
+    // the best possible audit outcome; the second is the
+    // labels-trace-no-structure failure mode and must NOT pass (r13
+    // advice): pass additionally requires vol < Σvol.
+    val fwd = Seq(("s1", "s2"), ("s3", "s4")).toDF("src", "dst")
+    val edges = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    def tiersOf(pairs: (String, String)*) =
+      pairs.toDF("source", "tier")
+    // degenerate: everything 'hi' — one row, phi = 0, pass = false
+    val degen = graft.ops.CorpusPipelineV2.conductanceAudit(edges,
+        tiersOf("s1" -> "hi", "s2" -> "hi", "s3" -> "hi", "s4" -> "hi"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(degen.toSeq == Seq(("hi", 0.0, false)), degen.mkString(", "))
+    // genuinely separated tiers: phi = 0 on both sides, pass = true
+    val split = graft.ops.CorpusPipelineV2.conductanceAudit(edges,
+        tiersOf("s1" -> "hi", "s2" -> "hi", "s3" -> "lo", "s4" -> "lo"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(split.toSeq == Seq(("hi", 0.0, true), ("lo", 0.0, true)),
+      split.mkString(", "))
+    // porous boundary: all cross edges — phi = 1 fails as before
+    val porous = graft.ops.CorpusPipelineV2.conductanceAudit(edges,
+        tiersOf("s1" -> "hi", "s2" -> "lo", "s3" -> "hi", "s4" -> "lo"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(porous.toSeq == Seq(("hi", 1.0, false), ("lo", 1.0, false)),
+      porous.mkString(", "))
+  }
+
   test("v2 composed plan: no cartesian, anti joins survive, offsets broadcast") {
     // checkpoint = false: the PURE plan — a stage-boundary barrier
     // would truncate the visible DAG and hide the upstream join shapes

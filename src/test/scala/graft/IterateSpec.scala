@@ -139,4 +139,36 @@ class IterateSpec extends SparkSpec {
     Iterate.release(clamped)
     Iterate.release(bare)
   }
+
+  test("clamp alters ONLY sizeInBytes: constraints and rowCount ride through") {
+    // r13 advice: the clamped LogicalRDD used to be rebuilt with
+    // originConstraints = None (and a Statistics carrying only
+    // sizeInBytes), so a clamped checkpoint silently lost the
+    // constraint propagation an unclamped one keeps. Pin the contract:
+    // everything except sizeInBytes is preserved bit-for-bit.
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.functions.col
+    def round(df: org.apache.spark.sql.DataFrame) =
+      df.as("a").join(df.as("b"), col("a.k") === col("b.k"))
+        .select(col("a.k").as("k"))
+    // the filter plants a constraint (k > 0, isnotnull(k)) that the
+    // checkpoint captures as originConstraints
+    var bare = Seq(1, 2, 3).toDF("k").filter($"k" > 0).localCheckpoint(true)
+    for (_ <- 1 to 8) bare = round(bare).localCheckpoint(true)
+    val lrBare = bare.queryExecution.logical.asInstanceOf[LogicalRDD]
+    // precondition: the estimate really is past the clamp bound
+    assert(lrBare.computeStats().sizeInBytes > BigInt(Long.MaxValue))
+    assert(lrBare.constraints.nonEmpty,
+      "fixture must carry a constraint through the checkpoint")
+    val clamped = GraftSqlBridge.clampCheckpointStats(bare)
+    val lrC = clamped.queryExecution.logical.asInstanceOf[LogicalRDD]
+    assert(lrC.computeStats().sizeInBytes <= BigInt(Long.MaxValue))
+    assert(lrC.constraints == lrBare.constraints,
+      s"clamp dropped constraints: ${lrC.constraints} vs ${lrBare.constraints}")
+    assert(lrC.computeStats().rowCount == lrBare.computeStats().rowCount)
+    assert(lrC.computeStats().attributeStats ==
+      lrBare.computeStats().attributeStats)
+    Iterate.release(clamped)
+  }
 }
