@@ -38,4 +38,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // forced GC pauses mid-query that showed up as 3-6x timing spikes on
   // individual bench queries between runs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A full bench run generates ~50k distinct JIT methods (one
+  // whole-stage-codegen class per stage per query x ~700 query
+  // executions); the JDK-17 default 240 MB code cache SATURATES its
+  // non-profiled (C2) heap ~45 min in (jcmd showed max_used == size,
+  // nmethods collapsing 50k -> 27k under sweeper flushes), after which
+  // generated-loop-dominated queries lose their top-tier code and run
+  // 3x slower PERSISTENTLY (r14: q240's tier median 13 s -> 35-38 s
+  // from pass 3 onward, both full-tier runs, host steal flat, plans
+  // and shuffle bytes bit-identical). Any long-lived Spark JVM running
+  // thousands of distinct codegen stages needs this headroom - the
+  // same tuning applies to real cluster executors at 100 TB.
+  "-XX:ReservedCodeCacheSize=512m",
 )

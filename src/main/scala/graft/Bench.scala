@@ -125,6 +125,13 @@ object Bench {
               case scala.util.control.NonFatal(_) => false
             }
           val dt = (System.nanoTime() - q0) / 1e9
+          // wall-clock-stamped progress on stderr (never the stdout
+          // tail): lets a sidecar monitor (CPU steal, code cache,
+          // metaspace) correlate a slow pass with the JVM/host state
+          // AT that moment — the r14 q240 slow-mode investigation
+          System.err.println(
+            s"[bench-progress] ${System.currentTimeMillis()} p$p " +
+              s"${named(i)._1} ${fmt(dt)}")
           sweepBlocks(spark, before)
           if (p > 0 || !ok)
             runs(i) :+= (if (ok) dt else -1.0)
