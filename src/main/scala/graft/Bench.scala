@@ -39,6 +39,38 @@ object Bench {
   private def fmt(v: Double): String =
     if (v < 0) "-1" else String.format(Locale.ROOT, "%.2f", Double.box(v))
 
+  /** Pure widen adjudication plan (r14 verdict #1c — the unbounded
+    * widen rule converted a disturbed host's noise into the driver
+    * timeout). Input: each row's kept healthy runs. A row is noisy
+    * when its spread clears the health bar (max/min > 2) above the
+    * 0.5 s jitter floor. Of the noisy rows:
+    *  - rows whose MEDIAN exceeds `skipAboveS` are never widened —
+    *    re-running a 60 s row three times buys 3 wall-minutes to
+    *    adjudicate noise the median already out-votes;
+    *  - the rest are widened in ascending-median order until the
+    *    estimated extra wall (2 timed passes ≈ 2× median each)
+    *    exceeds `wallCapS` — the cheapest rows (where 2 extra passes
+    *    actually move the median) win the budget.
+    * Returns (widen order, skipped) as indices into `runs`. */
+  private[graft] def widenPlan(runs: Seq[Vector[Double]],
+      skipAboveS: Double, wallCapS: Double): (Seq[Int], Seq[Int]) = {
+    val noisy = runs.indices.filter { i =>
+      val ok = runs(i).filter(_ > 0)
+      // a crashed row (-1 present) reports -1 whatever the spread —
+      // extra passes can't change that, so it is never a candidate
+      !runs(i).contains(-1.0) &&
+        ok.nonEmpty && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 2.0
+    }
+    val (tooSlow, eligible) = noisy.partition(i => median(runs(i)) > skipAboveS)
+    val ordered = eligible.sortBy(i => median(runs(i)))
+    var spent = 0.0
+    val (take, dropped) = ordered.partition { i =>
+      val est = 2.0 * math.max(median(runs(i)), 0.0)
+      if (spent + est <= wallCapS) { spent += est; true } else false
+    }
+    (take, tooSlow ++ dropped)
+  }
+
   /** Round-robin timed sweeps through the noop sink (materializes every
     * output row/column; a count() would let Catalyst prune the measured
     * projections). Single-shot timing cannot tell a real regression
@@ -87,6 +119,41 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Used bytes across the three CodeHeap pools, MB — the r14
+    * code-cache-saturation signal (C2 heap max_used == size ⟹ the 3×
+    * slow mode). Stamped on every progress line so a killed run's
+    * stderr tail alone says whether a slow pass coincided with a full
+    * code cache. -1 when the pools can't be read. */
+  private def codeCacheUsedMb: Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Host 1-minute load average (/proc/loadavg) — the contended-host
+    * signal the r14 driver-environment slow mode needs to separate
+    * from JVM pathology. "-1" when unreadable. */
+  private def load1: String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0) finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => "-1" }
+
+  /** Cumulative steal jiffies from /proc/stat's aggregate cpu line
+    * (field 8 after the "cpu" token) — a rising delta between progress
+    * lines means the hypervisor took the cores mid-pass. -1 when
+    * unreadable (non-Linux). */
+  private def stealJiffies: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** Recursive byte size of this JVM's shuffle/block spill dirs
     * (blockmgr-* under java.io.tmpdir) — the on-disk residue a pass
     * leaves behind. Cheap: thousands of files at most. */
@@ -100,18 +167,41 @@ object Bench {
       .filter(_.getName.startsWith("blockmgr")).map(sz).sum
   }
 
+  /** Records which budget check fired first ("" = none): the detail
+    * file and both summary lines attach the marker, so a driver run
+    * that ran out of wall still ships a parseable, attributable
+    * artifact (r14's rc=124 / parsed:null — verdict #1). */
+  private val budgetHit =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def overBudget(deadlineNs: Long): Boolean =
+    deadlineNs > 0 && System.nanoTime() > deadlineNs
+  /** True (and records `where`, first writer wins) when past deadline. */
+  private def tripBudget(where: String, deadlineNs: Long): Boolean =
+    if (overBudget(deadlineNs)) { budgetHit.compareAndSet(null, where); true }
+    else false
+
   private def timePasses(spark: SparkSession, sfDir: String,
       named: Seq[(String, (SparkSession, String) => DataFrame)],
       passes: Int,
-      health: scala.collection.mutable.ArrayBuffer[String] = null)
+      health: scala.collection.mutable.ArrayBuffer[String] = null,
+      warmup: Boolean = true,
+      deadlineNs: Long = 0L)
       : Array[Vector[Double]] = {
     val runs = Array.fill(named.size)(Vector.empty[Double])
-    for (p <- 0 to passes) {
+    // warmup=false: the rows just ran (stabilize/widen extras) — their
+    // code is JIT'd and their inputs page-cached; paying another
+    // untimed pass would double the cost of every adjudication pass
+    for (p <- (if (warmup) 0 else 1) to passes) {
       val gc0 = totalGcMs
       val t0 = System.nanoTime()
       for (i <- named.indices) {
         val (_, fn) = named(i)
-        if (!runs(i).lastOption.contains(-1.0)) { // a crash won't un-crash
+        // budget check BETWEEN queries (r14 verdict #1b): a pass that
+        // would overrun the driver's wall window stops here — medians
+        // come from the passes already kept, and the summary line
+        // ships with the budget marker instead of dying rc=124
+        if (!runs(i).lastOption.contains(-1.0) && // a crash won't un-crash
+            !tripBudget(s"pass_p$p", deadlineNs)) {
           val before = persistedIds(spark)
           val q0 = System.nanoTime()
           // swallow only NonFatal (r12 advice): an interrupted pass
@@ -126,12 +216,16 @@ object Bench {
             }
           val dt = (System.nanoTime() - q0) / 1e9
           // wall-clock-stamped progress on stderr (never the stdout
-          // tail): lets a sidecar monitor (CPU steal, code cache,
-          // metaspace) correlate a slow pass with the JVM/host state
-          // AT that moment — the r14 q240 slow-mode investigation
+          // tail), carrying the JVM/host state AT that moment (r14
+          // verdict #2/#3): code-cache residency (the saturation slow
+          // mode), heap, host load and cumulative steal — a killed
+          // run's stderr tail alone now says WHY a pass was slow
           System.err.println(
             s"[bench-progress] ${System.currentTimeMillis()} p$p " +
-              s"${named(i)._1} ${fmt(dt)}")
+              s"${named(i)._1} ${fmt(dt)} cc=${codeCacheUsedMb}m " +
+              s"heap=${(Runtime.getRuntime.totalMemory -
+                Runtime.getRuntime.freeMemory) / (1024 * 1024)}m " +
+              s"load=$load1 steal=$stealJiffies")
           sweepBlocks(spark, before)
           if (p > 0 || !ok)
             runs(i) :+= (if (ok) dt else -1.0)
@@ -148,7 +242,9 @@ object Bench {
           s""""gc_ms":${totalGcMs - gc0},""" +
           s""""heap_used_mb":${(rt.totalMemory - rt.freeMemory) / (1024 * 1024)},""" +
           s""""persisted_rdds":${persistedIds(spark).map(_.size).getOrElse(-1)},""" +
-          s""""blockdir_mb":${blockDirBytes / (1024 * 1024)}}"""
+          s""""blockdir_mb":${blockDirBytes / (1024 * 1024)},""" +
+          s""""codecache_mb":$codeCacheUsedMb,""" +
+          s""""load1":"$load1","steal_j":$stealJiffies}"""
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     runs
@@ -542,11 +638,29 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // base KEPT passes: 2 since r15 (r14 verdict #5 — 245 queries × 4
+    // sweeps ≈ 27 min of base wall before any tier work). Stable rows
+    // (the measured majority: 3-pass spread < 1.3× round over round)
+    // lose nothing to a median-of-2; rows whose 2 passes disagree by
+    // >1.3× get a third stabilizing pass, and rows over the 2× health
+    // bar still get the full widen adjudication below.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val scaleCopies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "3").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_tier")
+    // Wall-clock budget (r14 verdict #1 — the driver kills the bench
+    // at ~60 min and r14 died rc=124 with every measured number lost).
+    // Default 2700 s from main() entry: the driver window minus sbt
+    // startup/compile, minus slack for the one in-flight query a
+    // between-queries check can't preempt. Checked between passes'
+    // queries, between widen candidates, and between tier phases; when
+    // exceeded the run SKIPS remaining phases and ships what it has
+    // with a "budget_exceeded" marker. 0 disables (builder full-tier
+    // runs).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2700").toInt
+    val deadlineNs = if (budgetS <= 0) 0L else mainT0 + budgetS * 1000000000L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -570,13 +684,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // q244 runs Louvain TO CONVERGENCE (20–28 batch sweeps per level,
-    // ~85 s at sf0.1) — a bounded loop over exactly the sweep/contract
-    // shapes the slim tier re-times every round (q235/q242). Timing it
-    // in the base passes would add ~6 min to the driver's 1-hour
-    // budget for no new scaling signal, so the base section skips it;
-    // the FULL tier (SPARK_GRAFT_TIER=full) times it as its own row,
-    // and Verify/CORRECTNESS check it at sf0.01 like every query.
-    val baseSkip = Set("q244_louvain_converge")
+    // ~85 s at sf0.1) and q246 is its γ = 3/2 static-sweep sibling
+    // (~23 s — the slowest base row, ~1.5 min per run over the kept
+    // passes): both are loops over exactly the sweep/contract shapes
+    // the slim tier re-times every round (q235/q242), so timing them
+    // in the base passes spends driver budget for no new scaling
+    // signal (r14 verdict #5). The FULL tier (SPARK_GRAFT_TIER=full)
+    // times both as their own rows, and Verify/CORRECTNESS check them
+    // at sf0.01 like every query.
+    val baseSkip = Set("q244_louvain_converge", "q246_louvain_resolution")
     val allNamed = SparkEntry.queries.toSeq.sortBy(_._1)
     val named = only.fold(allNamed.filterNot(q => baseSkip(q._1)))(f =>
       allNamed.filter(q => f.exists(q._1.startsWith)))
@@ -588,34 +704,116 @@ object Bench {
     // Heavy-tail hygiene (r8 verdict #3): the untimed warm-up removes
     // the cold-read class, but HOST interference (another process
     // stealing the cores mid-pass) can still disturb one pass, and
-    // with 3 kept passes that outlier sits next to the median (r8's
+    // with few kept passes that outlier sits next to the median (r8's
     // q147: [2.22, 17.91, 8.23] reported 8.23 s — 4× its repeatable
     // cost). Queries whose kept passes spread max/min > 2 get two
-    // extra passes and report the median-of-5, so one disturbed pass
-    // can never be the p50 neighbor. The trigger matches the <2
+    // extra passes and report the median of all kept, so one disturbed
+    // pass can never be the p50 neighbor. The trigger matches the <2
     // max/median HEALTH BAR (the r13 full-tier run had 4 rows violate
     // the bar at max/min 2.2–2.8 while the old >3 trigger slept —
     // a widen rule the health bar can't invoke is no adjudicator).
     // Sub-0.5 s queries are exempt — their spread is JIT/GC jitter,
-    // not host interference.
+    // not host interference. Since r15 the rule is BOUNDED (verdict
+    // #1c): candidates run one at a time cheapest-first under a wall
+    // cap and a per-row median ceiling (widenPlan), and every extra
+    // pass checks the global deadline — a disturbed host now costs at
+    // most the cap, never the round's artifact.
+    val widenSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     def widen(runsIn: Array[Vector[Double]],
         namedIn: Seq[(String, (SparkSession, String) => DataFrame)],
         dir: String): Array[Vector[Double]] = {
-      val noisy = namedIn.indices.filter { i =>
-        val ok = runsIn(i).filter(_ > 0)
-        ok.nonEmpty && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 2.0
+      val (order, skipped) = widenPlan(runsIn.toIndexedSeq,
+        skipAboveS = 15.0, wallCapS = 240.0)
+      widenSkipped ++= skipped.map(namedIn(_)._1)
+      val out = runsIn.clone()
+      for (qi <- order) {
+        if (!tripBudget("widen", deadlineNs)) {
+          // warmup=false: the row ran minutes ago in the base passes —
+          // 2 timed passes here, not 1 untimed + 2 timed
+          val extra = timePasses(spark, dir, Seq(namedIn(qi)), 2,
+            warmup = false, deadlineNs = deadlineNs)
+          out(qi) = out(qi) ++ extra(0)
+        } else widenSkipped += namedIn(qi)._1
       }
-      if (noisy.isEmpty) runsIn
-      else {
-        val extra = timePasses(spark, dir, noisy.map(namedIn), 2)
-        val out = runsIn.clone()
-        noisy.zipWithIndex.foreach { case (qi, ei) =>
-          out(qi) = out(qi) ++ extra(ei) }
-        out
-      }
+      out
     }
-    val runs = widen(timePasses(spark, sfDir, named, passes), named, sfDir)
+    val baseHealth = scala.collection.mutable.ArrayBuffer.empty[String]
+    val baseRuns = timePasses(spark, sfDir, named, passes, baseHealth,
+      deadlineNs = deadlineNs)
+    // stabilize (r14 verdict #5): with 2 kept passes, rows whose two
+    // samples disagree by >1.3× (above the jitter floor) get ONE more
+    // interleaved pass, so the reported median is a real vote — the
+    // stable majority stays at 2 passes and the base section's wall
+    // drops by a full sweep
+    val unstable = named.indices.filter { i =>
+      val ok = baseRuns(i).filter(_ > 0)
+      ok.size >= 2 && ok.max > 0.5 && ok.max / math.max(ok.min, 1e-9) > 1.3
+    }
+    if (unstable.nonEmpty && !tripBudget("stabilize", deadlineNs)) {
+      val extra = timePasses(spark, sfDir, unstable.map(named),
+        1, warmup = false, deadlineNs = deadlineNs)
+      unstable.zipWithIndex.foreach { case (qi, ei) =>
+        baseRuns(qi) = baseRuns(qi) ++ extra(ei) }
+    }
+    val runs = widen(baseRuns, named, sfDir)
     val results = named.indices.map(i => named(i)._1 -> median(runs(i)))
+    // ---- EARLY, FAIL-SAFE EMISSION (r14 verdict #1a) ----
+    // Everything below prints BEFORE the tier starts: the base detail
+    // sidecar, the per-query median line, and a complete summary line.
+    // r14 emitted the summary only as the process's final line, after
+    // every optional tier/composed phase — the driver's wall-budget
+    // kill (rc=124) lost every already-measured number. Now a kill can
+    // only cost the tier extras; the round's artifact survives.
+    val detail = runsJson(named, runs)
+    val spread = spreadJson(named, runs)
+    def budgetJson: String = {
+      val hit = budgetHit.get
+      s""""budget":{"budget_s":$budgetS,"exceeded":${hit != null}""" +
+        (if (hit == null) ""
+         else s""","tripped_at":"${graft.io.Sink.jsonEscape(hit)}"""") + "}"
+    }
+    def widenSkippedJson: String =
+      s""""widen_skipped":[${widenSkipped.map("\"" + _ + "\"").mkString(",")}]"""
+    // incremental sidecar (r14 verdict #2): base section flushed to
+    // disk before the tier begins; the post-tier rewrite appends the
+    // scale/composed sections — a killed run still leaves a complete,
+    // parseable base artifact on disk. A filtered dev run must not
+    // overwrite the driver's full sidecar.
+    def writeDetail(scalePart: String): Unit = if (only.isEmpty) try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(s"""{"passes":$passes,"sf":"$sfDir","spread":$spread,""" +
+        s""""runs":$detail,"pass_health":[${baseHealth.mkString(",")}],""" +
+        s"""$widenSkippedJson,$budgetJson$scalePart}""")
+      finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    writeDetail("")
+    println(s"[bench-detail] $detail")
+    // The full per-query median map goes on its OWN line: with ~245
+    // queries it is ~4 KB, and the harness keeps only a bounded tail
+    // of stdout — r11/r12 both shipped `parsed: null` because the
+    // final line overflowed that tail and was captured mid-line.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"[bench-queries] $qs")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // The summary line is compact (≤ ~400 bytes): the suite total, the
+    // query count, and the medians of just the scale-tier headline
+    // rows — everything else lives in [bench-queries] above and in
+    // BENCH_DETAIL.json (runs, spreads, tier, shuffle, composed).
+    val headline = results.filter(r => slimTierQueries.contains(r._1))
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    def summaryLine(phaseTag: String): String = {
+      val hit = budgetHit.get
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"queries":$headline,""" +
+        s""""sf":"$sfDir","passes":$passes,"phase":"$phaseTag"""" +
+        (if (hit == null) "" else ""","budget_exceeded":true""") + "}"
+    }
+    // a complete summary NOW — if the driver kills the tier below,
+    // this line is the last complete JSON on stdout and parses
+    println(summaryLine("base"))
     // scale tier: replicate sf0.1 `scaleCopies`× into /tmp and re-time
     // the heavy set there — sf0.1 medians sit at the plan+codegen fixed
     // cost, so only the tier shows data-dependent regressions (and
@@ -638,6 +836,11 @@ object Bench {
             catch { case scala.util.control.NonFatal(_) => true }
           if (stopped) {
             errs += s""""$name":"skipped: SparkContext stopped""""; false
+          // budget check BETWEEN phases (r14 verdict #1b): past the
+          // deadline, remaining phases are skipped — what's measured
+          // ships, with the skip recorded per phase
+          } else if (tripBudget(s"phase_$name", deadlineNs)) {
+            errs += s""""$name":"skipped: budget_exceeded""""; false
           } else try { body; true }
           catch {
             // swallow only NonFatal (r12 advice): an interrupt restores
@@ -684,7 +887,8 @@ object Bench {
             // extra passes and report the median-of-5, so one
             // disturbed pass can never sit next to the median.
             val sruns = widen(
-              timePasses(spark, scaleDir, heavy, tierPasses, tierHealth),
+              timePasses(spark, scaleDir, heavy, tierPasses, tierHealth,
+                deadlineNs = deadlineNs),
               heavy, scaleDir)
             parts += s""""spread":${spreadJson(heavy, sruns)}"""
             parts += s""""runs":${runsJson(heavy, sruns)}"""
@@ -744,40 +948,15 @@ object Bench {
            else Seq(s""""errors":{${errs.mkString(",")}}"""))
         s""","scale":{${head.mkString(",")}}""" + composed.result()
       }
-    // Full per-run detail goes to a sidecar file (and early stdout): the
-    // harness only keeps a bounded tail of stdout, so the final line must
-    // stay compact — medians only, keyed by qNN prefix.
-    val detail = runsJson(named, runs)
-    val spread = spreadJson(named, runs)
-    // a filtered dev run must not overwrite the driver's full sidecar
-    if (only.isEmpty) try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
-      try w.println(s"""{"passes":$passes,"sf":"$sfDir","spread":$spread,""" +
-        s""""runs":$detail$scaleSection}""")
-      finally w.close()
-    } catch { case scala.util.control.NonFatal(_) => () }
-    println(s"[bench-detail] $detail")
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // The full per-query median map goes on its OWN line: with 243
-    // queries it is ~4 KB, and the harness keeps only a bounded tail
-    // of stdout — r11/r12 both shipped `parsed: null` because the
-    // final line overflowed that tail and was captured mid-line.
-    println(s"[bench-queries] $qs")
-    // The LAST line is compact (≤ ~400 bytes): the suite total, the
-    // query count, and the medians of just the scale-tier headline
-    // rows — everything else lives in [bench-queries] above and in
-    // BENCH_DETAIL.json (runs, spreads, tier, shuffle, composed).
-    val headline = results.filter(r => slimTierQueries.contains(r._1))
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headline,"sf":"$sfDir","passes":$passes}"""
+    // post-tier rewrite: the same base sections plus the scale/composed
+    // results (and the final budget state — a mid-tier trip is visible)
+    writeDetail(scaleSection)
     // stop BEFORE printing: executor/shutdown log lines must not land
     // after the JSON line and push it out of the harness's stdout tail
     spark.stop()
-    println(line)
+    // the updated final line — identical medians to the "base" line
+    // (the tier never changes the base medians), now marked complete;
+    // whichever line is last on a given run's stdout parses
+    println(summaryLine("final"))
   }
 }
