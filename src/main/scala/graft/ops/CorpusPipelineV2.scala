@@ -413,17 +413,6 @@ object CorpusPipelineV2 {
     (gated, audit)
   }
 
-  /** v4 composition: BOTH graph gates — rank ([[rankGate]] semantics)
-    * and tier ([[tierGate]]) — feed the full v2 pipeline, with the
-    * source affinity graph built ONCE (one line scan + one pair join
-    * serves PageRank and label propagation), both verdict frames
-    * broadcast host-sized, and the document filter applied in ONE
-    * pass over docs. Audit frame = leakage + PSI + rank_gate +
-    * tier_gate + per-tier conductance rows — per-tier attribution and
-    * boundary quality for the promotion record.
-    * The PSI reference stays the RAW corpus (the v3 convention: the
-    * drift gate must see what the gates did to the tail). Returns
-    * (chunk frame, audit frame). */
   /** Per-tier conductance rows for the v4 audit frame (r11 verdict
     * #5): φ of each propagated quality tier over the SAME affinity
     * graph the gates ran on — the tier gate halves documents on the
@@ -452,6 +441,17 @@ object CorpusPipelineV2 {
         (col("phi") < 1.0 && col("vol") < col("vol_all")).as("pass"))
   }
 
+  /** v4 composition: BOTH graph gates — rank ([[rankGate]] semantics)
+    * and tier ([[tierGate]]) — feed the full v2 pipeline, with the
+    * source affinity graph built ONCE (one line scan + one pair join
+    * serves PageRank and label propagation), both verdict frames
+    * broadcast host-sized, and the document filter applied in ONE
+    * pass over docs. Audit frame = leakage + PSI + rank_gate +
+    * tier_gate + per-tier conductance rows — per-tier attribution and
+    * boundary quality for the promotion record.
+    * The PSI reference stays the RAW corpus (the v3 convention: the
+    * drift gate must see what the gates did to the tail). Returns
+    * (chunk frame, audit frame). */
   def buildAndAuditTierGated(docs: DataFrame): (DataFrame, DataFrame) = {
     val edges = sourceAffinityEdges(docs).localCheckpoint(true)
     val pr = Graph.pageRank(edges, iters = 3).localCheckpoint(true)

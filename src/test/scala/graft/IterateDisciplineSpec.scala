@@ -60,7 +60,7 @@ class IterateDisciplineSpec extends AnyFunSuite {
         i = math.min(i + 1, src.length)
         blank(start, i)
       } else if (src(i) == '\'' && i + 2 < src.length &&
-          (src(i + 1) == '\\' && src(i + 3) == '\'' ||
+          (src(i + 1) == '\\' && i + 3 < src.length && src(i + 3) == '\'' ||
             src(i + 2) == '\'')) {
         // char literal ('x' or '\n') — NOT a symbol/quoted identifier
         val start = i
@@ -71,10 +71,16 @@ class IterateDisciplineSpec extends AnyFunSuite {
     new String(out)
   }
 
-  /** Body spans (inclusive start, exclusive end) of every while/for
-    * loop in comment-stripped source: the parenthesized or braced
-    * header group, the braced body after it, and a trailing
-    * `yield {...}` block if present. */
+  /** Body spans (inclusive start, exclusive end) of every while/for/
+    * do loop in comment-stripped source: the parenthesized or braced
+    * header group, then the braced body — or, for unbraced bodies
+    * (including `for ... yield` expressions and `do` bodies), the rest
+    * of the statement by the layout heuristic: the current line plus
+    * every following line indented DEEPER than the loop keyword's line
+    * (r14 advice: the old rest-of-line rule missed multi-line unbraced
+    * bodies, and do-while wasn't scanned at all). Over-approximating a
+    * span can only make the discipline stricter — the repo's own
+    * sources must still scan clean. */
   private[graft] def loopBodySpans(clean: String): Seq[(Int, Int)] = {
     def matchGroup(from: Int, open: Char, close: Char): Int = {
       var depth = 0; var j = from
@@ -90,26 +96,57 @@ class IterateDisciplineSpec extends AnyFunSuite {
       while (j < clean.length && clean(j).isWhitespace) j += 1
       j
     }
-    val kw = "\\b(while|for)\\s*[({]".r
-    kw.findAllMatchIn(clean).toSeq.map { m =>
-      val headStart = clean.indexWhere(c => c == '(' || c == '{', m.start)
-      val headEnd = matchGroup(headStart,
-        clean(headStart), if (clean(headStart) == '(') ')' else '}')
-      var end = headEnd
-      var cur = skipWs(headEnd)
-      if (cur < clean.length && clean(cur) == '{')
-        end = matchGroup(cur, '{', '}')
-      else {
-        // single-statement body: take the rest of the line
-        while (end < clean.length && clean(end) != '\n') end += 1
+    // indentation (leading-space count) of the line containing pos
+    def lineIndent(pos: Int): Int = {
+      val ls = clean.lastIndexOf('\n', math.max(pos - 1, 0)) + 1
+      var j = ls
+      while (j < clean.length && (clean(j) == ' ' || clean(j) == '\t')) j += 1
+      j - ls
+    }
+    // rest of the current line, plus every following non-blank line
+    // indented deeper than baseIndent — the unbraced-body heuristic
+    def continuation(from: Int, baseIndent: Int): Int = {
+      var end = from
+      while (end < clean.length && clean(end) != '\n') end += 1
+      var more = true
+      while (more && end < clean.length) {
+        val ls = end + 1
+        var k = ls
+        while (k < clean.length && (clean(k) == ' ' || clean(k) == '\t')) k += 1
+        if (k < clean.length && clean(k) != '\n' && (k - ls) > baseIndent) {
+          end = k
+          while (end < clean.length && clean(end) != '\n') end += 1
+        } else more = false
       }
-      cur = skipWs(end)
-      if (clean.startsWith("yield", cur)) {
-        cur = skipWs(cur + 5)
-        if (cur < clean.length && clean(cur) == '{')
-          end = matchGroup(cur, '{', '}')
+      end
+    }
+    val kw = "\\b(while|for|do)\\b".r
+    kw.findAllMatchIn(clean).toSeq.flatMap { m =>
+      val base = lineIndent(m.start)
+      if (m.group(1) == "do") {
+        // do { body } while (cond)  /  do stmt while (cond)
+        val cur = skipWs(m.end)
+        val end =
+          if (cur < clean.length && clean(cur) == '{')
+            matchGroup(cur, '{', '}')
+          else continuation(cur, base)
+        Some((m.start, end))
+      } else {
+        val headStart = clean.indexWhere(c => c == '(' || c == '{', m.start)
+        if (headStart < 0) None
+        else {
+          val headEnd = matchGroup(headStart,
+            clean(headStart), if (clean(headStart) == '(') ')' else '}')
+          var cur = skipWs(headEnd)
+          // `for ... yield expr` — the yield keyword precedes the body
+          if (clean.startsWith("yield", cur)) cur = skipWs(cur + 5)
+          val end =
+            if (cur < clean.length && clean(cur) == '{')
+              matchGroup(cur, '{', '}')
+            else continuation(cur, base)
+          Some((m.start, end))
+        }
       }
-      (m.start, end)
     }
   }
 
@@ -145,6 +182,47 @@ class IterateDisciplineSpec extends AnyFunSuite {
         }
       }"""
     assert(violations(badFor).nonEmpty, "single-line for body must be flagged")
+  }
+
+  test("scanner covers do-while bodies and unbraced multi-line yield expressions") {
+    val badDo = """
+      object D {
+        def f(df: DF): DF = {
+          var d = df
+          do {
+            d = step(d).localCheckpoint(true)
+          } while (d.count() > 0)
+          d
+        }
+      }"""
+    assert(violations(badDo).nonEmpty, "do-while body must be scanned")
+    val badYield = """
+      object E {
+        def g(df: DF): Seq[DF] =
+          for (i <- 1 to 8) yield
+            step(df, i)
+              .localCheckpoint(true)
+      }"""
+    assert(violations(badYield).nonEmpty,
+      "unbraced multi-line yield body must be scanned")
+    // the continuation heuristic must STOP at the first line back at
+    // the loop's indentation — a post-loop one-shot barrier stays legal
+    val after = """
+      object F {
+        def h(df: DF): DF = {
+          for (i <- 1 to 8)
+            touch(i)
+          df.localCheckpoint(true)
+        }
+      }"""
+    assert(violations(after).isEmpty, violations(after).toString)
+  }
+
+  test("stripNoise survives a source ending in a quote-backslash pair") {
+    // r14 advice: the escaped-char arm read src(i+3) guarded only by
+    // i+2 < length — a file ending '\ threw StringIndexOutOfBounds
+    val edge = "val x = 1 // tail\n'\\"
+    assert(stripNoise(edge).length == edge.length)
   }
 
   test("scanner passes pre-loop barriers, Iterate.cut loops, and commented mentions") {
