@@ -1341,8 +1341,20 @@ object GraphQueries extends QueryGroup {
     * exactly the same horizon if a future dataset converges slower —
     * and since r14 a cap hit with moves still accepted RAISES inside
     * Graph.louvainConverge instead of silently emitting a frame
-    * without its n_moved = 0 witness (r13 verdict #2). */
-  private val LouvainS = 32
+    * without its n_moved = 0 witness (r13 verdict #2).
+    *
+    * SIZING THE SWEEP CAP (r14 advice — the bump procedure): the full
+    * tier's `louvain_sweeps` telemetry section measures the level-1
+    * horizon at 1× and copies× every round (28 at both as of r14 —
+    * scale-invariant). Keep S ≥ ~1.4× the measured horizon; the only
+    * cost of a raise is the static DuckDB oracle chain, which is
+    * per-sweep-linear (measured 83 s at S=32·L=4 at sf0.01, so ~0.65
+    * s/sweep/level). S=40 buys 43% headroom for ~21 s of extra oracle
+    * wall. If telemetry ever shows the horizon within 1.2× of S, raise
+    * S here — BOTH engines change together; the emitted rows are
+    * movement-gated, so the output frame is invariant to S above the
+    * horizon. */
+  private val LouvainS = 40
   private val LouvainL = 4
 
   /** Scale-free convergence threshold for q244: a move must be worth
@@ -1589,8 +1601,143 @@ object GraphQueries extends QueryGroup {
     sb.result()
   }
 
+  /** Community-STABILITY audit (r14 verdict #7 — the one gap in the
+    * community layer's public API): how much do the partitions at two
+    * resolutions agree, as integer pair-counting statistics (the Rand
+    * -index decomposition; Rand '71, Hubert–Arabie '85 use exactly
+    * these four cells). Both sides run the SAME deterministic
+    * fixed-horizon contract as q246 — `GammaSweeps` static
+    * [[Graph.louvainMoveBatch]] sweeps from singletons on the
+    * supplier–customer affiliation graph — once at γ = 1 (classic
+    * modularity) and once at γ = 3/2 (the q246 resolution), and the
+    * final label frames join on node. Output is ONE all-integer row:
+    *   n_nodes, pairs_total = C(n,2),
+    *   same_both           (co-clustered under BOTH γ),
+    *   same_gamma1_only, same_gamma32_only (split by exactly one side),
+    *   same_neither        (separated under both);
+    * Rand = (same_both + same_neither) / pairs_total, and γ = 3/2
+    * strictly refining γ = 1 would show same_gamma32_only = 0. The
+    * pair counts come from the contingency sufficient statistics
+    * (Σ C(n_ij,2) over the |A|×|B| cell frame and Σ C(n_i,2) over each
+    * side's community sizes) — never from materializing node pairs, so
+    * the cost at 100 TB is the sweeps themselves plus community-count
+    * -sized aggregates. Integer-only (`div 2` on even products keeps
+    * every value exact BIGINT), so the cross-engine hash is exact. */
+  private val q247 = Q(
+    "q247_community_stability",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+      val fwd = eo.select(
+        concat(lit("s"), $"sk".cast("string")).as("src"),
+        concat(lit("c"), $"ck".cast("string")).as("dst"))
+      val ew = graft.ops.Iterate.cut(fwd.unionByName(
+          fwd.select($"dst".as("src"), $"src".as("dst")))
+        .withColumn("w", lit(1L)))
+      def finalLabels(gn: Long, gd: Long): DataFrame = {
+        var comm = graft.ops.Iterate.cut(
+          ew.select($"src".as("node")).distinct()
+            .select($"node", $"node".as("label")))
+        for (_ <- 1 to GammaSweeps) {
+          val next = graft.ops.Iterate.cut(
+            Graph.louvainMoveBatch(ew, comm, LouvainMinGainDen, gn, gd))
+          graft.ops.Iterate.release(comm)
+          comm = next
+        }
+        comm
+      }
+      val la = finalLabels(1L, 1L)
+      val lb = finalLabels(LouvainGammaNum, LouvainGammaDen)
+      val pairs = la.select($"node", $"label".as("la"))
+        .join(lb.select($"node", $"label".as("lb")), Seq("node"))
+      // Σ C(n,2) over a count frame — all-integer, exact
+      def choose2Sum: org.apache.spark.sql.Column =
+        coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
+      val sBoth = pairs.groupBy($"la", $"lb").agg(count(lit(1)).as("n"))
+        .agg(choose2Sum.as("same_both"))
+      val sA = pairs.groupBy($"la").agg(count(lit(1)).as("n"))
+        .agg(choose2Sum.as("sa"))
+      val sB = pairs.groupBy($"lb").agg(count(lit(1)).as("n"))
+        .agg(choose2Sum.as("sb"))
+      pairs.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(sBoth))
+        .crossJoin(broadcast(sA))
+        .crossJoin(broadcast(sB))
+        .select($"n_nodes",
+          expr("(n_nodes * (n_nodes - 1)) div 2").as("pairs_total"),
+          $"same_both",
+          ($"sa" - $"same_both").as("same_gamma1_only"),
+          ($"sb" - $"same_both").as("same_gamma32_only"),
+          (expr("(n_nodes * (n_nodes - 1)) div 2") - $"sa" - $"sb" +
+            $"same_both").as("same_neither"))
+    },
+    Some(q247Sql(GammaSweeps)))
+
+  /** The q247 oracle: both static sweep chains (γ = 1 byte-identical
+    * to the unparameterized twin; γ = 3/2 via the same SQL generator
+    * as q246), then the identical contingency / size sufficient
+    * statistics in HUGEINT, cast back to BIGINT. */
+  private def q247Sql(s: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH eo AS (
+        SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e1 AS MATERIALIZED (
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst,
+               CAST(1 AS BIGINT) AS w FROM eo
+        UNION ALL
+        SELECT 'c' || CAST(ck AS VARCHAR), 's' || CAST(sk AS VARCHAR),
+               CAST(1 AS BIGINT)
+        FROM eo),
+      sa_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e1),
+      sb_0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM e1),"""
+    for (k <- 1 to s) {
+      sb ++= Graph.louvainMoveBatchSql("e1", s"sa_${k - 1}",
+        s"_sa_$k", LouvainMinGainDen) + ","
+      sb ++= s"""
+      sa_$k AS MATERIALIZED (
+        SELECT node, label FROM blvout_sa_$k),"""
+      sb ++= Graph.louvainMoveBatchSql("e1", s"sb_${k - 1}",
+        s"_sb_$k", LouvainMinGainDen, LouvainGammaNum, LouvainGammaDen) + ","
+      sb ++= s"""
+      sb_$k AS MATERIALIZED (
+        SELECT node, label FROM blvout_sb_$k),"""
+    }
+    sb ++= s"""
+      prs AS MATERIALIZED (
+        SELECT a.node, a.label AS la, b.label AS lb
+        FROM sa_$s a JOIN sb_$s b ON a.node = b.node),
+      sboth AS (
+        SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT) AS v
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM prs GROUP BY la, lb)),
+      ssa AS (
+        SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT) AS v
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY la)),
+      ssb AS (
+        SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT) AS v
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY lb))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS pairs_total,
+        (SELECT v FROM sboth) AS same_both,
+        (SELECT v FROM ssa) - (SELECT v FROM sboth) AS same_gamma1_only,
+        (SELECT v FROM ssb) - (SELECT v FROM sboth) AS same_gamma32_only,
+        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT)
+          - (SELECT v FROM ssa) - (SELECT v FROM ssb)
+          + (SELECT v FROM sboth) AS same_neither
+      FROM prs"""
+    sb.result()
+  }
+
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242, q243, q244, q246)
+      q240, q241, q242, q243, q244, q246, q247)
 }
