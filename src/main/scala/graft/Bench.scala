@@ -185,7 +185,8 @@ object Bench {
       passes: Int,
       health: scala.collection.mutable.ArrayBuffer[String] = null,
       warmup: Boolean = true,
-      deadlineNs: Long = 0L)
+      deadlineNs: Long = 0L,
+      tag: String = "")
       : Array[Vector[Double]] = {
     val runs = Array.fill(named.size)(Vector.empty[Double])
     // warmup=false: the rows just ran (stabilize/widen extras) — their
@@ -221,7 +222,7 @@ object Bench {
           // mode), heap, host load and cumulative steal — a killed
           // run's stderr tail alone now says WHY a pass was slow
           System.err.println(
-            s"[bench-progress] ${System.currentTimeMillis()} p$p " +
+            s"[bench-progress] ${System.currentTimeMillis()} p$p$tag " +
               s"${named(i)._1} ${fmt(dt)} cc=${codeCacheUsedMb}m " +
               s"heap=${(Runtime.getRuntime.totalMemory -
                 Runtime.getRuntime.freeMemory) / (1024 * 1024)}m " +
@@ -355,6 +356,10 @@ object Bench {
     // already times every round via q235/q242.
     "q237_pagerank_weighted", "q238_walk_ppmi", "q241_conductance",
     "q244_louvain_converge",
+    // r15: the stability audit's tier row — its 2×4 static sweeps are
+    // the q235/q246 shapes, but the contingency reduction's cell-frame
+    // size (|A|×|B| label pairs) is the one genuinely new scale axis
+    "q247_community_stability",
     // r14: the γ = 3/2 resolution sweep — same per-sweep shape as
     // q235/q244 but a 4-sweep static chain; its tier row shows whether
     // the γ-scaled prefix bound changes the acceptance volume's growth
@@ -731,7 +736,7 @@ object Bench {
           // warmup=false: the row ran minutes ago in the base passes —
           // 2 timed passes here, not 1 untimed + 2 timed
           val extra = timePasses(spark, dir, Seq(namedIn(qi)), 2,
-            warmup = false, deadlineNs = deadlineNs)
+            warmup = false, deadlineNs = deadlineNs, tag = "w")
           out(qi) = out(qi) ++ extra(0)
         } else widenSkipped += namedIn(qi)._1
       }
@@ -751,7 +756,7 @@ object Bench {
     }
     if (unstable.nonEmpty && !tripBudget("stabilize", deadlineNs)) {
       val extra = timePasses(spark, sfDir, unstable.map(named),
-        1, warmup = false, deadlineNs = deadlineNs)
+        1, warmup = false, deadlineNs = deadlineNs, tag = "s")
       unstable.zipWithIndex.foreach { case (qi, ei) =>
         baseRuns(qi) = baseRuns(qi) ++ extra(ei) }
     }
