@@ -1786,6 +1786,7 @@ object Graph {
     import spark.implicits._
     var ew = edgesW
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val sweepLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var level = 1
     var levelMoved = -1L
     while (level <= maxLevels && levelMoved != 0L) {
@@ -1843,6 +1844,7 @@ object Graph {
         .join(qs.select($"tag".as("sweep"), $"q"), Seq("sweep"))
         .select(lit(level.toLong).as("level"), $"sweep", $"n_comms",
           coalesce($"n_moved", lit(0L)).as("n_moved"), $"q")
+      sweepLog += ((level.toLong, sweep.toLong))
       level += 1
     }
     if (levelMoved != 0L)
@@ -1850,8 +1852,20 @@ object Graph {
         s"louvainConverge: level cap $maxLevels hit with the last " +
           s"level still accepting $levelMoved moves — the hierarchy " +
           "lacks its all-quiet witness; raise maxLevels")
+    lastConvergeSweeps = sweepLog.toList
     out.reduce(_ unionByName _).orderBy($"level", $"sweep")
   }
+
+  /** Driver-side telemetry from the most recent [[louvainConverge]]
+    * call on this JVM: (level, executed sweeps) per level, already
+    * known to the driver loop when the call returns — reading it costs
+    * nothing. The bench's `louvain_sweeps` section consumes this from
+    * the pass it already timed instead of re-materializing the whole
+    * convergence loop a second time per scale (ADVICE r15 — that
+    * re-materialization roughly doubled q244's full-tier wall for a
+    * one-line JSON section). Single-writer by construction: only q244
+    * calls louvainConverge, and bench passes run queries sequentially. */
+  @volatile private[graft] var lastConvergeSweeps: List[(Long, Long)] = Nil
 
   /** Oracle twin of [[louvainMove]] over caller-defined `ed(src, dst)`
     * and `$comm(node, label)` CTEs; exposes `lvout$sfx(node, label)`.

@@ -23,12 +23,21 @@ class BenchSpec extends AnyFunSuite {
     assert(order == Seq(1) && skipped.isEmpty)
   }
 
-  test("median ceiling: a slow noisy row is skipped, not re-run") {
+  test("median ceiling: a slow noisy row with >=3 samples is skipped, not re-run") {
     val runs = Seq(
       Vector(9.2, 95.9, 8.8),   // r14's q224 shape: median 9.2 — widened
       Vector(60.4, 12.4, 30.2)) // median 30.2 > 15 — skipped (2 min to adjudicate noise)
     val (order, skipped) = Bench.widenPlan(runs, 15.0, 240.0)
     assert(order == Seq(0) && skipped == Seq(1))
+  }
+
+  test("a slow noisy 2-sample row is still widened (ADVICE r15)") {
+    // the r15 full-tier 27s 'median' shape: 2 kept passes, one
+    // steal-hit — there is no majority for the ceiling to defer to,
+    // so the row must be adjudicated despite its median being > 15
+    val runs = Seq(Vector(11.2, 43.7))
+    val (order, skipped) = Bench.widenPlan(runs, 15.0, 240.0)
+    assert(order == Seq(0) && skipped.isEmpty)
   }
 
   test("wall cap spends cheapest-first and drops the overflow") {
