@@ -1623,49 +1623,62 @@ object GraphQueries extends QueryGroup {
     * the cost at 100 TB is the sweeps themselves plus community-count
     * -sized aggregates. Integer-only (`div 2` on even products keeps
     * every value exact BIGINT), so the cross-engine hash is exact. */
+  /** Shared core of q247/q248: both γ chains (γ = 1 and γ = 3/2, the
+    * same `GammaSweeps`-sweep static contract as q246 over one shared
+    * edge frame), then the pair-counting SUFFICIENT STATISTICS as one
+    * all-integer row: n_nodes, same_both = Σ_ij C(n_ij,2) over the
+    * |A|×|B| contingency cells, sa/sb = Σ C(size,2) over each side's
+    * community sizes. Node pairs are never materialized; every scalar
+    * rides a 1-row broadcast crossJoin. */
+  private def stabilityStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
+    val fwd = eo.select(
+      concat(lit("s"), $"sk".cast("string")).as("src"),
+      concat(lit("c"), $"ck".cast("string")).as("dst"))
+    val ew = graft.ops.Iterate.cut(fwd.unionByName(
+        fwd.select($"dst".as("src"), $"src".as("dst")))
+      .withColumn("w", lit(1L)))
+    def finalLabels(gn: Long, gd: Long): DataFrame = {
+      var comm = graft.ops.Iterate.cut(
+        ew.select($"src".as("node")).distinct()
+          .select($"node", $"node".as("label")))
+      for (_ <- 1 to GammaSweeps) {
+        val next = graft.ops.Iterate.cut(
+          Graph.louvainMoveBatch(ew, comm, LouvainMinGainDen, gn, gd))
+        graft.ops.Iterate.release(comm)
+        comm = next
+      }
+      comm
+    }
+    val la = finalLabels(1L, 1L)
+    val lb = finalLabels(LouvainGammaNum, LouvainGammaDen)
+    val pairs = la.select($"node", $"label".as("la"))
+      .join(lb.select($"node", $"label".as("lb")), Seq("node"))
+    // Σ C(n,2) over a count frame — all-integer, exact
+    def choose2Sum: org.apache.spark.sql.Column =
+      coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
+    val sBoth = pairs.groupBy($"la", $"lb").agg(count(lit(1)).as("n"))
+      .agg(choose2Sum.as("same_both"))
+    val sA = pairs.groupBy($"la").agg(count(lit(1)).as("n"))
+      .agg(choose2Sum.as("sa"))
+    val sB = pairs.groupBy($"lb").agg(count(lit(1)).as("n"))
+      .agg(choose2Sum.as("sb"))
+    pairs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(sBoth))
+      .crossJoin(broadcast(sA))
+      .crossJoin(broadcast(sB))
+  }
+
   private val q247 = Q(
     "q247_community_stability",
     (s, dir) => {
       import s.implicits._
-      val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-      val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
-      val fwd = eo.select(
-        concat(lit("s"), $"sk".cast("string")).as("src"),
-        concat(lit("c"), $"ck".cast("string")).as("dst"))
-      val ew = graft.ops.Iterate.cut(fwd.unionByName(
-          fwd.select($"dst".as("src"), $"src".as("dst")))
-        .withColumn("w", lit(1L)))
-      def finalLabels(gn: Long, gd: Long): DataFrame = {
-        var comm = graft.ops.Iterate.cut(
-          ew.select($"src".as("node")).distinct()
-            .select($"node", $"node".as("label")))
-        for (_ <- 1 to GammaSweeps) {
-          val next = graft.ops.Iterate.cut(
-            Graph.louvainMoveBatch(ew, comm, LouvainMinGainDen, gn, gd))
-          graft.ops.Iterate.release(comm)
-          comm = next
-        }
-        comm
-      }
-      val la = finalLabels(1L, 1L)
-      val lb = finalLabels(LouvainGammaNum, LouvainGammaDen)
-      val pairs = la.select($"node", $"label".as("la"))
-        .join(lb.select($"node", $"label".as("lb")), Seq("node"))
-      // Σ C(n,2) over a count frame — all-integer, exact
-      def choose2Sum: org.apache.spark.sql.Column =
-        coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
-      val sBoth = pairs.groupBy($"la", $"lb").agg(count(lit(1)).as("n"))
-        .agg(choose2Sum.as("same_both"))
-      val sA = pairs.groupBy($"la").agg(count(lit(1)).as("n"))
-        .agg(choose2Sum.as("sa"))
-      val sB = pairs.groupBy($"lb").agg(count(lit(1)).as("n"))
-        .agg(choose2Sum.as("sb"))
-      pairs.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(broadcast(sBoth))
-        .crossJoin(broadcast(sA))
-        .crossJoin(broadcast(sB))
+      stabilityStats(s, dir)
         .select($"n_nodes",
           expr("(n_nodes * (n_nodes - 1)) div 2").as("pairs_total"),
           $"same_both",
@@ -1676,11 +1689,94 @@ object GraphQueries extends QueryGroup {
     },
     Some(q247Sql(GammaSweeps)))
 
+  /** ADJUSTED Rand index over the same two partitions as q247
+    * (Hubert–Arabie '85): the Rand agreement corrected for the
+    * agreement two random partitions with these community-size
+    * profiles would reach by chance —
+    *   ARI = (I − a·b/T) / ((a+b)/2 − a·b/T)
+    * with I = Σ_ij C(n_ij,2), a = Σ_i C(a_i,2), b = Σ_j C(b_j,2),
+    * T = C(n,2) — exactly the contingency sufficient statistics q247
+    * already computes, one extra all-integer term (r15 verdict #7).
+    * Scaled to an integer ratio so the cross-engine hash is exact:
+    *   ari_num = 2·(T·I − a·b),  ari_den = T·(a+b) − 2·a·b,
+    * ARI = ari_num / ari_den. Products are formed in DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) and cast back — at the bench scales
+    * T ≤ ~1.3e8 so num/den ≤ ~2e16 fit BIGINT with 100× headroom;
+    * ari_den = 0 (both sides one community) reports NULL ari.
+    * The rounded double divides the two exactly-representable-after-
+    * cast integers identically in both engines. Base-tier skipped like
+    * q247 (same two sweep chains); its scaling story IS q247's tier
+    * row plus community-count-sized aggregates. */
+  private val q248 = Q(
+    "q248_adjusted_rand",
+    (s, dir) => {
+      import s.implicits._
+      stabilityStats(s, dir)
+        .select($"n_nodes", $"same_both", $"sa", $"sb",
+          expr("(n_nodes * (n_nodes - 1)) div 2").as("t"))
+        .select($"n_nodes",
+          expr("(n_nodes * (n_nodes - 1)) div 2").as("pairs_total"),
+          $"same_both",
+          $"sa".as("sum_pairs_g1"),
+          $"sb".as("sum_pairs_g32"),
+          expr("""CAST(2 * (CAST(t AS DECIMAL(38,0)) * same_both
+                  - CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)""")
+            .as("ari_num"),
+          expr("""CAST(CAST(t AS DECIMAL(38,0)) * (sa + sb)
+                  - 2 * (CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)""")
+            .as("ari_den"))
+        .withColumn("ari",
+          round($"ari_num".cast("double") /
+            nullif($"ari_den", lit(0L)).cast("double"), 6))
+    },
+    Some(q248Sql(GammaSweeps)))
+
   /** The q247 oracle: both static sweep chains (γ = 1 byte-identical
     * to the unparameterized twin; γ = 3/2 via the same SQL generator
     * as q246), then the identical contingency / size sufficient
     * statistics in HUGEINT, cast back to BIGINT. */
-  private def q247Sql(s: Int): String = {
+  private def q247Sql(s: Int): String =
+    stabilitySqlPrefix(s) + s"""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS pairs_total,
+        (SELECT v FROM sboth) AS same_both,
+        (SELECT v FROM ssa) - (SELECT v FROM sboth) AS same_gamma1_only,
+        (SELECT v FROM ssb) - (SELECT v FROM sboth) AS same_gamma32_only,
+        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT)
+          - (SELECT v FROM ssa) - (SELECT v FROM ssb)
+          + (SELECT v FROM sboth) AS same_neither
+      FROM prs"""
+
+  /** The q248 oracle: the same chains and sufficient statistics, then
+    * the Hubert–Arabie numerator/denominator in HUGEINT cast back to
+    * BIGINT, and the rounded double ratio (NULL when the denominator
+    * is zero). */
+  private def q248Sql(s: Int): String =
+    stabilitySqlPrefix(s) + s"""
+      , st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS t,
+          (SELECT v FROM sboth) AS same_both,
+          (SELECT v FROM ssa) AS sa,
+          (SELECT v FROM ssb) AS sb
+        FROM prs)
+      SELECT n_nodes, t AS pairs_total, same_both,
+        sa AS sum_pairs_g1, sb AS sum_pairs_g32,
+        CAST(2 * (CAST(t AS HUGEINT) * same_both
+          - CAST(sa AS HUGEINT) * sb) AS BIGINT) AS ari_num,
+        CAST(CAST(t AS HUGEINT) * (sa + sb)
+          - 2 * (CAST(sa AS HUGEINT) * sb) AS BIGINT) AS ari_den,
+        round(CAST(CAST(2 * (CAST(t AS HUGEINT) * same_both
+            - CAST(sa AS HUGEINT) * sb) AS BIGINT) AS DOUBLE)
+          / CAST(NULLIF(CAST(CAST(t AS HUGEINT) * (sa + sb)
+            - 2 * (CAST(sa AS HUGEINT) * sb) AS BIGINT), 0) AS DOUBLE), 6)
+          AS ari
+      FROM st"""
+
+  /** Shared WITH-chain of the q247/q248 oracles: the two sweep chains
+    * and the sboth/ssa/ssb sufficient-statistic CTEs (no trailing
+    * SELECT). */
+  private def stabilitySqlPrefix(s: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""
       WITH eo AS (
@@ -1723,21 +1819,12 @@ object GraphQueries extends QueryGroup {
         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY la)),
       ssb AS (
         SELECT CAST(COALESCE(SUM((n * (n - 1)) // 2), 0) AS BIGINT) AS v
-        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY lb))
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS pairs_total,
-        (SELECT v FROM sboth) AS same_both,
-        (SELECT v FROM ssa) - (SELECT v FROM sboth) AS same_gamma1_only,
-        (SELECT v FROM ssb) - (SELECT v FROM sboth) AS same_gamma32_only,
-        CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT)
-          - (SELECT v FROM ssa) - (SELECT v FROM ssb)
-          + (SELECT v FROM sboth) AS same_neither
-      FROM prs"""
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY lb))"""
     sb.result()
   }
 
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242, q243, q244, q246, q247)
+      q240, q241, q242, q243, q244, q246, q247, q248)
 }
