@@ -237,6 +237,95 @@ object Sketch {
         END AS est_distinct
       FROM hll_sums)"""
 
+  /** Mergeable RANK-ERROR quantile sketch (the GK'01 / mergeable-
+    * summaries shape, deterministic formulation): per (key, shard) an
+    * equi-depth k-point rank summary, where the shard is a FIXED
+    * logical hash of the row id — h64(id) mod `shards` — not the
+    * physical partitioning, so the sketch is bit-identical at any
+    * partition count and cross-engine reproducible (the property that
+    * picked KMV over HLL, applied to quantiles).
+    *
+    * Why this instead of q207's equi-width histogram: the histogram's
+    * error bound is the BUCKET WIDTH — vacuous on heavy-tailed
+    * token/length distributions where one outlier stretches the global
+    * range (r15 verdict #3). This sketch's bound is a RANK: the
+    * estimate's rank is within Σ_s (⌈m_s/k⌉ − 1) ≤ n/k of the target,
+    * independent of the value distribution.
+    *
+    * Construction (one window per shard — each shard sorts
+    * independently, the distributed-quantile classic):
+    *   rn = row_number within (key, shard) by (value, id);
+    *   keep rn where ⌊rn·k/m⌋ > ⌊(rn−1)·k/m⌋  — exactly the ranks
+    *   {⌈i·m/k⌉ : i = 1..k}, so consecutive kept ranks differ by at
+    *   most ⌈m/k⌉ and the LAST row (rn = m) is always kept;
+    *   delta = r − previous kept r in the shard (telescoping weight).
+    * A shard with m ≤ k keeps every row — the sketch degrades to exact
+    * below its resolution, like KMV.
+    *
+    * PROOF of the rank bound (asserted in RankSketchSpec): within a
+    * shard, elements ≤ kept value v_i number ≥ r_i (rmin), and
+    * elements < x number ≤ r_j − 1 for the smallest kept v_j ≥ x
+    * (rmax); summing over shards, any value's global rank is bracketed
+    * within Σ_s (⌈m_s/k⌉ − 1). [[rankQuantiles]] returns the smallest
+    * candidate whose summed rmin clears the target rank t, so the
+    * estimate's true rank sits in [t, t + bound].
+    *
+    * MERGE is row-union: the sketch of a corpus is the union of the
+    * sketches of any disjoint shard split (each (key, shard) summary
+    * depends only on that shard's rows), so shard/day/batch sketches
+    * combine without re-touching data and the estimates are identical
+    * (RankSketchSpec pins both). State: ≤ shards·k rows per key,
+    * independent of n.
+    *
+    * Output: (key, shard, x, r, delta). */
+  def rankSketch(df: DataFrame, key: Column, value: Column, id: Column,
+      shards: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("key"), value.as("x"), id.as("__id"),
+      (TextOps.h64(id.cast("string")) % shards).as("shard"))
+    val w = Window.partitionBy(col("key"), col("shard"))
+      .orderBy(col("x").asc, col("__id").asc)
+    val wAll = Window.partitionBy(col("key"), col("shard"))
+    val kept = base
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(expr(s"(r * $k) div m > ((r - 1) * $k) div m"))
+    val wKept = Window.partitionBy(col("key"), col("shard"))
+      .orderBy(col("r").asc)
+    kept.select(col("key"), col("shard"), col("x"), col("r"),
+      (col("r") - coalesce(lag(col("r"), 1).over(wKept), lit(0L)))
+        .as("delta"))
+  }
+
+  /** Quantile estimates from a [[rankSketch]] (or a union of merged
+    * ones): for target rank t = max(1, ⌈q·n⌉) per key, the smallest
+    * sketch value whose summed per-shard rmin (the range-frame
+    * cumulative of delta — ties collapse into one frame, so equal
+    * values across shards agree) reaches t. n and the rank-error bound
+    * are derived from the sketch itself (Σ m_s = Σ delta; bound =
+    * Σ_s (⌈m_s/k⌉ − 1)). Everything is sketch-sized: the windows and
+    * joins below touch ≤ shards·k rows per key.
+    * Output: (key, q, t_rank, n, est, err_bound). */
+  def rankQuantiles(sketch: DataFrame, k: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("key")).orderBy(col("x").asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch.withColumn("grank", sum(col("delta")).over(wCum))
+    val tot = sketch.groupBy(col("key"), col("shard"))
+      .agg(max(col("r")).as("m"))
+      .groupBy(col("key"))
+      .agg(sum(col("m")).as("n"),
+        sum(expr(s"(m + ${k - 1}) div $k - 1")).as("err_bound"))
+    val cand = cum.join(broadcast(tot), Seq("key"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("t_rank", greatest(lit(1L), ceil(col("q") * col("n"))))
+      .filter(col("grank") >= col("t_rank"))
+    Relational.topOnePerGroup(cand, Seq(col("key"), col("q")),
+        Seq(col("x").asc))
+      .select(col("key"), col("q"), col("t_rank"), col("n"),
+        col("x").as("est"), col("err_bound"))
+  }
+
   /** Pinned-layout Bloom filter BUILD over (h1, h2) hash rows: k = 3
     * Kirsch–Mitzenmacher probes p_j = (h1 + j·(2·h2+1)) mod m, packed
     * as m/32 32-bit words in BIGINTs via bit_or (bit 63 would overflow

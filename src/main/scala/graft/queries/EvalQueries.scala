@@ -1089,7 +1089,106 @@ object EvalQueries extends QueryGroup {
       FROM bc JOIN cc ON bc.g = cc.g
       GROUP BY bc.source ORDER BY bc.source"""))
 
+  /** RANK-error mergeable quantile sketch with an exact-error audit
+    * (r15 verdict #3 — the production upgrade over q207): per-source
+    * P50/P90/P99 of n_chars from [[graft.ops.Sketch.rankSketch]]
+    * (GK-shape equi-depth summaries over 32 fixed logical shards,
+    * k = 64 points each), with the exact nearest-rank quantile riding
+    * as ground truth and the PROVEN rank bound Σ_s(⌈m_s/k⌉−1) ≤ n/64
+    * beside the measured rank error. Where q207's equi-width histogram
+    * bound is the bucket width — vacuous once one outlier stretches
+    * the global range — this bound is a rank: distribution-free, the
+    * guarantee an SLO dashboard actually needs on heavy-tailed length
+    * distributions. est ≥ exact always (the estimator returns the
+    * first sketch point whose summed rmin clears the target rank);
+    * rank_err is how many ranks above target the estimate landed,
+    * measured against the full data (greatest(0,·): duplicate-heavy
+    * sources can land the estimate exactly ON the target). Everything
+    * is integer arithmetic over md5-derived shards, so the DuckDB twin
+    * is bit-identical. */
+  private val q249 = Q(
+    "q249_rank_quantile_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Sketch
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("x"))
+      val sk = Sketch.rankSketch(d, $"source", $"x", $"doc_id",
+        shards = 32, k = 64)
+      val est = Sketch.rankQuantiles(sk, k = 64, Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("key", "source")
+      val exact = WindowOps.exactQuantiles(d, Seq(col("source")), $"x",
+          $"doc_id", Seq(0.5, 0.9, 0.99))
+        .select($"source", $"q", $"qvalue".as("exact"))
+      val lt = d
+        .join(broadcast(est.select($"source", $"q", $"est")), Seq("source"))
+        .filter($"x" < $"est")
+        .groupBy($"source", $"q").agg(count(lit(1)).as("cnt_lt"))
+      est.join(exact, Seq("source", "q"))
+        .join(lt, Seq("source", "q"), "left")
+        .select($"source", $"q", $"t_rank", $"n", $"est", $"exact",
+          greatest(lit(0L),
+            coalesce($"cnt_lt", lit(0L)) + lit(1L) - $"t_rank")
+            .as("rank_err"),
+          $"err_bound")
+        .orderBy($"source", $"q")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+                 FROM documents),
+      sh AS (SELECT source, doc_id, x,
+               ${TextOps.h64Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard
+             FROM d),
+      rn AS (SELECT source, shard, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
+                 ORDER BY x, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source, shard) AS BIGINT)
+                 AS m
+             FROM sh),
+      kept AS (SELECT source, shard, x, r, m FROM rn
+               WHERE (r * 64) // m > ((r - 1) * 64) // m),
+      del AS (SELECT source, shard, x, r,
+                r - COALESCE(LAG(r) OVER (PARTITION BY source, shard
+                  ORDER BY r), 0) AS delta
+              FROM kept),
+      cum AS (SELECT *, CAST(SUM(delta) OVER (PARTITION BY source
+                ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS BIGINT) AS grank
+              FROM del),
+      tot AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n,
+                CAST(SUM((m + 63) // 64 - 1) AS BIGINT) AS err_bound
+              FROM (SELECT source, shard, MAX(r) AS m
+                    FROM kept GROUP BY source, shard)
+              GROUP BY source),
+      qq AS (SELECT unnest(ARRAY[CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+               CAST(0.99 AS DOUBLE)]) AS q),
+      cand AS (SELECT c.source, qq.q, c.x, t.n, t.err_bound,
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT)) AS t_rank
+               FROM cum c JOIN tot t ON c.source = t.source CROSS JOIN qq
+               WHERE c.grank >=
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT))),
+      est AS (SELECT source, q, t_rank, n, x AS est, err_bound FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source, q
+                  ORDER BY x) AS rk
+                FROM cand) WHERE rk = 1),
+      r2 AS (SELECT source, x,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id)
+                 AS rn2,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+             FROM d),
+      ex AS (SELECT source, q, x AS exact FROM r2 CROSS JOIN qq
+             WHERE rn2 = GREATEST(1, CAST(ceil(q * nn) AS BIGINT))),
+      lt AS (SELECT e.source, e.q, CAST(COUNT(*) AS BIGINT) AS cnt_lt
+             FROM est e JOIN d ON d.source = e.source AND d.x < e.est
+             GROUP BY e.source, e.q)
+      SELECT e.source, e.q, e.t_rank, e.n, e.est, x.exact,
+        GREATEST(0, COALESCE(l.cnt_lt, 0) + 1 - e.t_rank) AS rank_err,
+        e.err_bound
+      FROM est e JOIN ex x ON e.source = x.source AND e.q = x.q
+      LEFT JOIN lt l ON e.source = l.source AND e.q = l.q
+      ORDER BY e.source, e.q"""))
+
   def queries: Seq[Q] =
     Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q208, q209, q212)
+      q206, q207, q208, q209, q212, q249)
 }
