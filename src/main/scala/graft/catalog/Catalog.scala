@@ -47,6 +47,46 @@ object Catalog {
   def loadMappingsCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
 
+  /** Load an APP4-era master mapping CSV (read_map_app4,
+    * mopdb_utils.py:573-595 — the layout of the reference's shipped
+    * `master_map.csv`, 381 data rows) into the [[Mapping]] column
+    * layout: positional columns (cmip_variable, definable,
+    * access_variable(s), calculation, units, axes_modifier, positive,
+    * ACCESS_ver, realm, notes), of which the mapping table takes
+    * cmor_var = col 0, input_vars = col 2, calculation = col 3,
+    * units = col 4, realm = col 8, positive = col 6 and
+    * model = col 7 with the reference's ESM→ESM1.5 rename;
+    * dimensions/frequency/cell_methods/cmor_table have no APP4 column
+    * and load as ''. An ACCESS_ver of 'both' expands to one CM2 row
+    * and one ESM1.5 row — the reference's documented intent; its loop
+    * appends the SAME Python list object twice around the mutation
+    * (`newrow[9] = 'ESM1.5'` between two `append(newrow)` calls), so
+    * both of its 'both' rows read ESM1.5 by the time anything queries
+    * them — an aliasing bug this engine does not reproduce. Comment
+    * lines ('#', including the commented header) are skipped, quoted
+    * calculation fields may contain commas, and columns past the
+    * 10-field layout (unquoted commas inside notes) are ignored,
+    * exactly as the reference's `row[:11]` slice does. Distributed
+    * scan like any CSV source; the catalog is broadcast-small by
+    * contract downstream. */
+  def loadApp4MasterMap(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "false").option("comment", "#").csv(path)
+    def c(i: Int) = coalesce(col(s"_c$i"), lit(""))
+    raw
+      .select(c(0).as("cmorVar"), c(2).as("inputVars"),
+        c(3).as("calculation"), c(4).as("units"),
+        lit("").as("dimensions"), lit("").as("frequency"),
+        c(8).as("realm"), lit("").as("cellMethods"), c(6).as("positive"),
+        lit("").as("cmorTable"),
+        replace(c(7), lit("ESM"), lit("ESM1.5")).as("__ver"))
+      .withColumn("model",
+        explode(when(col("__ver") === "both",
+            array(lit("CM2"), lit("ESM1.5")))
+          .otherwise(array(col("__ver")))))
+      .drop("__ver")
+  }
+
   /** Resolve requested (cmorVar, frequency) pairs against the mapping
     * catalog with frequency relaxation (mop_setup.py find_matches +
     * find_nearest): prefer an exact-frequency mapping; otherwise take the
