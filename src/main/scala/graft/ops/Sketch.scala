@@ -253,7 +253,12 @@ object Sketch {
     * independent of the value distribution.
     *
     * Construction (one window per shard — each shard sorts
-    * independently, the distributed-quantile classic):
+    * independently, the distributed-quantile classic; `shards` is the
+    * parallelism/size lever at scale: each (key, shard) cell is one
+    * window sort, so pick shards ≈ rows-per-key / comfortable-task-
+    * size — the sketch size P·k and the bound n/k are unaffected by P
+    * beyond the +P slack, so raising P for a 100 TB key costs only
+    * sketch rows, never accuracy class):
     *   rn = row_number within (key, shard) by (value, id);
     *   keep rn where ⌊rn·k/m⌋ > ⌊(rn−1)·k/m⌋  — exactly the ranks
     *   {⌈i·m/k⌉ : i = 1..k}, so consecutive kept ranks differ by at

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Sketch
+import graft.streaming.StreamRankQuantiles
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming rank-quantile twin: bit-parity with the batch sketch on
+  * every prefix while the buffer holds, and a SOUND compounded rank
+  * bound after forced compressions. */
+class StreamRankQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val K = 16
+  private val Shards = 8
+  private val Qs = Seq(0.5, 0.9, 0.99)
+
+  // heavy-tailed values, two keys, deterministic ids
+  private def rows(lo: Int, hi: Int): Seq[(String, Long, Long)] =
+    (lo until hi).map { i =>
+      (if (i % 5 == 0) "a" else "b", i.toLong,
+        math.pow(10.0, (i % 7).toDouble).toLong + i % 13)
+    }
+
+  private def batchEst(data: Seq[(String, Long, Long)])
+      : Map[(String, Double), (Long, Long, Long)] = {
+    val df = data.toDF("key", "id", "x")
+    Sketch.rankQuantiles(
+        Sketch.rankSketch(df, $"key", $"x", $"id", Shards, K), K, Qs)
+      .select($"key", $"q", $"t_rank", $"est", $"err_bound")
+      .as[(String, Double, Long, Long, Long)].collect()
+      .map { case (k, q, t, e, b) => (k, q) -> ((t, e, b)) }.toMap
+  }
+
+  private def streamed(batches: Seq[Seq[(String, Long, Long)]],
+      maxState: Int): Seq[Seq[(String, Double, Long, Long, Long)]] = {
+    val in = MemoryStream[(String, Long, Long)]
+    val q = StreamRankQuantiles.quantilesPerKey(
+        StreamRankQuantiles.keyed(in.toDS().toDF("key", "id", "x"),
+          col("key"), col("x"), col("id"), Shards), K, maxState, Qs)
+      .toDF("key", "q", "t_rank", "est", "err_bound")
+      .writeStream.format("memory").queryName("rq_out")
+      .outputMode("update").start()
+    val out = Seq.newBuilder[Seq[(String, Double, Long, Long, Long)]]
+    try batches.foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+      out += spark.table("rq_out")
+        .as[(String, Double, Long, Long, Long)].collect().toSeq
+    } finally q.stop()
+    out.result()
+  }
+
+  test("prefix estimates are bit-identical to the batch sketch while the buffer holds") {
+    val b1 = rows(0, 300)
+    val b2 = rows(300, 700)
+    val snaps = streamed(Seq(b1, b2), maxState = 100000)
+    val afterPrefix = batchEst(b1)
+    val afterAll = batchEst(b1 ++ b2)
+    for (((k, q), (t, e, bound)) <- afterPrefix)
+      assert(snaps(0).contains((k, q, t, e, bound)), s"prefix $k q=$q")
+    for (((k, q), (t, e, bound)) <- afterAll)
+      assert(snaps(1).contains((k, q, t, e, bound)), s"full $k q=$q")
+  }
+
+  test("forced compressions keep state bounded and the emitted bound sound") {
+    val batches = Seq(rows(0, 250), rows(250, 500), rows(500, 750),
+      rows(750, 1000))
+    val last = streamed(batches, maxState = 64).last
+    val data = rows(0, 1000)
+    val byKey = data.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(_._3).sorted }
+    // final micro-batch rows only (update mode re-emits per batch; the
+    // memory sink accumulates — take each (key, q)'s LAST emission,
+    // the one reflecting all 1000 rows)
+    val finalRows = last.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) } // largest t_rank = latest n
+    assert(finalRows.nonEmpty)
+    for ((k, q, t, est, bound) <- finalRows) {
+      val xs = byKey(k)
+      assert(t == math.max(1L, math.ceil(q * xs.length.toDouble).toLong))
+      // soundness: est covers the target rank, and overshoots by at
+      // most the emitted bound
+      assert(xs.count(_ <= est) >= t, s"$k q=$q: est below target rank")
+      assert(xs.count(_ < est) + 1 - t <= bound,
+        s"$k q=$q: overshoot exceeds emitted bound $bound")
+      // the compounded bound stays useful: <= (#compressions + emit)
+      // times the single-pass bound
+      assert(bound <= 5L * (xs.length / K + Shards), s"$k q=$q bound blow-up")
+    }
+  }
+
+  test("the same operator runs on a static Dataset (batch mode)") {
+    val all = rows(0, 700)
+    val static = StreamRankQuantiles.quantilesPerKey(
+        StreamRankQuantiles.keyed(all.toDF("key", "id", "x"),
+          col("key"), col("x"), col("id"), Shards), K, 100000, Qs)
+      .collect().map { case (k, q, t, e, b) => (k, q) -> ((t, e, b)) }.toMap
+    assert(static == batchEst(all))
+  }
+}
