@@ -717,4 +717,18 @@ class PlanAuditSpec extends SparkSpec {
     // their exchanges (count tables, never raw n-gram rows, shuffle)
     assert(nodeCount(p, "HashAggregate") >= 4, p)
   }
+
+  test("q249 rank sketch never reads the text column and keeps every " +
+      "window keyed") {
+    val p = planOf("q249_rank_quantile_sketch")
+    // the sketch is built from (doc_id, source, n_chars) alone — at
+    // 100 TB the scan must not read the payload column
+    assert(p.contains("ReadSchema") && !p.contains("text"), p)
+    // every window is partitioned: the sort work is (key, shard) /
+    // (key) cells, never a single-task global sort
+    assert(!p.contains("SinglePartition"), p)
+    // estimates broadcast back onto the data for the rank audit —
+    // sketch-sized frames never shuffle the document table
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
