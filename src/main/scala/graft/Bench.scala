@@ -73,11 +73,14 @@ object Bench {
     }
     // the median ceiling only gates rows that already hold >=3 kept
     // samples (ADVICE r15): there the median out-votes one disturbed
-    // pass and extra passes buy nothing. A 2-sample row has NO majority
-    // — its "median" is the mean of two disagreeing passes — so a slow
-    // noisy 2-sample row (the slim tier's default shape) must still be
-    // widened, else one steal-hit pass inflates a headline tier median
-    // by up to ~50% with no adjudication (the r15 27 s tier rows).
+    // pass and extra passes buy nothing, while a 2-sample row has NO
+    // majority — its "median" is the mean of two disagreeing passes.
+    // In the LIVE flow the r15 27 s mean-of-2 tier shape is fixed by
+    // the stabilizer now running on tier rows too (every >2x 2-sample
+    // row first gets its 1.3x-triggered third pass, or the budget has
+    // tripped and widening is off anyway); this gate is the
+    // belt-and-suspenders half for any caller that invokes widenPlan
+    // without a stabilize pass in front of it.
     val (tooSlow, eligible) = noisy.partition(i =>
       runs(i).size >= 3 && median(runs(i)) > skipAboveS)
     val ordered = eligible.sortBy(i => median(runs(i)))

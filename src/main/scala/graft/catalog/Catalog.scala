@@ -79,7 +79,12 @@ object Catalog {
         lit("").as("dimensions"), lit("").as("frequency"),
         c(8).as("realm"), lit("").as("cellMethods"), c(6).as("positive"),
         lit("").as("cmorTable"),
-        replace(c(7), lit("ESM"), lit("ESM1.5")).as("__ver"))
+        // exact-VALUE rename, not substring: the reference's Python
+        // `row[7].replace('ESM','ESM1.5')` would turn an already-
+        // migrated 'ESM1.5' into 'ESM1.51.5' (and silently fail every
+        // version rung downstream); the ACCESS_ver column is a CV
+        // {CM2, ESM, both}, so the value map is the defined behavior
+        when(c(7) === "ESM", lit("ESM1.5")).otherwise(c(7)).as("__ver"))
       .withColumn("model",
         explode(when(col("__ver") === "both",
             array(lit("CM2"), lit("ESM1.5")))

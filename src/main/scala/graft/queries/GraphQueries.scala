@@ -1715,7 +1715,7 @@ object GraphQueries extends QueryGroup {
         .select($"n_nodes", $"same_both", $"sa", $"sb",
           expr("(n_nodes * (n_nodes - 1)) div 2").as("t"))
         .select($"n_nodes",
-          expr("(n_nodes * (n_nodes - 1)) div 2").as("pairs_total"),
+          $"t".as("pairs_total"),
           $"same_both",
           $"sa".as("sum_pairs_g1"),
           $"sb".as("sum_pairs_g32"),
