@@ -1188,7 +1188,113 @@ object EvalQueries extends QueryGroup {
       LEFT JOIN lt l ON e.source = l.source AND e.q = l.q
       ORDER BY e.source, e.q"""))
 
+  /** Global quantile ROLLUP from the per-source rank sketches — the
+    * mergeable-summary payoff, the q177 '__all__' register-merge
+    * pattern applied to quantiles: corpus-wide P50/P90/P99 computed
+    * from the UNION of q249's per-(source, shard) summaries, never
+    * re-touching the data. Each sub-summary brackets its own ranks
+    * within ⌈m/k⌉−1, and global rank = Σ per-summary ranks, so the
+    * bounds ADD: the rollup's bound is Σ over every (source, shard)
+    * cell — still ≤ n/k + cells. The rollup itself touches only
+    * sketch rows (≤ sources·P·k, ~41k here regardless of corpus
+    * size): the one unpartitioned ordered window below is over that
+    * bounded frame BY CONSTRUCTION (the contract every bounded
+    * whole-frame window in this repo states in-code), so a 100 TB
+    * corpus's global quantiles cost a sketch-row sort plus the
+    * (audit-only) exact rider. */
+  private val q250 = Q(
+    "q250_rank_sketch_rollup",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Sketch
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("x"))
+      val sk = Sketch.rankSketch(d, $"source", $"x", $"doc_id",
+        shards = 32, k = 64)
+      // 1-row totals: exact n (Σ per-cell m) and the summed bound
+      val tot = sk.groupBy($"key", $"shard").agg(max($"r").as("m"))
+        .agg(sum($"m").as("n"),
+          sum(expr("(m + 63) div 64 - 1")).as("err_bound"))
+      val wCum = Window.partitionBy($"g").orderBy($"x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = sk.withColumn("g", lit(1))
+        .withColumn("grank", sum($"delta").over(wCum))
+      val cand = cum.crossJoin(broadcast(tot))
+        .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+        .withColumn("t_rank", greatest(lit(1L), ceil($"q" * $"n")))
+        .filter($"grank" >= $"t_rank")
+      val est = graft.ops.Relational.topOnePerGroup(cand,
+          Seq(col("q")), Seq(col("x").asc))
+        .select($"q", $"t_rank", $"n", $"x".as("est"), $"err_bound")
+      val exact = WindowOps.exactQuantiles(d.withColumn("g", lit(1)),
+          Seq(col("g")), $"x", $"doc_id", Seq(0.5, 0.9, 0.99))
+        .select($"q", $"qvalue".as("exact"))
+      val lt = d.crossJoin(broadcast(est.select($"q", $"est")))
+        .filter($"x" < $"est")
+        .groupBy($"q").agg(count(lit(1)).as("cnt_lt"))
+      est.join(exact, Seq("q"))
+        .join(lt, Seq("q"), "left")
+        .select($"q", $"t_rank", $"n", $"est", $"exact",
+          greatest(lit(0L),
+            coalesce($"cnt_lt", lit(0L)) + lit(1L) - $"t_rank")
+            .as("rank_err"),
+          $"err_bound")
+        .orderBy($"q")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x
+                 FROM documents),
+      sh AS (SELECT source, doc_id, x,
+               ${TextOps.h64Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard
+             FROM d),
+      rn AS (SELECT source, shard, x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
+                 ORDER BY x, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY source, shard) AS BIGINT)
+                 AS m
+             FROM sh),
+      kept AS (SELECT source, shard, x, r, m FROM rn
+               WHERE (r * 64) // m > ((r - 1) * 64) // m),
+      del AS (SELECT source, shard, x, r,
+                r - COALESCE(LAG(r) OVER (PARTITION BY source, shard
+                  ORDER BY r), 0) AS delta
+              FROM kept),
+      gcum AS (SELECT x, CAST(SUM(delta) OVER (ORDER BY x
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS grank
+               FROM del),
+      gtot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                 CAST(SUM((m + 63) // 64 - 1) AS BIGINT) AS err_bound
+               FROM (SELECT source, shard, MAX(r) AS m
+                     FROM kept GROUP BY source, shard)),
+      qq AS (SELECT unnest(ARRAY[CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+               CAST(0.99 AS DOUBLE)]) AS q),
+      cand AS (SELECT qq.q, c.x, t.n, t.err_bound,
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT)) AS t_rank
+               FROM gcum c CROSS JOIN gtot t CROSS JOIN qq
+               WHERE c.grank >=
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT))),
+      est AS (SELECT q, t_rank, n, x AS est, err_bound FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+                  ORDER BY x) AS rk
+                FROM cand) WHERE rk = 1),
+      r2 AS (SELECT x,
+               ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rn2,
+               CAST(COUNT(*) OVER () AS BIGINT) AS nn
+             FROM d),
+      ex AS (SELECT q, x AS exact FROM r2 CROSS JOIN qq
+             WHERE rn2 = GREATEST(1, CAST(ceil(q * nn) AS BIGINT))),
+      lt AS (SELECT e.q, CAST(COUNT(*) AS BIGINT) AS cnt_lt
+             FROM est e JOIN d ON d.x < e.est
+             GROUP BY e.q)
+      SELECT e.q, e.t_rank, e.n, e.est, x.exact,
+        GREATEST(0, COALESCE(l.cnt_lt, 0) + 1 - e.t_rank) AS rank_err,
+        e.err_bound
+      FROM est e JOIN ex x ON e.q = x.q
+      LEFT JOIN lt l ON e.q = l.q
+      ORDER BY e.q"""))
+
   def queries: Seq[Q] =
     Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q208, q209, q212, q249)
+      q206, q207, q208, q209, q212, q249, q250)
 }
