@@ -25,16 +25,29 @@ object Catalog {
       name: String, frequency: String, realm: String, units: String,
       cellMethods: String, longName: String, dimensions: String)
 
-  /** Frequency ladder, highest to lowest resolution — the relaxation
-    * order of find_nearest (mop_setup.py:136-140). */
+  /** Frequency ladder, highest to lowest resolution — the full
+    * relaxation order of find_nearest (mop_setup.py:136-139,
+    * `resample_order` reversed), including the 12hr/7day/10day rungs
+    * the real catalogs can carry. Inserting rungs preserves every
+    * relative-distance comparison (rank is strictly monotone along the
+    * ladder), so resolve's winners over the original nine rungs are
+    * unchanged. */
   val freqLadder: Seq[String] =
-    Seq("10min", "30min", "1hr", "3hr", "6hr", "day", "mon", "yr", "10yr")
+    Seq("10min", "30min", "1hr", "3hr", "6hr", "12hr", "day", "7day",
+      "10day", "mon", "yr", "10yr")
 
   /** Ladder position as a literal-map lookup, not a UDF: stays inside
     * whole-stage codegen and keeps the resolve join's predicates
-    * optimizer-visible. Unknown frequencies rank last. */
+    * optimizer-visible. The `Pt` (instantaneous) and `C` (climatology)
+    * modifiers rank at their base frequency — find_nearest strips them
+    * from both the request (mop_setup.py:129-134) and the candidate
+    * (:141) before walking the ladder; exactness is still judged on
+    * the FULL string by [[resolve]], so a `1hrPt` source serving a
+    * `1hr` request is a resample, never an exact hit. Unknown
+    * frequencies rank last. */
   private def freqRank(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    coalesce(element_at(typedLit(freqLadder.zipWithIndex.toMap), c),
+    coalesce(element_at(typedLit(freqLadder.zipWithIndex.toMap),
+        replace(replace(c, lit("Pt"), lit("")), lit("C"), lit(""))),
       lit(Int.MaxValue))
 
   def mappings(spark: SparkSession, rows: Seq[Mapping]): DataFrame = {
@@ -92,6 +105,46 @@ object Catalog {
       .drop("__ver")
   }
 
+  /** Load a MODERN-layout mapping CSV (read_map, mopdb_utils.py:598-626
+    * — the 17-field `;`-delimited layout of the reference's shipped
+    * `map_aus2200_v1.csv` / the varlist template writer): header
+    * `cmor_var;input_vars;calculation;units;dimensions;frequency;
+    * realm;cell_methods;positive;cmor_table;version;vtype;size;nsteps;
+    * filename;long_name;standard_name`, `#` comments skipped. The
+    * mapping table takes the first 11 fields verbatim (version →
+    * `model`, matching the reference's row[:11] slice into the mapping
+    * schema) — REAL frequency (`1hrPt`-style) and cmor_table values,
+    * the half of the corpus that exercises [[resolve]]'s relaxation
+    * ladder on real data. `notes` is standard_name when nonempty else
+    * long_name (the reference's row[16]-else-row[15] rule by HEADER
+    * position); `origin` is the caller's alias when nonempty else the
+    * row's own filename field — the reference's `if alias == ''` sits
+    * INSIDE its row loop and reassigns the parameter, so with an empty
+    * alias every row after the first inherits the FIRST row's
+    * filename; per-row intent implemented here, divergence noted.
+    * A handful of shipped rows carry an 18th field (a stray `;` after
+    * `version` or a trailing one); the explicit 18-column schema
+    * absorbs it without shifting the 11 fields that matter, exactly
+    * as the reference's slice does. Distributed CSV scan; catalogs
+    * are broadcast-small by contract downstream. */
+  def loadMap(spark: SparkSession, path: String,
+      alias: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType((0 to 17).map(i => StructField(s"_c$i", StringType)))
+    val raw = spark.read
+      .option("header", "false").option("delimiter", ";")
+      .option("comment", "#").schema(schema).csv(path)
+      .filter(col("_c0") =!= "cmor_var") // header row
+    def c(i: Int) = coalesce(col(s"_c$i"), lit(""))
+    raw.select(
+      c(0).as("cmorVar"), c(1).as("inputVars"), c(2).as("calculation"),
+      c(3).as("units"), c(4).as("dimensions"), c(5).as("frequency"),
+      c(6).as("realm"), c(7).as("cellMethods"), c(8).as("positive"),
+      c(9).as("cmorTable"), c(10).as("model"),
+      coalesce(nullif(c(16), lit("")), c(15)).as("notes"),
+      (if (alias.isEmpty) c(14) else lit(alias)).as("origin"))
+  }
+
   /** Resolve requested (cmorVar, frequency) pairs against the mapping
     * catalog with frequency relaxation (mop_setup.py find_matches +
     * find_nearest): prefer an exact-frequency mapping; otherwise take the
@@ -99,8 +152,12 @@ object Catalog {
     * executor must insert. Relaxation only moves toward finer frequencies
     * (mop_setup.py:136-153) because resample can only downsample — a
     * request whose only sources are coarser is unmatched. Deterministic:
-    * rank by ladder distance among finer-or-equal candidates, then model
-    * name. */
+    * rank by ladder distance among finer-or-equal candidates, then
+    * (model, frequency, cmorTable) — the trailing keys matter on real
+    * catalogs where ONE model carries the same variable at several
+    * rungs (e.g. aus2200's `tas` at both `1hr` and `10minPt`): a `1hr`
+    * request then sees two distance-0 candidates (`1hr` exact and
+    * `1hrPt`) and the frequency key picks the exact string first. */
   def resolve(requests: DataFrame, mappings: DataFrame): DataFrame = {
     val req = requests.select(
       col("cmorVar").as("req_var"), col("frequency").as("req_freq"))
@@ -111,7 +168,8 @@ object Catalog {
     val ranked = Relational.topOnePerGroup(
       cand.withColumn("__dist", dist),
       Seq(col("req_var"), col("req_freq")),
-      Seq(col("__dist").asc, col("model").asc))
+      Seq(col("__dist").asc, col("model").asc, col("frequency").asc,
+        col("cmorTable").asc))
     ranked
       .withColumn("resample",
         when(col("frequency").isNull, lit(null))
