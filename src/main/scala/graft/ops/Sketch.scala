@@ -302,6 +302,64 @@ object Sketch {
         .as("delta"))
   }
 
+  /** WEIGHTED [[rankSketch]]: rank mass is a per-row weight (tokens,
+    * bytes, sample multiplicity) instead of 1 — the batch half of the
+    * one logical operator whose streaming half is
+    * `StreamRankQuantiles.compress` (its kept-rank rule generalized to
+    * weighted points, StreamRankQuantiles.scala:49-75; r16 verdict
+    * #3). The selection rule is the identical floor-crossing
+    * criterion over CUMULATIVE WEIGHT: with cw the running weight sum
+    * within (key, shard) ordered by (value, id) and W the shard
+    * total, keep a row iff ⌊cw·k/W⌋ > ⌊(cw−w)·k/W⌋ — i.e. its mass
+    * interval (cw−w, cw] contains a target ⌈i·W/k⌉, the first-
+    * crossing set of the stream compressor (for integer cum c,
+    * c < ⌈z⌉ ⟺ c < z, so floor-crossing ≡ first-crossing), and for
+    * unit weights cw = row_number so this IS [[rankSketch]] row for
+    * row (pinned in RankSketchSpec). The last row (cw = W) is always
+    * kept; a shard whose every row crosses a target keeps everything
+    * — exact below resolution, like the unit sketch. Weights must be
+    * ≥ 1: a zero-weight row crosses nothing and silently drops.
+    *
+    * Output (key, shard, x, r = cw, delta) feeds [[rankQuantiles]]
+    * UNCHANGED: there n = Σ W_s becomes total mass, t = ⌈q·n⌉ a mass
+    * rank, and err_bound = Σ_s (⌈W_s/k⌉ − 1). The bound's WEIGHTED
+    * reading (asserted in RankSketchSpec against exact weighted
+    * ranks): the estimate is an actual data value whose mass interval
+    * [G(est)+1, F(est)] (G/F = exact weight strictly-below /
+    * up-to-and-including) satisfies F(est) ≥ t and G(est) < t +
+    * bound — kept cum values are exact prefix masses, consecutive
+    * kept targets are ≤ ⌈W_s/k⌉ apart, and the mass dropped between
+    * two kept rows is < the target spacing, a heavy row being kept
+    * once with its FULL weight rather than split (the same accounting
+    * the stream compressor states). Merge is row-union, state ≤
+    * shards·k rows per key, both exactly as the unit sketch; cw·k
+    * stays in BIGINT up to W_s ≈ 1.4e17/k — petabyte-scale token
+    * masses before overflow. */
+  def rankSketchWeighted(df: DataFrame, key: Column, value: Column,
+      weight: Column, id: Column, shards: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("key"), value.as("x"),
+      weight.cast("long").as("w"), id.as("__id"),
+      (TextOps.h64(id.cast("string")) % shards).as("shard"))
+    // ROWS frame: cw must be strictly increasing per row even across
+    // equal values (the default RANGE frame would merge value ties)
+    val wCum = Window.partitionBy(col("key"), col("shard"))
+      .orderBy(col("x").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"), col("shard"))
+    val kept = base
+      .withColumn("cw", sum(col("w")).over(wCum))
+      // NOT named "W": SQL resolution is case-insensitive and would
+      // collapse it onto the per-row weight column "w"
+      .withColumn("wtot", sum(col("w")).over(wAll))
+      .filter(expr(s"(cw * $k) div wtot > ((cw - w) * $k) div wtot"))
+    val wKept = Window.partitionBy(col("key"), col("shard"))
+      .orderBy(col("cw").asc)
+    kept.select(col("key"), col("shard"), col("x"), col("cw").as("r"),
+      (col("cw") - coalesce(lag(col("cw"), 1).over(wKept), lit(0L)))
+        .as("delta"))
+  }
+
   /** Quantile estimates from a [[rankSketch]] (or a union of merged
     * ones): for target rank t = max(1, ⌈q·n⌉) per key, the smallest
     * sketch value whose summed per-shard rmin (the range-frame

@@ -1294,7 +1294,119 @@ object EvalQueries extends QueryGroup {
       LEFT JOIN lt l ON e.q = l.q
       ORDER BY e.q"""))
 
+  /** TOKEN-WEIGHTED length quantiles from the weighted rank sketch
+    * (r16 verdict #3): "what document length does the median TOKEN sit
+    * in?" — the curriculum/packing question, which unit ranks cannot
+    * answer (a  handful of giant documents carry most of the training
+    * mass). Same q249 anatomy with mass in place of count:
+    * rankSketchWeighted keeps first-crossings of cumulative token
+    * mass (the stream compressor's rule, so batch and stream remain
+    * one logical operator), rankQuantiles reads mass targets
+    * t = ⌈q·n⌉ off the UNCHANGED estimator, and the audit rider is
+    * the exact weighted nearest-rank quantile — the unique row whose
+    * mass interval (cw−w, cw] contains t — plus rank_err = how far
+    * the estimate's mass-interval start overshoots the target,
+    * measured against full data (≤ err_bound by the weighted bound
+    * proof in the scaladoc, asserted in RankSketchSpec). Everything
+    * is integer mass arithmetic over md5-derived shards, so the
+    * DuckDB twin is bit-identical; the sketch itself is ≤ 32·64 rows
+    * per source at ANY corpus size, and the exact rider is the
+    * audit-only data-sized pass (q249/q121 pattern). */
+  private val q251 = Q(
+    "q251_weighted_rank_sketch",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Sketch
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"n_chars".cast("long").as("x"),
+          size(TextOps.tokens($"text")).cast("long").as("w"))
+      val sk = Sketch.rankSketchWeighted(d, $"source", $"x", $"w",
+        $"doc_id", shards = 32, k = 64)
+      val est = Sketch.rankQuantiles(sk, k = 64, Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("key", "source")
+      // exact weighted nearest-rank: the one row whose cumulative-mass
+      // interval contains the target (w >= 1 always: token count of a
+      // trimmed text is at least 1 in both engines)
+      val wCum = Window.partitionBy($"source").orderBy($"x", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d.withColumn("cw", sum($"w").over(wCum))
+      val exact = cum
+        .join(broadcast(est.select($"source", $"q", $"t_rank")), Seq("source"))
+        .filter($"cw" >= $"t_rank" && $"cw" - $"w" < $"t_rank")
+        .select($"source", $"q", $"x".as("exact"))
+      val lt = d
+        .join(broadcast(est.select($"source", $"q", $"est")), Seq("source"))
+        .filter($"x" < $"est")
+        .groupBy($"source", $"q").agg(sum($"w").as("mass_lt"))
+      est.join(exact, Seq("source", "q"))
+        .join(lt, Seq("source", "q"), "left")
+        .select($"source", $"q", $"t_rank", $"n", $"est", $"exact",
+          greatest(lit(0L),
+            coalesce($"mass_lt", lit(0L)) + lit(1L) - $"t_rank")
+            .as("rank_err"),
+          $"err_bound")
+        .orderBy($"source", $"q")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(len(string_split_regex(trim(text), '\\s+'))
+                     AS BIGINT) AS w
+                 FROM documents),
+      sh AS (SELECT source, doc_id, x, w,
+               ${TextOps.h64Sql("CAST(doc_id AS VARCHAR)")} % 32 AS shard
+             FROM d),
+      cwt AS (SELECT source, shard, x, w,
+                CAST(SUM(w) OVER (PARTITION BY source, shard
+                  ORDER BY x, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS cw,
+                CAST(SUM(w) OVER (PARTITION BY source, shard)
+                  AS BIGINT) AS wtot
+              FROM sh),
+      kept AS (SELECT source, shard, x, cw AS r FROM cwt
+               WHERE (cw * 64) // wtot > ((cw - w) * 64) // wtot),
+      del AS (SELECT source, shard, x, r,
+                r - COALESCE(LAG(r) OVER (PARTITION BY source, shard
+                  ORDER BY r), 0) AS delta
+              FROM kept),
+      cum AS (SELECT *, CAST(SUM(delta) OVER (PARTITION BY source
+                ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS BIGINT) AS grank
+              FROM del),
+      tot AS (SELECT source, CAST(SUM(m) AS BIGINT) AS n,
+                CAST(SUM((m + 63) // 64 - 1) AS BIGINT) AS err_bound
+              FROM (SELECT source, shard, MAX(r) AS m
+                    FROM kept GROUP BY source, shard)
+              GROUP BY source),
+      qq AS (SELECT unnest(ARRAY[CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+               CAST(0.99 AS DOUBLE)]) AS q),
+      cand AS (SELECT c.source, qq.q, c.x, t.n, t.err_bound,
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT)) AS t_rank
+               FROM cum c JOIN tot t ON c.source = t.source CROSS JOIN qq
+               WHERE c.grank >=
+                 GREATEST(1, CAST(ceil(qq.q * t.n) AS BIGINT))),
+      est AS (SELECT source, q, t_rank, n, x AS est, err_bound FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source, q
+                  ORDER BY x) AS rk
+                FROM cand) WHERE rk = 1),
+      cw2 AS (SELECT source, doc_id, x, w,
+                CAST(SUM(w) OVER (PARTITION BY source ORDER BY x, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw
+              FROM d),
+      ex AS (SELECT c.source, e.q, c.x AS exact
+             FROM cw2 c JOIN est e ON c.source = e.source
+             WHERE c.cw >= e.t_rank AND c.cw - c.w < e.t_rank),
+      lt AS (SELECT e.source, e.q, CAST(SUM(d.w) AS BIGINT) AS mass_lt
+             FROM est e JOIN d ON d.source = e.source AND d.x < e.est
+             GROUP BY e.source, e.q)
+      SELECT e.source, e.q, e.t_rank, e.n, e.est, x.exact,
+        GREATEST(0, COALESCE(l.mass_lt, 0) + 1 - e.t_rank) AS rank_err,
+        e.err_bound
+      FROM est e JOIN ex x ON e.source = x.source AND e.q = x.q
+      LEFT JOIN lt l ON e.source = l.source AND e.q = l.q
+      ORDER BY e.source, e.q"""))
+
   def queries: Seq[Q] =
     Seq(q196, q197, q198, q199, q200, q201, q202, q203, q204, q205,
-      q206, q207, q208, q209, q212, q249, q250)
+      q206, q207, q208, q209, q212, q249, q250, q251)
 }

@@ -91,4 +91,67 @@ class RankSketchSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(est == ((200L, 0L))) // exact median, zero bound
   }
+
+  // ---- weighted variant (r16 verdict #3) ----
+
+  test("rankSketchWeighted with unit weights IS rankSketch, row for row") {
+    val unit = Sketch.rankSketch(heavy, $"key", $"x", $"id", Shards, K)
+      .orderBy($"key", $"shard", $"r")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val wtd = Sketch.rankSketchWeighted(heavy, $"key", $"x", lit(1L),
+        $"id", Shards, K)
+      .orderBy($"key", $"shard", $"r")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(wtd == unit)
+  }
+
+  test("weighted rank bound holds against exact weighted ranks (heavy-tailed weights)") {
+    // heavy-tailed WEIGHTS on top of heavy-tailed values: a few rows
+    // carry ~1000x the mass of the rest — the case where splitting a
+    // heavy row would break the bound accounting (it is kept once,
+    // charged its full weight)
+    val wdf = heavy.withColumn("w",
+      when($"id" % 97 === 0, lit(1000L)).otherwise($"id" % 7 + 1))
+    val sk = Sketch.rankSketchWeighted(wdf, $"key", $"x", $"w", $"id",
+      Shards, K)
+    val est = estimates(sk)
+    assert(est.size == 2 * Qs.size)
+    val data = wdf.select($"key", $"x", $"w")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+    for ((key, q, t, n, e, bound) <- est) {
+      val rows = data(key)
+      val totW = rows.map(_._2).sum
+      assert(n == totW, s"$key sketch-derived n is the total mass")
+      // F(est) = mass up to and including est covers the target;
+      // G(est) = mass strictly below est undershoots t + bound —
+      // the weighted reading of the unit sketch's [t, t+bound] bracket
+      val fle = rows.filter(_._1 <= e).map(_._2).sum
+      val glt = rows.filter(_._1 < e).map(_._2).sum
+      assert(fle >= t, s"$key q=$q: F(est)=$fle < t=$t")
+      assert(glt + 1 - t <= bound,
+        s"$key q=$q: mass overshoot ${glt + 1 - t} > bound $bound")
+      // est is never below the exact weighted nearest-rank quantile
+      // (smallest value whose cumulative mass reaches t)
+      var cum = 0L
+      val exact = rows.find { r => cum += r._2; cum >= t }.get._1
+      assert(e >= exact, s"$key q=$q: est below exact weighted quantile")
+    }
+  }
+
+  test("weighted sketch is partition-invariant and merges by union") {
+    val wdf = heavy.withColumn("w", $"id" % 11 + 1)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Sketch.rankSketchWeighted(df, $"key", $"x", $"w", $"id", Shards, K)
+    val rows1 = sk(wdf).orderBy($"key", $"shard", $"r")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val rows2 = sk(wdf.repartition(7)).orderBy($"key", $"shard", $"r")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows1 == rows2)
+    val shardOf = graft.ops.TextOps.h64($"id".cast("string")) % Shards
+    val merged = sk(wdf.filter(shardOf % 2 === 0))
+      .unionByName(sk(wdf.filter(shardOf % 2 === 1)))
+    assert(estimates(merged) == estimates(sk(wdf)))
+  }
 }
