@@ -728,8 +728,11 @@ object Bench {
     // (SPARK_GRAFT_TIER=full) still times q244/q246/q247 as their own
     // rows, and Verify/CORRECTNESS check all four at sf0.01 like every
     // query.
+    // q252 (NMI) joins them in r17: the identical two sweep chains
+    // plus community-count-sized entropy aggregates
     val baseSkip = Set("q244_louvain_converge", "q246_louvain_resolution",
-      "q247_community_stability", "q248_adjusted_rand")
+      "q247_community_stability", "q248_adjusted_rand",
+      "q252_partition_nmi")
     val allNamed = SparkEntry.queries.toSeq.sortBy(_._1)
     val named = only.fold(allNamed.filterNot(q => baseSkip(q._1)))(f =>
       allNamed.filter(q => f.exists(q._1.startsWith)))

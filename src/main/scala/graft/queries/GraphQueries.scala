@@ -1630,7 +1630,12 @@ object GraphQueries extends QueryGroup {
     * |A|×|B| contingency cells, sa/sb = Σ C(size,2) over each side's
     * community sizes. Node pairs are never materialized; every scalar
     * rides a 1-row broadcast crossJoin. */
-  private def stabilityStats(s: org.apache.spark.sql.SparkSession,
+  /** The (node, la, lb) label-pair frame both γ chains produce —
+    * the input to every partition-comparison statistic (q247 Rand,
+    * q248 ARI, q252 NMI). The two final label frames are
+    * checkpointed (`Iterate.cut`), so consuming this frame several
+    * times re-runs only the one node-keyed join, never the sweeps. */
+  private def stabilityPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
     val li = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
@@ -1657,8 +1662,14 @@ object GraphQueries extends QueryGroup {
     }
     val la = finalLabels(1L, 1L)
     val lb = finalLabels(LouvainGammaNum, LouvainGammaDen)
-    val pairs = la.select($"node", $"label".as("la"))
+    la.select($"node", $"label".as("la"))
       .join(lb.select($"node", $"label".as("lb")), Seq("node"))
+  }
+
+  private def stabilityStats(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = stabilityPairs(s, dir)
     // Σ C(n,2) over a count frame — all-integer, exact
     def choose2Sum: org.apache.spark.sql.Column =
       coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L))
@@ -1731,6 +1742,61 @@ object GraphQueries extends QueryGroup {
     },
     Some(q248Sql(GammaSweeps)))
 
+  /** NORMALIZED MUTUAL INFORMATION over the same two partitions as
+    * q247/q248 (r16 verdict #4): the information-theoretic member of
+    * the partition-agreement family, from the SAME contingency cell
+    * frame the Rand/ARI sufficient statistics aggregate —
+    *   I(A;B) = Σ_ij (n_ij/n)·ln(n·n_ij/(a_i·b_j)),
+    *   H(A)   = Σ_i (a_i/n)·ln(n/a_i)      (H(B) likewise),
+    *   NMI    = 2·I / (H(A)+H(B))          (arithmetic-mean norm).
+    * Every input to every log is an exactly-representable BIGINT
+    * count (cells, marginals, n), both engines evaluate the identical
+    * ratio expressions, and each per-cell/per-community term goes
+    * through the repo's decimal-exact sum (round to 1e-6, sum exactly
+    * in DECIMAL(18,6), cast back) so the float sums are order-
+    * independent and the cross-engine hash is exact; the final NMI is
+    * one deterministic IEEE division rounded to 6 (NULL when both
+    * partitions are single-community: H(A)+H(B) = 0). Output also
+    * carries the integer sufficient statistics (n_nodes, n_cells,
+    * n_comm per side). Scale shape: identical to q247 — the sweeps
+    * dominate; the NMI itself is community-count-sized aggregates
+    * over the checkpointed label frames, node pairs never
+    * materialized. Base-tier evicted with q247/q248 (same two sweep
+    * chains). */
+  private val q252 = Q(
+    "q252_partition_nmi",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.Exact
+      val pairs = stabilityPairs(s, dir)
+      val cells = pairs.groupBy($"la", $"lb").agg(count(lit(1)).as("nij"))
+      val ma = pairs.groupBy($"la").agg(count(lit(1)).as("ai"))
+      val mb = pairs.groupBy($"lb").agg(count(lit(1)).as("bj"))
+      val nn = pairs.agg(count(lit(1)).as("n_nodes"))
+      val mi = cells.join(broadcast(ma), Seq("la"))
+        .join(broadcast(mb), Seq("lb"))
+        .crossJoin(broadcast(nn))
+        .agg(count(lit(1)).as("n_cells"),
+          Exact.dsum(($"nij".cast("double") / $"n_nodes") *
+            log(($"nij".cast("double") * $"n_nodes") /
+              ($"ai".cast("double") * $"bj"))).as("mi"))
+      def entropy(m: DataFrame, cnt: String, outN: String, outH: String) =
+        m.crossJoin(broadcast(nn))
+          .agg(count(lit(1)).as(outN),
+            Exact.dsum((col(cnt).cast("double") / $"n_nodes") *
+              log($"n_nodes".cast("double") / col(cnt))).as(outH))
+      val ha = entropy(ma, "ai", "n_comm_g1", "h_g1")
+      val hb = entropy(mb, "bj", "n_comm_g32", "h_g32")
+      nn.crossJoin(broadcast(mi))
+        .crossJoin(broadcast(ha))
+        .crossJoin(broadcast(hb))
+        .select($"n_nodes", $"n_cells", $"n_comm_g1", $"n_comm_g32",
+          $"mi", $"h_g1", $"h_g32",
+          round(lit(2.0) * $"mi" /
+            nullif($"h_g1" + $"h_g32", lit(0.0)), 6).as("nmi"))
+    },
+    Some(q252Sql(GammaSweeps)))
+
   /** The q247 oracle: both static sweep chains (γ = 1 byte-identical
     * to the unparameterized twin; γ = 3/2 via the same SQL generator
     * as q246), then the identical contingency / size sufficient
@@ -1772,6 +1838,43 @@ object GraphQueries extends QueryGroup {
             - 2 * (CAST(sa AS HUGEINT) * sb) AS BIGINT), 0) AS DOUBLE), 6)
           AS ari
       FROM st"""
+
+  /** The q252 oracle: the same two chains and `prs` frame, then the
+    * contingency cells / marginals in BIGINT and the identical
+    * mi/entropy term expressions through the decimal-exact sum
+    * fragment (the sboth/ssa/ssb CTEs of the shared prefix are
+    * non-materialized and unused here, so DuckDB never evaluates
+    * them). */
+  private def q252Sql(s: Int): String =
+    stabilitySqlPrefix(s) + s"""
+      , cells AS (SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS nij
+                  FROM prs GROUP BY la, lb),
+      ma AS (SELECT la, CAST(COUNT(*) AS BIGINT) AS ai
+             FROM prs GROUP BY la),
+      mb AS (SELECT lb, CAST(COUNT(*) AS BIGINT) AS bj
+             FROM prs GROUP BY lb),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM prs),
+      mi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ${graft.ops.Exact.sqlSum(
+                 "(CAST(nij AS DOUBLE) / n_nodes) * " +
+                 "ln((CAST(nij AS DOUBLE) * n_nodes) / " +
+                 "(CAST(ai AS DOUBLE) * bj))")} AS mi
+             FROM cells JOIN ma USING (la) JOIN mb USING (lb)
+             CROSS JOIN nn),
+      ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm_g1,
+               ${graft.ops.Exact.sqlSum(
+                 "(CAST(ai AS DOUBLE) / n_nodes) * " +
+                 "ln(CAST(n_nodes AS DOUBLE) / ai)")} AS h_g1
+             FROM ma CROSS JOIN nn),
+      hb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm_g32,
+               ${graft.ops.Exact.sqlSum(
+                 "(CAST(bj AS DOUBLE) / n_nodes) * " +
+                 "ln(CAST(n_nodes AS DOUBLE) / bj)")} AS h_g32
+             FROM mb CROSS JOIN nn)
+      SELECT nn.n_nodes, mi.n_cells, ha.n_comm_g1, hb.n_comm_g32,
+        mi.mi, ha.h_g1, hb.h_g32,
+        round(2.0 * mi.mi / NULLIF(ha.h_g1 + hb.h_g32, 0.0), 6) AS nmi
+      FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
 
   /** Shared WITH-chain of the q247/q248 oracles: the two sweep chains
     * and the sboth/ssa/ssb sufficient-statistic CTEs (no trailing
@@ -1826,5 +1929,5 @@ object GraphQueries extends QueryGroup {
   def queries: Seq[Q] =
     Seq(q210, q211, q215, q216, q220, q222, q224, q225, q226, q227,
       q228, q229, q230, q231, q232, q233, q235, q236, q237, q238,
-      q240, q241, q242, q243, q244, q246, q247, q248)
+      q240, q241, q242, q243, q244, q246, q247, q248, q252)
 }
