@@ -1712,8 +1712,14 @@ object GraphQueries extends QueryGroup {
     *   ari_num = 2·(T·I − a·b),  ari_den = T·(a+b) − 2·a·b,
     * ARI = ari_num / ari_den. Products are formed in DECIMAL(38,0)
     * (Spark) / HUGEINT (DuckDB) and cast back — at the bench scales
-    * T ≤ ~1.3e8 so num/den ≤ ~2e16 fit BIGINT with 100× headroom;
-    * ari_den = 0 (both sides one community) reports NULL ari.
+    * T ≤ ~1.3e8 so num/den ≤ ~2e16 fit BIGINT with 100× headroom,
+    * and the cast is GUARDED (ADVICE r16): past that headroom Spark's
+    * non-ANSI decimal→BIGINT cast would yield NULL silently while
+    * DuckDB errors on the out-of-range HUGEINT cast — breaking
+    * cross-engine parity exactly when the numbers get big — so the
+    * Spark side raise_errors on |value| > 2^63−1 and both engines
+    * now fail the same way; ari_den = 0 (both sides one community)
+    * reports NULL ari.
     * The rounded double divides the two exactly-representable-after-
     * cast integers identically in both engines. Base-tier skipped like
     * q247 (same two sweep chains); its scaling story IS q247's tier
@@ -1722,20 +1728,29 @@ object GraphQueries extends QueryGroup {
     "q248_adjusted_rand",
     (s, dir) => {
       import s.implicits._
+      // CASE is lazily evaluated per row, so raise_error fires only on
+      // an actual overflow — the loud twin of DuckDB's checked cast
+      def checkedBigint(dec: String, name: String) = expr(
+        s"""CAST(CASE WHEN abs($dec) > CAST(9223372036854775807 AS
+            DECIMAL(38,0)) THEN CAST(raise_error(CONCAT(
+            'q248: $name overflows BIGINT: ', CAST($dec AS STRING)))
+            AS DECIMAL(38,0)) ELSE $dec END AS BIGINT)""")
       stabilityStats(s, dir)
         .select($"n_nodes", $"same_both", $"sa", $"sb",
           expr("(n_nodes * (n_nodes - 1)) div 2").as("t"))
+        .withColumn("__num_dec",
+          expr("""2 * (CAST(t AS DECIMAL(38,0)) * same_both
+                  - CAST(sa AS DECIMAL(38,0)) * sb)"""))
+        .withColumn("__den_dec",
+          expr("""CAST(t AS DECIMAL(38,0)) * (sa + sb)
+                  - 2 * (CAST(sa AS DECIMAL(38,0)) * sb)"""))
         .select($"n_nodes",
           $"t".as("pairs_total"),
           $"same_both",
           $"sa".as("sum_pairs_g1"),
           $"sb".as("sum_pairs_g32"),
-          expr("""CAST(2 * (CAST(t AS DECIMAL(38,0)) * same_both
-                  - CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)""")
-            .as("ari_num"),
-          expr("""CAST(CAST(t AS DECIMAL(38,0)) * (sa + sb)
-                  - 2 * (CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)""")
-            .as("ari_den"))
+          checkedBigint("__num_dec", "ari_num").as("ari_num"),
+          checkedBigint("__den_dec", "ari_den").as("ari_den"))
         .withColumn("ari",
           round($"ari_num".cast("double") /
             nullif($"ari_den", lit(0L)).cast("double"), 6))
