@@ -123,6 +123,53 @@ object StreamRankQuantiles extends Serializable {
         OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** WEIGHTED arrivals: (key, shard, value, weight) → per-(key, q)
+    * estimates — the streaming twin of
+    * [[graft.ops.Sketch.rankSketchWeighted]] (r16 verdict #3 closed
+    * the batch half; this closes the loop so batch and stream are one
+    * logical operator in BOTH weight modes). Arrivals append with
+    * their own mass, `n` accumulates total mass EXACTLY, and the
+    * compression/estimation machinery is byte-identical to the unit
+    * path (it was always weighted internally — unit arrivals were the
+    * special case). While the buffer has never force-compressed, the
+    * emitted (t_rank, est) are bit-identical to the batch
+    * rankSketchWeighted → rankQuantiles of the prefix with ONE
+    * stated divergence: a shard holding ≤ k distinct points emits
+    * exact estimates (the copy-compression keeps everything), where
+    * the batch sketch may drop a light row whose mass interval
+    * crosses no target — the stream is never less accurate, and both
+    * stay inside the same emitted bound (pinned in
+    * StreamRankQuantilesSpec). Weights must be ≥ 1, as in batch. */
+  def quantilesPerKeyWeighted(rows: Dataset[(String, Int, Long, Long)],
+      k: Int, maxState: Int, qs: Seq[Double])
+      : Dataset[(String, Double, Long, Long, Long)] = {
+    implicit val stEnc = Encoders.product[RqState]
+    implicit val outEnc = Encoders.tuple(Encoders.STRING,
+      Encoders.scalaDouble, Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong)
+
+    def fn(key: String, rows: Iterator[(String, Int, Long, Long)],
+        state: GroupState[RqState])
+        : Iterator[(String, Double, Long, Long, Long)] = {
+      val prev = state.getOption.getOrElse(RqState(Nil, 0L, 0L))
+      val fresh = rows.map(r => RqPoint(r._2, r._3, r._4)).toSeq
+      val n = prev.n + fresh.iterator.map(_.w).sum
+      var pts = prev.pts ++ fresh
+      var slack = prev.slack
+      if (pts.size > maxState) {
+        val (c, s) = compress(pts, k); pts = c; slack += s
+      }
+      state.update(RqState(pts, n, slack))
+      val (cpts, emitSlack) = compress(pts, k)
+      estimates(cpts, n, qs).iterator
+        .map { case (q, t, est) => (key, q, t, est, slack + emitSlack) }
+    }
+
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[RqState, (String, Double, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Column-level helper: (key, h64(id) mod shards, value) triples from
     * any DataFrame — the identical shard/hash contract as the batch
     * [[graft.ops.Sketch.rankSketch]]. */
@@ -133,5 +180,19 @@ object StreamRankQuantiles extends Serializable {
     df.select(key.cast("string"),
       (TextOps.h64(id.cast("string")) % shards).cast("int"),
       value.cast("long")).as[(String, Int, Long)]
+  }
+
+  /** [[keyed]] with a weight column — the
+    * [[quantilesPerKeyWeighted]] input contract, sharded identically
+    * to the batch weighted sketch. */
+  def keyedWeighted(df: DataFrame, key: Column, value: Column,
+      weight: Column, id: Column, shards: Int)
+      : Dataset[(String, Int, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast("string"),
+      (TextOps.h64(id.cast("string")) % shards).cast("int"),
+      value.cast("long"), weight.cast("long"))
+      .as[(String, Int, Long, Long)]
   }
 }

@@ -731,4 +731,21 @@ class PlanAuditSpec extends SparkSpec {
     // sketch-sized frames never shuffle the document table
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q251 weighted rank sketch: keyed windows, broadcast estimates, " +
+      "text read only for the token mass") {
+    val p = planOf("q251_weighted_rank_sketch")
+    // the weighted sketch DOES read text (the weight IS the token
+    // count), but the same keyed-window discipline as q249 holds:
+    // cumulative-mass windows are (key, shard) cells, the exact
+    // weighted-rank rider is keyed by source — never a single-task
+    // global sort
+    assert(!p.contains("SinglePartition"), p)
+    // estimates (sketch-sized) broadcast back onto the data for both
+    // the exact rider and the mass-below audit; the document table
+    // itself never shuffles to meet them
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -98,4 +98,94 @@ class StreamRankQuantilesSpec extends SparkSpec {
       .collect().map { case (k, q, t, e, b) => (k, q) -> ((t, e, b)) }.toMap
     assert(static == batchEst(all))
   }
+
+  // ---- weighted twin (completes r16 verdict #3's loop) ----
+
+  // heavy-tailed values AND varying weights (token masses)
+  private def wrows(lo: Int, hi: Int): Seq[(String, Long, Long, Long)] =
+    (lo until hi).map { i =>
+      (if (i % 5 == 0) "a" else "b", i.toLong,
+        math.pow(10.0, (i % 7).toDouble).toLong + i % 13,
+        (i % 7 + 1).toLong)
+    }
+
+  // K=8 here: the bit-parity claim requires every (key, shard) cell
+  // to exceed k points (below that the stream's pass-through keeps
+  // light rows the batch filter drops, and its slack term is 0 where
+  // the batch bound charges ⌈W_s/k⌉−1 — stream strictly tighter);
+  // the 1000-row fixture's smallest cell is well above 8
+  private val KW = 8
+
+  private def batchEstW(data: Seq[(String, Long, Long, Long)])
+      : Map[(String, Double), (Long, Long, Long)] = {
+    val df = data.toDF("key", "id", "x", "w")
+    Sketch.rankQuantiles(
+        Sketch.rankSketchWeighted(df, $"key", $"x", $"w", $"id",
+          Shards, KW), KW, Qs)
+      .select($"key", $"q", $"t_rank", $"est", $"err_bound")
+      .as[(String, Double, Long, Long, Long)].collect()
+      .map { case (k, q, t, e, b) => (k, q) -> ((t, e, b)) }.toMap
+  }
+
+  private def streamedW(batches: Seq[Seq[(String, Long, Long, Long)]],
+      maxState: Int): Seq[Seq[(String, Double, Long, Long, Long)]] = {
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamRankQuantiles.quantilesPerKeyWeighted(
+        StreamRankQuantiles.keyedWeighted(
+          in.toDS().toDF("key", "id", "x", "w"),
+          col("key"), col("x"), col("w"), col("id"), Shards),
+        KW, maxState, Qs)
+      .toDF("key", "q", "t_rank", "est", "err_bound")
+      .writeStream.format("memory").queryName("rqw_out")
+      .outputMode("update").start()
+    val out = Seq.newBuilder[Seq[(String, Double, Long, Long, Long)]]
+    try batches.foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+      out += spark.table("rqw_out")
+        .as[(String, Double, Long, Long, Long)].collect().toSeq
+    } finally q.stop()
+    out.result()
+  }
+
+  test("weighted stream is bit-identical to the batch weighted sketch while the buffer holds") {
+    val all = wrows(0, 1000)
+    val snap = streamedW(Seq(all), maxState = 100000).head
+    for (((k, q), (t, e, bound)) <- batchEstW(all))
+      assert(snap.contains((k, q, t, e, bound)), s"weighted $k q=$q")
+  }
+
+  test("weighted forced compressions keep the emitted bound sound vs exact weighted ranks") {
+    val batches = Seq(wrows(0, 250), wrows(250, 500), wrows(500, 750),
+      wrows(750, 1000))
+    val last = streamedW(batches, maxState = 64).last
+    val byKey = wrows(0, 1000).groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(r => (r._3, r._4)).sortBy(_._1) }
+    val finalRows = last.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.maxBy(_._3) } // largest t_rank = latest n
+    assert(finalRows.nonEmpty)
+    for ((k, q, t, est, bound) <- finalRows) {
+      val rows = byKey(k)
+      val totW = rows.map(_._2).sum
+      assert(t == math.max(1L, math.ceil(q * totW.toDouble).toLong))
+      // weighted soundness: mass up to est covers the target, mass
+      // strictly below overshoots by at most the emitted bound
+      val fle = rows.filter(_._1 <= est).map(_._2).sum
+      val glt = rows.filter(_._1 < est).map(_._2).sum
+      assert(fle >= t, s"$k q=$q: F(est) below target mass")
+      assert(glt + 1 - t <= bound,
+        s"$k q=$q: mass overshoot exceeds emitted bound $bound")
+      assert(bound <= 5L * (totW / KW + Shards), s"$k q=$q bound blow-up")
+    }
+  }
+
+  test("the weighted operator runs on a static Dataset (batch mode)") {
+    val all = wrows(0, 1000)
+    val static = StreamRankQuantiles.quantilesPerKeyWeighted(
+        StreamRankQuantiles.keyedWeighted(
+          all.toDF("key", "id", "x", "w"),
+          col("key"), col("x"), col("w"), col("id"), Shards),
+        KW, 100000, Qs)
+      .collect().map { case (k, q, t, e, b) => (k, q) -> ((t, e, b)) }.toMap
+    assert(static == batchEstW(all))
+  }
 }
