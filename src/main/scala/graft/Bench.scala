@@ -579,7 +579,7 @@ object Bench {
         // build(docs) + audits(docs) separately would pay stages 1–7
         // twice and double-count the doc pipeline in the reported time
         val st = graft.ops.CorpusPipelineV2.stages(docs, checkpoint = true)
-        val kept = st.kept.localCheckpoint(true)
+        val kept = graft.ops.Iterate.cut(st.kept)
         graft.ops.CorpusPipelineV2.buildFromKept(kept)
           .write.format("noop").mode("overwrite").save()
         graft.ops.CorpusPipelineV2.auditsFromKept(docs, kept)

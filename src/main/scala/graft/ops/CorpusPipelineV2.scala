@@ -68,7 +68,7 @@ object CorpusPipelineV2 {
     * audit can SEE every stage's join shape (a checkpoint truncates
     * the visible plan at the barrier). */
   private def cp(df: DataFrame, checkpoint: Boolean): DataFrame =
-    if (checkpoint) df.localCheckpoint(true) else df
+    if (checkpoint) Iterate.cut(df) else df
 
   /** The intermediate stage frames of [[keptWithSplit]], exposed so the
     * composed-pipeline oracle row (q221) can count each stage's
@@ -331,13 +331,13 @@ object CorpusPipelineV2 {
     * The median is exact nearest-rank over the HOSTS-sized rank table
     * (a single-partition window is fine at that size, never on data). */
   def rankGate(docs: DataFrame): (DataFrame, DataFrame) = {
-    val pr = sourceAuthority(docs).localCheckpoint(true)
+    val pr = sourceAuthority(docs).transform(Iterate.cut)
     val med = WindowOps.exactMedian(pr, Seq(lit(1)), col("pagerank"),
       col("node")).select(col("median"))
     val verdicts = pr.crossJoin(broadcast(med))
       .select(col("node").as("source"), col("pagerank"),
         (col("pagerank") >= col("median")).as("keep_all"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     // the tail's share halves via the usual deterministic hash-rate
     // predicate, salted ("|rg") so it is independent of the stage-2
     // sample's key — map-side, rerun/parallelism-stable
@@ -397,7 +397,7 @@ object CorpusPipelineV2 {
     * per-source audit rows (check='tier_gate', key=source,
     * value = 1.0 hi / 0.0 lo / −1.0 unlabeled, pass = not halved)). */
   def tierGate(docs: DataFrame, tiers: DataFrame): (DataFrame, DataFrame) = {
-    val t = tiers.localCheckpoint(true)
+    val t = tiers.transform(Iterate.cut)
     val gated = docs
       .join(broadcast(t), Seq("source"), "left")
       .filter(coalesce(col("tier") =!= "lo", lit(true)) ||
@@ -453,15 +453,15 @@ object CorpusPipelineV2 {
     * drift gate must see what the gates did to the tail). Returns
     * (chunk frame, audit frame). */
   def buildAndAuditTierGated(docs: DataFrame): (DataFrame, DataFrame) = {
-    val edges = sourceAffinityEdges(docs).localCheckpoint(true)
-    val pr = Graph.pageRank(edges, iters = 3).localCheckpoint(true)
+    val edges = sourceAffinityEdges(docs).transform(Iterate.cut)
+    val pr = Graph.pageRank(edges, iters = 3).transform(Iterate.cut)
     val med = WindowOps.exactMedian(pr, Seq(lit(1)), col("pagerank"),
       col("node")).select(col("median"))
     val rankV = pr.crossJoin(broadcast(med))
       .select(col("node").as("source"), col("pagerank"),
         (col("pagerank") >= col("median")).as("keep_all"))
-      .localCheckpoint(true)
-    val tiers = qualityTiers(edges, docs).localCheckpoint(true)
+      .transform(Iterate.cut)
+    val tiers = qualityTiers(edges, docs).transform(Iterate.cut)
     val gated = docs
       .join(broadcast(rankV.select(col("source"), col("keep_all"))),
         Seq("source"), "left")
@@ -484,7 +484,7 @@ object CorpusPipelineV2 {
       coalesce(col("tier") =!= "lo", lit(true)).as("pass"))
     val phiAudit = conductanceAudit(edges, tiers)
     val st = stages(gated, checkpoint = true)
-    val kept = st.kept.localCheckpoint(true)
+    val kept = st.kept.transform(Iterate.cut)
     (buildFromKept(kept),
       auditsFromKept(docs, kept).unionByName(rankAudit)
         .unionByName(tierAudit).unionByName(phiAudit))
@@ -502,7 +502,7 @@ object CorpusPipelineV2 {
   def buildAndAuditRankGated(docs: DataFrame): (DataFrame, DataFrame) = {
     val (gated, gateAudit) = rankGate(docs)
     val st = stages(gated, checkpoint = true)
-    val kept = st.kept.localCheckpoint(true)
+    val kept = st.kept.transform(Iterate.cut)
     (buildFromKept(kept), auditsFromKept(docs, kept).unionByName(gateAudit))
   }
 

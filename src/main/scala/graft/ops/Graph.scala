@@ -51,38 +51,43 @@ object Graph {
     import spark.implicits._
     // materialize the edge frame ONCE — deg and eWithDeg both read it,
     // and a caller-supplied edge build (a distinct over a fact join)
-    // would otherwise run per consumer
-    val e = edges.localCheckpoint(true)
+    // would otherwise run per consumer. Iterate.cut stamps MEASURED
+    // sizes (r17): the per-round join below sees an accurate
+    // node-sized estimate for the rank vector and auto-broadcasts it
+    // under Spark's own threshold — the edges are then never
+    // re-shuffled in the loop at bench scale, while a corpus-sized
+    // vector at 100 TB exceeds the threshold and keeps the honest
+    // two-sided shuffle join (guide §3.1).
+    val e = Iterate.cut(edges)
     // out-degree and the node universe (= all srcs, by symmetry);
     // node-sized, reused every round
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    // 1-row frame carrying N, the uniform start 1/N and the teleport
-    // base 0.15/N (both rounded to 6 decimals once — every engine
-    // derives later ranks from these exact decimals)
-    val nrow = deg.agg(count(lit(1)).as("n"))
-      .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
-        round(lit(0.15) / $"n", 6).as("base"))
+    val deg = Iterate.cut(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+    // loop constants: N, the uniform start 1/N and the teleport base
+    // 0.15/N (both rounded to 6 decimals once — every engine derives
+    // later ranks from these exact decimals). Collected ONCE as a
+    // driver-sized 1-row head instead of a broadcast 1-row crossJoin
+    // subtree that every round's checkpoint job re-materialized.
+    val c0 = deg.agg(count(lit(1)).as("n"))
+      .select(round(lit(1.0) / $"n", 6).as("r0"),
+        round(lit(0.15) / $"n", 6).as("base")).head()
+    val (r0, base) = (c0.getDouble(0), c0.getDouble(1))
     // the rank vector rolls through one slot: round k's checkpoint
     // releases round k−1's blocks (Iterate doc — a bare localCheckpoint
     // per round leaks every superseded round for the session)
     val roll = new Iterate.RollingCheckpoint
-    var ranks = roll.next(deg.crossJoin(broadcast(nrow))
-      .select($"src".as("node"), $"r0".as("r")))
-    val eWithDeg = e.join(deg, Seq("src"))
-      .select($"src", $"dst", $"outdeg")
-      .localCheckpoint(true)
+    var ranks = roll.next(deg.select($"src".as("node"), lit(r0).as("r")))
+    val eWithDeg = Iterate.cut(
+      e.join(deg, Seq("src")).select($"src", $"dst", $"outdeg"))
     for (_ <- 1 to iters) {
       val contrib = eWithDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select($"dst", round($"r" / $"outdeg", 6).as("c"))
       val sums = contrib.groupBy($"dst")
         .agg(sum($"c".cast("decimal(18,6)")).as("sm"))
-      ranks = roll.next(sums.crossJoin(broadcast(nrow))
-        .select($"dst".as("node"),
-          round($"base".cast("decimal(18,6)") +
-            expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
-            .cast("double").as("r")))
+      ranks = roll.next(sums.select($"dst".as("node"),
+        round(lit(base).cast("decimal(18,6)") +
+          expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
+          .cast("double").as("r")))
     }
     ranks.select($"node", $"r".as("pagerank"))
   }
@@ -106,18 +111,18 @@ object Graph {
   def pageRankWeighted(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
-    val deg = e.groupBy($"src").agg(sum($"w").as("wout"))
-      .localCheckpoint(true)
-    val nrow = deg.agg(count(lit(1)).as("n"))
-      .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
-        round(lit(0.15) / $"n", 6).as("base"))
+    // measured-size checkpoints + collected loop constants — see
+    // [[pageRank]] (identical arithmetic, weighted shares)
+    val e = Iterate.cut(edges)
+    val deg = Iterate.cut(e.groupBy($"src").agg(sum($"w").as("wout")))
+    val c0 = deg.agg(count(lit(1)).as("n"))
+      .select(round(lit(1.0) / $"n", 6).as("r0"),
+        round(lit(0.15) / $"n", 6).as("base")).head()
+    val (r0, base) = (c0.getDouble(0), c0.getDouble(1))
     val roll = new Iterate.RollingCheckpoint
-    var ranks = roll.next(deg.crossJoin(broadcast(nrow))
-      .select($"src".as("node"), $"r0".as("r")))
-    val eW = e.join(deg, Seq("src"))
-      .select($"src", $"dst", $"w", $"wout")
-      .localCheckpoint(true)
+    var ranks = roll.next(deg.select($"src".as("node"), lit(r0).as("r")))
+    val eW = Iterate.cut(
+      e.join(deg, Seq("src")).select($"src", $"dst", $"w", $"wout"))
     for (_ <- 1 to iters) {
       val contrib = eW
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -125,11 +130,10 @@ object Graph {
           (round($"r" / $"wout", 6).cast("decimal(18,6)") * $"w").as("c"))
       val sums = contrib.groupBy($"dst")
         .agg(sum($"c").as("sm"))
-      ranks = roll.next(sums.crossJoin(broadcast(nrow))
-        .select($"dst".as("node"),
-          round($"base".cast("decimal(18,6)") +
-            expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
-            .cast("double").as("r")))
+      ranks = roll.next(sums.select($"dst".as("node"),
+        round(lit(base).cast("decimal(18,6)") +
+          expr("CAST(0.85 AS DECIMAL(3,2))") * $"sm", 6)
+          .cast("double").as("r")))
     }
     ranks.select($"node", $"r".as("pagerank"))
   }
@@ -198,9 +202,9 @@ object Graph {
   def pageRankDirected(edges: DataFrame, iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(Iterate.cut)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     // sentinel dst key for the dangling group: a leading space cannot occur
     // in caller node ids built from printable prefixes + numerals — and the
     // guard below turns that comment-only invariant into a runtime error
@@ -215,27 +219,30 @@ object Graph {
           lit("pageRankDirected: node id collides with the dangling " +
             "sentinel key: '"), $"node", lit("'"))).cast("string"))
         .otherwise($"node").as("node"))
-      .localCheckpoint(true)
-    val nrow = nodes.agg(count(lit(1)).as("n"))
+    // node universe: measured-size checkpoint — the per-round rank
+    // update left-joins it every round
+    val nodesP = Iterate.cut(nodes)
+    // loop constants collected once (driver-sized 1-row head) — see
+    // [[pageRank]]
+    val c0 = nodesP.agg(count(lit(1)).as("n"))
       .select($"n", round(lit(1.0) / $"n", 6).as("r0"),
-        round(lit(0.15) / $"n", 6).as("base"))
-      .localCheckpoint(true)
+        round(lit(0.15) / $"n", 6).as("base")).head()
+    val (nN, r0, base) = (c0.getLong(0), c0.getDouble(1), c0.getDouble(2))
     // routed = one row per (edge ∪ dangling node): the single frame
     // the rank vector joins per round. Dangling rows carry a null
     // outdeg; their "contribution" is the rank itself, aggregated
     // under the sentinel key by the SAME groupBy as the real sums.
-    val routed = e.join(deg, Seq("src"))
-      .select($"src", $"dst", $"outdeg")
-      .unionByName(nodes
-        .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
-        .select($"node".as("src"), lit(dkey).as("dst"),
-          lit(null).cast("long").as("outdeg")))
-      .localCheckpoint(true)
+    val routed = Iterate.cut(
+      e.join(deg, Seq("src"))
+        .select($"src", $"dst", $"outdeg")
+        .unionByName(nodesP
+          .join(deg.select($"src".as("node")), Seq("node"), "left_anti")
+          .select($"node".as("src"), lit(dkey).as("dst"),
+            lit(null).cast("long").as("outdeg"))))
     val zero = expr("CAST(0 AS DECIMAL(18,6))")
     val roll = new Iterate.RollingCheckpoint
     val smRoll = new Iterate.RollingCheckpoint
-    var ranks = roll.next(nodes.crossJoin(broadcast(nrow))
-      .select($"node", $"r0".as("r")))
+    var ranks = roll.next(nodesP.select($"node", lit(r0).as("r")))
     for (_ <- 1 to iters) {
       // ONE data-sized join + ONE map-side-combined aggregate per
       // round; checkpointed so the dangling extraction and the rank
@@ -253,13 +260,12 @@ object Graph {
       // the graph has no sinks), broadcast into the rank update
       val drow = sums.filter($"node" === dkey)
         .agg(coalesce(sum($"sm"), zero).as("dmass"))
-        .crossJoin(broadcast(nrow))
-        .select(round($"dmass".cast("double") / $"n", 6)
-          .cast("decimal(18,6)").as("dshare"), $"base")
-      ranks = roll.next(nodes.join(sums, Seq("node"), "left")
+        .select(round($"dmass".cast("double") / lit(nN), 6)
+          .cast("decimal(18,6)").as("dshare"))
+      ranks = roll.next(nodesP.join(sums, Seq("node"), "left")
         .crossJoin(broadcast(drow))
         .select($"node",
-          round($"base".cast("decimal(18,6)") +
+          round(lit(base).cast("decimal(18,6)") +
             expr("CAST(0.85 AS DECIMAL(3,2))") *
               (coalesce($"sm", zero) + $"dshare"), 6)
             .cast("double").as("r")))
@@ -297,10 +303,10 @@ object Graph {
     require(iters >= 1, s"hits needs iters >= 1, got $iters")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
-    val nodes = e.select($"src".as("node"))
-      .unionByName(e.select($"dst".as("node"))).distinct()
-      .localCheckpoint(true)
+    val e = Iterate.cut(edges)
+    val nodes = Iterate.cut(
+      e.select($"src".as("node"))
+        .unionByName(e.select($"dst".as("node"))).distinct())
     val zero = expr("CAST(0 AS DECIMAL(18,6))")
     val aRoll = new Iterate.RollingCheckpoint
     val hRoll = new Iterate.RollingCheckpoint
@@ -351,11 +357,11 @@ object Graph {
   def triangleStats(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.transform(Iterate.cut)
     val deg = p.select($"d1".as("node"))
       .unionByName(p.select($"d2".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val withDeg = p
       .join(deg.select($"node".as("d1"), $"deg".as("g1")), Seq("d1"))
       .join(deg.select($"node".as("d2"), $"deg".as("g2")), Seq("d2"))
@@ -365,7 +371,7 @@ object Graph {
         .otherwise(struct($"d2".as("u"), $"d1".as("v"), $"g1".as("gv")))
         .as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"), $"e.gv".as("gv"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val wedges = oriented.select($"u", $"v".as("x"), $"gv".as("gx"))
       .join(oriented.select($"u", $"v".as("y"), $"gv".as("gy")), Seq("u"))
       .filter($"gx" < $"gy" || ($"gx" === $"gy" && $"x" < $"y"))
@@ -487,14 +493,17 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
-    val nodes = e.select($"src".as("node")).distinct()
-      .localCheckpoint(true)
-    val sd = seeds.select($"node", $"label".as("__seed"))
-      .localCheckpoint(true)
+    // the static nodes⋉seeds left join is hoisted OUT of the loop (it
+    // is identical every round) into one measured-size checkpoint, so
+    // a round pays one join with the node-sized `best` vote instead of
+    // two
+    val e = Iterate.cut(edges)
+    val nsd = Iterate.cut(
+      e.select($"src".as("node")).distinct()
+        .join(seeds.select($"node", $"label".as("__seed")),
+          Seq("node"), "left"))
     val roll = new Iterate.RollingCheckpoint
-    var lab = roll.next(nodes.join(sd, Seq("node"), "left")
-      .select($"node", $"__seed".as("label")))
+    var lab = roll.next(nsd.select($"node", $"__seed".as("label")))
     for (_ <- 1 to rounds) {
       val mass = e
         .join(lab.select($"node".as("src"), $"label"), Seq("src"))
@@ -504,8 +513,7 @@ object Graph {
       val best = Relational.topOnePerGroup(mass, Seq($"node"),
         Seq($"__m".desc, $"label".asc))
         .select($"node", $"label".as("__best"))
-      lab = roll.next(nodes
-        .join(sd, Seq("node"), "left")
+      lab = roll.next(nsd
         .join(best, Seq("node"), "left")
         .select($"node", coalesce($"__seed", $"__best").as("label")))
     }
@@ -527,14 +535,14 @@ object Graph {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
-    val nodes = e.select($"src".as("node")).distinct()
-      .localCheckpoint(true)
-    val sd = seeds.select($"node", $"label".as("__seed"))
-      .localCheckpoint(true)
+    // same hoisted-seed-join shape as [[labelPropagate]]
+    val e = Iterate.cut(edges)
+    val nsd = Iterate.cut(
+      e.select($"src".as("node")).distinct()
+        .join(seeds.select($"node", $"label".as("__seed")),
+          Seq("node"), "left"))
     val roll = new Iterate.RollingCheckpoint
-    var lab = roll.next(nodes.join(sd, Seq("node"), "left")
-      .select($"node", $"__seed".as("label")))
+    var lab = roll.next(nsd.select($"node", $"__seed".as("label")))
     for (_ <- 1 to rounds) {
       val mass = e
         .join(lab.select($"node".as("src"), $"label"), Seq("src"))
@@ -544,8 +552,7 @@ object Graph {
       val best = Relational.topOnePerGroup(mass, Seq($"node"),
         Seq($"__m".desc, $"label".asc))
         .select($"node", $"label".as("__best"))
-      lab = roll.next(nodes
-        .join(sd, Seq("node"), "left")
+      lab = roll.next(nsd
         .join(best, Seq("node"), "left")
         .select($"node", coalesce($"__seed", $"__best").as("label")))
     }
@@ -671,22 +678,21 @@ object Graph {
       iters: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+    val e = Iterate.cut(edges)
+    val deg = Iterate.cut(
+      e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
     val srow = seeds.agg(count(lit(1)).as("ns"))
       .select(round(lit(1.0) / $"ns", 6).as("r0"),
         round(lit(0.15) / $"ns", 6).as("base"))
-    val seedBase = seeds.crossJoin(broadcast(srow)).localCheckpoint(true)
+    val seedBase = Iterate.cut(seeds.crossJoin(broadcast(srow)))
     // round 0's ranks are a plain projection of seedBase (no checkpoint
     // of their own); the rolling slot only ever releases checkpoints it
     // created, so seedBase — reused by every round's teleport join —
     // is never at risk
     var ranks = seedBase.select($"node", $"r0".as("r"))
     val roll = new Iterate.RollingCheckpoint
-    val eWithDeg = e.join(deg, Seq("src"))
-      .select($"src", $"dst", $"outdeg")
-      .localCheckpoint(true)
+    val eWithDeg = Iterate.cut(
+      e.join(deg, Seq("src")).select($"src", $"dst", $"outdeg"))
     val zero = expr("CAST(0 AS DECIMAL(18,6))")
     for (_ <- 1 to iters) {
       val contrib = eWithDeg
@@ -1006,7 +1012,7 @@ object Graph {
       hops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
+    val e = Iterate.cut(edges)
     val fRoll = new Iterate.RollingCheckpoint
     val vRoll = new Iterate.RollingCheckpoint
     val sRoll = new Iterate.RollingCheckpoint
@@ -1118,7 +1124,7 @@ object Graph {
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.localCheckpoint(true)
+    val e = Iterate.cut(edges)
     val roll = new Iterate.RollingCheckpoint
     var dist = roll.next(seeds.select($"node").distinct()
       .select($"node", lit(0L).as("dist")))
@@ -1177,29 +1183,34 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select($"src", $"dst").localCheckpoint(true)
-    val idxed = e.select($"src", $"dst",
-      row_number().over(Window.partitionBy($"src").orderBy($"dst"))
-        .cast("long").as("idx"))
-      .localCheckpoint(true)
+    val e = edges.select($"src", $"dst").transform(Iterate.cut)
+    val idxed = Iterate.cut(
+      e.select($"src", $"dst",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst"))
+          .cast("long").as("idx")))
     val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val cRoll = new Iterate.RollingCheckpoint
-    val tRoll = new Iterate.RollingCheckpoint
-    var cur = cRoll.next(seeds.select($"node").distinct()
+    var cur = Iterate.cut(seeds.select($"node").distinct()
       .select($"node".as("walker"), $"node", lit(0L).as("step")))
-    var traj = tRoll.next(cur)
+    // the trajectory is the union of the per-step frames, assembled
+    // ONCE at the end: each step's frame is already a checkpointed
+    // leaf, so re-materializing the GROWING union every step (the old
+    // shape) paid O(steps²) rows of copy for nothing. The per-step
+    // checkpoints must all stay live for the final union, so they are
+    // kept out of the rolling slot (bounded: steps+1 walker-sized
+    // frames; the caller's block sweep releases them).
+    val stepFrames = scala.collection.mutable.ArrayBuffer(cur)
     for (k <- 1 to steps) {
       val pick = cur
         .join(deg, cur("node") === deg("src"))
         .select($"walker", cur("node").as("at"),
           (TextOps.h64(concat($"walker", lit(s"|$k|"), cur("node")))
             % $"deg" + 1).as("pk"))
-      cur = cRoll.next(pick
+      cur = Iterate.cut(pick
         .join(idxed, pick("at") === idxed("src") && pick("pk") === idxed("idx"))
         .select($"walker", $"dst".as("node"), lit(k.toLong).as("step")))
-      traj = tRoll.next(traj.unionByName(cur))
+      stepFrames += cur
     }
-    traj
+    stepFrames.reduceLeft(_.unionByName(_))
   }
 
   /** Oracle twin of [[randomWalk]] over caller-defined `ed(src, dst)`
@@ -1255,7 +1266,7 @@ object Graph {
       countDistinct($"src").as("n_nodes"),
       count(lit(1)).as("d_c"),
       sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("e_in"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val m2 = per.agg(sum($"d_c").as("m2"))
     // products in decimal(38,0), not long (r12 advice): m2·e_in and
     // m2·m2 wrap 64-bit arithmetic once m2 exceeds ~3.04e9 edge-ends
@@ -2029,7 +2040,7 @@ object Graph {
     val per = e2.groupBy($"lsrc".as("label")).agg(
       sum($"w").as("d_c"),
       sum(when($"ldst" === $"lsrc", $"w").otherwise(0L)).as("e_in"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val m2 = per.agg(sum($"d_c").as("m2"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val terms = per.crossJoin(broadcast(m2))
@@ -2158,7 +2169,7 @@ object Graph {
     val per = e2.groupBy($"lsrc".as("label")).agg(
       count(lit(1)).as("vol"),
       sum(when($"ldst" =!= $"lsrc", 1L).otherwise(0L)).as("cut"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val m2 = per.agg(sum($"vol").as("m2"))
     per.crossJoin(broadcast(m2))
       .select($"label", $"vol", $"cut",

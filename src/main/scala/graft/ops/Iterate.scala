@@ -54,22 +54,27 @@ object Iterate {
   def release(df: DataFrame): Unit =
     checkpointedRdd(df).foreach(_.unpersist(blocking = false))
 
-  /** The loop-safe lineage cut: eager localCheckpoint PLUS origin
-    * -statistics clamp (`GraftSqlBridge.clampCheckpointStats`). A bare
-    * `localCheckpoint(true)` copies the source plan's estimated
-    * Statistics onto the returned LogicalRDD, and Catalyst's size-only
-    * estimator multiplies child sizes through joins — in a loop that
-    * feeds round k−1's checkpoint into several joins, the estimate's
-    * digit count doubles per round and the DRIVER goes quadratic-then
-    * -worse in BigInteger arithmetic (measured: 2.5 s sweeps became
-    * 115 s by sweep 13 on a constant 1,585-node frame). Every
-    * driver-side loop must cut with THIS, not with localCheckpoint
-    * directly; sane estimates pass through untouched, so no broadcast
-    * decision on a genuinely small frame changes. One-shot barriers
-    * outside loops may keep their stats — a single hop cannot
-    * compound. */
+  /** The loop-safe lineage cut: eager localCheckpoint PLUS
+    * MEASURED-size statistics (`GraftSqlBridge.measureCheckpointStats`,
+    * r17). A bare `localCheckpoint(true)` copies the source plan's
+    * estimated Statistics onto the returned LogicalRDD, and Catalyst's
+    * size-only estimator multiplies child sizes through joins — in a
+    * loop that feeds round k−1's checkpoint into several joins, the
+    * estimate's digit count doubles per round and the DRIVER goes
+    * quadratic-then-worse in BigInteger arithmetic (measured: 2.5 s
+    * sweeps became 115 s by sweep 13 on a constant 1,585-node frame).
+    * Every driver-side loop must cut with THIS, not with
+    * localCheckpoint directly. Since r17 the stamped size is the
+    * checkpoint's TRUE storage footprint (the blocks are persisted
+    * when this runs), not the compounded estimate: a node-sized
+    * rank/label vector now auto-broadcasts into its per-round join
+    * under Spark's own threshold — at sf0.1 that removes the
+    * two-sided shuffle from every round, and at 100 TB a corpus-sized
+    * vector exceeds the threshold and keeps the honest shuffle join.
+    * One-shot barriers outside loops may keep their stats — a single
+    * hop cannot compound. */
   def cut(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftSqlBridge.clampCheckpointStats(
+    org.apache.spark.sql.GraftSqlBridge.measureCheckpointStats(
       df.localCheckpoint(true))
 
   /** One rolling checkpoint slot: `next(df)` eagerly checkpoints `df`

@@ -340,7 +340,7 @@ object TextOps {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var cur = canon(edges.select(col("d1").as("s"), col("d2").as("d")))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     var curSig = sig(cur)
     var iter = 0
     var done = curSig._1 == 0L
@@ -439,7 +439,7 @@ object TextOps {
       .select(coalesce(col("__s1"), col("d1")).as("d1"),
         coalesce(col("__s2"), col("d2")).as("d2"))
       .filter(col("d1") =!= col("d2"))
-      .localCheckpoint(true)
+      .transform(Iterate.cut)
     val supers = contracted.select(col("d1").as("node"))
       .unionByName(contracted.select(col("d2").as("node"))).distinct()
     val superLabels = connectedComponents(contracted, supers, maxIters)

@@ -170,7 +170,7 @@ object ClusterQueries extends QueryGroup {
       val tsets = docs.select($"doc_id".as("doc"),
         array_sort(array_distinct(TextOps.tokens($"text"))).as("tset"))
         .withColumn("sz", size($"tset").cast("long"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val tok = tsets.select($"doc", $"sz", explode($"tset").as("token"))
       val dfreq = tok.groupBy($"token").agg(count(lit(1)).as("df"))
       val wOrd = org.apache.spark.sql.expressions.Window
@@ -179,7 +179,7 @@ object ClusterQueries extends QueryGroup {
         .withColumn("rn", row_number().over(wOrd))
         .filter($"rn" <= $"sz" - expr("(17 * sz + 19) div 20") + 1)
         .select($"doc", $"sz", $"token")
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val blocks = docs.select($"doc_id".as("doc"),
           concat($"source", lit("#"),
             ($"n_chars" / 200).cast("int").cast("string")).as("block"))
@@ -798,7 +798,7 @@ object ClusterQueries extends QueryGroup {
       val edges = TextOps.blockedJaccard(tr)
         .filter($"jaccard" >= 0.9)
         .select($"d1", $"d2")
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val oldEdges = edges.filter($"d1" % 10 =!= 0 && $"d2" % 10 =!= 0)
       val newEdges = edges.filter($"d1" % 10 === 0 || $"d2" % 10 === 0)
       val oldDocs = docs.filter($"doc_id" % 10 =!= 0)
@@ -806,7 +806,7 @@ object ClusterQueries extends QueryGroup {
       val frozen = TextOps.blockLocalComponents(oldEdges,
           oldDocs.select($"doc_id".as("doc"), blockOf.as("block")),
           oldDocs.select($"doc_id".as("node")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val merged = TextOps.connectedComponentsIncremental(frozen, newEdges)
       docs.select($"doc_id".as("node"))
         .join(frozen.select($"node", $"cluster".as("__f")), Seq("node"), "left")

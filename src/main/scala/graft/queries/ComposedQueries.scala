@@ -294,9 +294,9 @@ object ComposedQueries extends QueryGroup {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
       val edges = CorpusPipelineV2.sourceAffinityEdges(docs)
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val pr = graft.ops.Graph.pageRank(edges, iters = 3)
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val med = graft.ops.WindowOps.exactMedian(pr, Seq(lit(1)),
         $"pagerank", $"node").select($"median")
       val rankV = pr.crossJoin(broadcast(med))
@@ -380,7 +380,7 @@ object ComposedQueries extends QueryGroup {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
       val edges = CorpusPipelineV2.sourceAffinityEdges(docs)
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val tiers = CorpusPipelineV2.qualityTiers(edges, docs)
       graft.ops.Graph.conductance(edges,
           tiers.select($"source".as("node"),

@@ -283,11 +283,11 @@ object GraphQueries extends QueryGroup {
       val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
         .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val keptCust = eo.groupBy($"ck").agg(count(lit(1)).as("cd"))
         .filter($"cd" <= 40).select($"ck")
       val kept = eo.join(keptCust, Seq("ck"), "left_semi")
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val sdeg = kept.groupBy($"sk").agg(count(lit(1)).as("d"))
       val pairs = kept.select($"ck", $"sk".as("s1"))
         .join(kept.select($"ck", $"sk".as("s2")), Seq("ck"))
@@ -529,7 +529,7 @@ object GraphQueries extends QueryGroup {
       val ord = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       val eo = li.join(ord, $"l_orderkey" === $"o_orderkey")
         .select($"l_suppkey".as("sk"), $"o_custkey".as("ck")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val keptCust = eo.groupBy($"ck").agg(count(lit(1)).as("cd"))
         .filter($"cd" <= 40).select($"ck")
       val memb = eo.join(keptCust, Seq("ck"), "left_semi")
@@ -677,7 +677,7 @@ object GraphQueries extends QueryGroup {
         concat(lit("c"), $"ck".cast("string")).as("dst"))
       val edges = fwd.unionByName(
         fwd.select($"dst".as("src"), $"src".as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       val sums = edges
         .join(deg.select($"src", $"deg".as("j")), Seq("src"))
@@ -836,7 +836,7 @@ object GraphQueries extends QueryGroup {
         concat(lit("c"), $"ck".cast("string")).as("dst"))
       val edges = fwd.unionByName(
         fwd.select($"dst".as("src"), $"src".as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val seeds = Tables(s, dir, "supplier")
         .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"),
           concat(lit("n"), $"s_nationkey".cast("string")).as("label"))
@@ -844,8 +844,8 @@ object GraphQueries extends QueryGroup {
           .distinct(), Seq("node"), "left_semi")
       val before = Graph.labelPropagate(edges, seeds, rounds = 3)
         .select($"node", coalesce($"label", $"node").as("label"))
-        .localCheckpoint(true)
-      val s1 = Graph.louvainMove(edges, before).localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
+      val s1 = graft.ops.Iterate.cut(Graph.louvainMove(edges, before))
       val s2 = Graph.louvainMove(edges, s1)
       // ONE tagged label frame scores the whole trajectory (r11
       // verdict #4): n_comms, n_moved, and all three Q rows come off
@@ -854,7 +854,7 @@ object GraphQueries extends QueryGroup {
       val lab = before.withColumn("sweep", lit(0L))
         .unionByName(s1.withColumn("sweep", lit(1L)))
         .unionByName(s2.withColumn("sweep", lit(2L)))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val nc = lab.groupBy($"sweep")
         .agg(countDistinct($"label").as("n_comms"))
       val mv = lab.join(
@@ -1031,7 +1031,7 @@ object GraphQueries extends QueryGroup {
       val seeds = eo.select(
         concat(lit("s"), $"sk".cast("string")).as("node")).distinct()
       val walks = Graph.randomWalk(edges, seeds, steps = 4)
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val pairs = walks.as("a").join(walks.as("b"),
           col("a.walker") === col("b.walker") &&
             (col("b.step") - col("a.step")).between(1, 2) &&
@@ -1039,7 +1039,7 @@ object GraphQueries extends QueryGroup {
         .select(least(col("a.node"), col("b.node")).as("w1"),
           greatest(col("a.node"), col("b.node")).as("w2"))
         .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val z = pairs.agg(sum($"n_ab").as("z"))
       val marg = pairs.select($"w1".as("w"), $"n_ab")
         .unionByName(pairs.select($"w2".as("w"), $"n_ab"))
@@ -1218,14 +1218,14 @@ object GraphQueries extends QueryGroup {
         concat(lit("c"), $"ck".cast("string")).as("dst"))
       val edges = fwd.unionByName(
         fwd.select($"dst".as("src"), $"src".as("dst")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val ew1 = edges.withColumn("w", lit(1L))
       val comm0 = edges.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("label")).localCheckpoint(true)
-      val p1 = Graph.louvainMove(edges, comm0).localCheckpoint(true)
-      val g1 = Graph.contract(edges, p1).localCheckpoint(true)
+        .select($"node", $"node".as("label")).transform(graft.ops.Iterate.cut)
+      val p1 = graft.ops.Iterate.cut(Graph.louvainMove(edges, comm0))
+      val g1 = graft.ops.Iterate.cut(Graph.contract(edges, p1))
       val id1 = g1.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("label")).localCheckpoint(true)
+        .select($"node", $"node".as("label")).transform(graft.ops.Iterate.cut)
       val p2 = Graph.louvainMoveWeighted(g1, id1)
       // two tagged label frames — one per edge frame — score all four
       // stages in two passes instead of four join pairs + barriers
@@ -1235,7 +1235,7 @@ object GraphQueries extends QueryGroup {
         .unionByName(p1.withColumn("step", lit(1L)))
       val lab2 = id1.withColumn("step", lit(2L))
         .unionByName(p2.withColumn("step", lit(3L)))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val nc = lab1.unionByName(lab2).groupBy($"step")
         .agg(countDistinct($"label").as("n_comms"))
       val qs = Graph.modularityWeightedAllTagged(ew1,

@@ -244,7 +244,7 @@ object ScaleQueries extends QueryGroup {
         .select($"source", TextOps.tokens($"text").as("ts"))
         .select($"source", explode(TextOps.shingles("ts", 3)).as("token"))
       val reg = Sketch.hllRegisters(tok, $"source", $"token")
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val est1 = Sketch.hllEstimate(reg)
       val keys = reg.select($"key").distinct()
       val pairs = keys.select($"key".as("s1")).crossJoin(
@@ -267,7 +267,7 @@ object ScaleQueries extends QueryGroup {
       val hv = tok.select($"source".as("key"), TextOps.h64($"token").as("h"))
         .distinct()
       val bk = Relational.topKPerGroup(hv, Seq($"key"), Seq($"h".asc), k)
-        .select($"key", $"h").localCheckpoint(true)
+        .select($"key", $"h").transform(graft.ops.Iterate.cut)
       val pu = pairs
         .join(bk.select($"key".as("s1"), $"h"), Seq("s1"))
         .select($"s1", $"s2", $"h")

@@ -1063,7 +1063,7 @@ object SimilarityQueries extends QueryGroup {
       val cand = Similarity.bruteForceTopK(all, qs, 10)
         .select($"id1".as("qid"), $"id2".as("doc"),
           round($"cosine", 6).as("cosr"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val cd = cand.select($"qid", $"doc")
         .join(all.select($"id".as("doc"), $"emb", $"norm2"), Seq("doc"))
       val ca = cd.select($"qid", $"doc".as("d1"), $"emb".as("e1"),
@@ -1074,7 +1074,7 @@ object SimilarityQueries extends QueryGroup {
         .select($"qid", $"d1", $"d2",
           round(Similarity.dotExact("e1", "e2") /
             (sqrt($"n1") * sqrt($"n2")), 6).as("sim"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       // λ = 0.7 as exact integer weights (7·cos − 3·maxsim)/10 over the
       // DECIMAL(9,6) values: a double λ-blend can land exactly on a
       // half-ulp rounding boundary where the engines' round() split
@@ -1254,7 +1254,7 @@ object SimilarityQueries extends QueryGroup {
       // release once both consumers have materialized
       val mindRoll = new graft.ops.Iterate.RollingCheckpoint
       val picksRoll = new graft.ops.Iterate.RollingCheckpoint
-      val first = all.orderBy($"id".asc).limit(1).localCheckpoint(true)
+      val first = all.orderBy($"id".asc).limit(1).transform(graft.ops.Iterate.cut)
       var picks = picksRoll.next(first.select($"id", lit(1L).as("pick_order"),
         lit(null).cast("double").as("min_dist2")))
       var mind = mindRoll.next(all
@@ -1315,7 +1315,7 @@ object SimilarityQueries extends QueryGroup {
         .select($"id".as("x"), $"cid",
           round(Similarity.dotExact("emb", "cemb") /
             (sqrt($"norm2") * sqrt($"cnorm2")), 6).as("sim"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       // rolling slots (Iterate discipline): coverage and the picks
       // union keep one live round each; per-step pick singletons
       // release after both consumers materialize

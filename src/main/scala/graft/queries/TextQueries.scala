@@ -1070,7 +1070,7 @@ object TextQueries extends QueryGroup {
       val pref = ranked
         .filter($"rn" <= $"sz" - expr("(4 * sz + 4) div 5") + 1)
         .select($"token", $"doc", $"src", $"sz")
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val cands = pref.as("a").join(pref.as("b"),
           $"a.token" === $"b.token" && $"a.src" === $"b.src" &&
             $"a.doc" < $"b.doc" &&
@@ -1090,7 +1090,7 @@ object TextQueries extends QueryGroup {
       // spark.graft.verify.broadcastBytes (default 64 MiB).
       val tsets = rdocs.select($"doc",
         array_sort(array_distinct(TextOps.tokens($"text"))).as("tset"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val gate = s.conf.getOption("spark.graft.verify.broadcastBytes")
         .map(_.toLong).getOrElse(64L << 20)
       TextOps.attachTokenSets(cands, tsets, gate)
@@ -1262,14 +1262,14 @@ object TextQueries extends QueryGroup {
       import s.implicits._
       val toks = docs(s, dir).select($"doc_id",
           posexplode(TextOps.tokens($"text")).as(Seq("pos", "tok")))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val pairs = toks.as("a").join(toks.as("b"),
           col("a.doc_id") === col("b.doc_id") &&
             (col("b.pos") - col("a.pos")).between(1, 2))
         .select(least(col("a.tok"), col("b.tok")).as("w1"),
           greatest(col("a.tok"), col("b.tok")).as("w2"))
         .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Iterate.cut)
       val z = pairs.agg(sum($"n_ab").as("z"))
       val marg = pairs.select($"w1".as("w"), $"n_ab")
         .unionByName(pairs.select($"w2".as("w"), $"n_ab"))

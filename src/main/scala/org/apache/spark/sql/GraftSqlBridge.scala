@@ -47,20 +47,56 @@ object GraftSqlBridge {
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD
           if lr.computeStats().sizeInBytes > MaxCheckpointSizeEstimate =>
-        val st = lr.computeStats()
-        ofRows(df.sparkSession,
-          new org.apache.spark.sql.execution.LogicalRDD(
-            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-            lr.isStreaming, lr.stream)(
-            df.sparkSession.asInstanceOf[classic.SparkSession],
-            scala.Some(org.apache.spark.sql.catalyst.plans.logical
-              .Statistics(sizeInBytes = MaxCheckpointSizeEstimate,
-                rowCount = st.rowCount,
-                attributeStats = st.attributeStats,
-                isRuntime = st.isRuntime)),
-            scala.Some(lr.constraints)))
+        rebuildWithSize(df, lr, MaxCheckpointSizeEstimate)
       case _ => df
     }
+
+  /** Replace an EAGERLY-materialized checkpoint's size estimate with
+    * its MEASURED storage footprint (r17 optimization round, guide
+    * §3.1: "size estimates are often badly wrong — pick the join
+    * strategy deliberately"). A localCheckpoint inherits the origin
+    * plan's ESTIMATED Statistics; inside iterative loops those blow
+    * through every broadcast threshold (join-product compounding, see
+    * [[clampCheckpointStats]]), so a genuinely node-sized rank/label
+    * vector could never auto-broadcast and every round paid a
+    * two-sided shuffle join. The blocks are already persisted when
+    * this runs, so the block manager's memSize+diskSize for the RDD is
+    * the TRUE size — stamping it makes Spark's own
+    * `autoBroadcastJoinThreshold` decide honestly and
+    * scale-adaptively: the sf0.1 rank vector (a few MB) broadcasts,
+    * a corpus-sized vector at 100 TB exceeds the threshold and keeps
+    * the shuffle join. Values never change — only the physical join
+    * strategy. Falls back to the clamp when the storage info is not
+    * readable (non-eager checkpoint, blocks evicted). */
+  def measureCheckpointStats(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val measured = df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize).filter(_ > 0L)
+        measured match {
+          case scala.Some(b) => rebuildWithSize(df, lr, BigInt(b))
+          case scala.None    => clampCheckpointStats(df)
+        }
+      case _ => df
+    }
+
+  private def rebuildWithSize(df: DataFrame,
+      lr: org.apache.spark.sql.execution.LogicalRDD,
+      size: BigInt): DataFrame = {
+    val st = lr.computeStats()
+    ofRows(df.sparkSession,
+      new org.apache.spark.sql.execution.LogicalRDD(
+        lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+        lr.isStreaming, lr.stream)(
+        df.sparkSession.asInstanceOf[classic.SparkSession],
+        scala.Some(org.apache.spark.sql.catalyst.plans.logical
+          .Statistics(sizeInBytes = size,
+            rowCount = st.rowCount,
+            attributeStats = st.attributeStats,
+            isRuntime = st.isRuntime)),
+        scala.Some(lr.constraints)))
+  }
 
   /** Column ⇄ Expression bridges (classic.ExpressionUtils is the
     * blessed conversion since Columns became ColumnNode wrappers) —
