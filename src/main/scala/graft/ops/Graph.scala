@@ -1188,7 +1188,9 @@ object Graph {
       e.select($"src", $"dst",
         row_number().over(Window.partitionBy($"src").orderBy($"dst"))
           .cast("long").as("idx")))
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    // degree frame materialized once (it was re-derived from the edge
+    // checkpoint inside every step's pick plan) with measured stats
+    val deg = Iterate.cut(e.groupBy($"src").agg(count(lit(1)).as("deg")))
     var cur = Iterate.cut(seeds.select($"node").distinct()
       .select($"node".as("walker"), $"node", lit(0L).as("step")))
     // the trajectory is the union of the per-step frames, assembled
@@ -1199,17 +1201,26 @@ object Graph {
     // kept out of the rolling slot (bounded: steps+1 walker-sized
     // frames; the caller's block sweep releases them).
     val stepFrames = scala.collection.mutable.ArrayBuffer(cur)
+    // the pick frame checkpoints per step (rolling slot — its only
+    // reader is the step's idxed join): with its MEASURED walker-sized
+    // stats it broadcasts into the adjacency lookup, so the data-sized
+    // idxed frame is never re-shuffled per step (r17 profile: 17.45 MB
+    // × steps of idxed exchanges removed from q232/q238). A derived
+    // pick (a join subtree) could never broadcast — Catalyst's
+    // size-only join estimate is the product of its children.
+    val pRoll = new Iterate.RollingCheckpoint
     for (k <- 1 to steps) {
-      val pick = cur
+      val pick = pRoll.next(cur
         .join(deg, cur("node") === deg("src"))
         .select($"walker", cur("node").as("at"),
           (TextOps.h64(concat($"walker", lit(s"|$k|"), cur("node")))
-            % $"deg" + 1).as("pk"))
+            % $"deg" + 1).as("pk")))
       cur = Iterate.cut(pick
         .join(idxed, pick("at") === idxed("src") && pick("pk") === idxed("idx"))
         .select($"walker", $"dst".as("node"), lit(k.toLong).as("step")))
       stepFrames += cur
     }
+    pRoll.close()
     stepFrames.reduceLeft(_.unionByName(_))
   }
 
